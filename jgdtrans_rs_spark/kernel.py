@@ -1,0 +1,289 @@
+"""Vectorized forward/backward transform kernels (numpy, no Spark).
+
+Re-expresses the reference's transform layer
+(/root/reference/src/trans.rs) as masked array math over whole
+batches.  Every floating-point operation is pinned to the reference's
+non-fma order (lib.rs:181-188: ``fma(a,b,c) == a*b + c`` on targets
+without FMA — the path all published expected constants use,
+trans.rs:416-421, 545-549), so results are bit-identical to the Rust
+crate's test fixtures.
+
+Errors are data, not exceptions (Spark-idiomatic dead-letter columns):
+``status`` is 0 OK, 1 OutOfBounds, 2 ParameterNotFound (with
+err_meshcode / err_corner), 3 CorrectionNotFound — mirroring
+trans.rs:946-999.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import mesh
+from .grid import MeshGrid
+
+STATUS_OK = 0
+STATUS_OUT_OF_BOUNDS = 1
+STATUS_PARAMETER_NOT_FOUND = 2
+STATUS_CORRECTION_NOT_FOUND = 3
+
+STATUS_NAMES = {
+    STATUS_OK: "OK",
+    STATUS_OUT_OF_BOUNDS: "OUT_OF_BOUNDS",
+    STATUS_PARAMETER_NOT_FOUND: "PARAMETER_NOT_FOUND",
+    STATUS_CORRECTION_NOT_FOUND: "CORRECTION_NOT_FOUND",
+}
+
+# Corner ids for err_corner (trans.rs MeshCellCorner, probe order of
+# Params::new_unchecked trans.rs:56-89: sw, se, nw, ne).
+CORNER_NONE = -1
+CORNER_SW = 0
+CORNER_SE = 1
+CORNER_NW = 2
+CORNER_NE = 3
+
+SCALE = 3600.0            # sec -> deg (trans.rs:438)
+MAX_ERROR = 5e-14         # transformer.rs:318
+ITERATION = 4             # trans.rs:588
+DELTA = 1.0 / 300.0       # trans.rs:492
+
+
+def bilinear(sw, se, nw, ne, lat, lng):
+    """``bilinear_interpol`` (trans.rs:10-19) with the exact non-fma
+    nesting: sw*(mlng*mlat) + (se*(lng*mlat) + (nw*(mlng*lat) +
+    ne*lng*lat))."""
+    mlng = 1.0 - lng
+    mlat = 1.0 - lat
+    return sw * (mlng * mlat) + (se * (lng * mlat) + (nw * (mlng * lat) + ne * lng * lat))
+
+
+@dataclass
+class CorrResult:
+    dlat: np.ndarray       # deg
+    dlon: np.ndarray       # deg
+    dalt: np.ndarray       # m
+    status: np.ndarray     # int8
+    err_meshcode: np.ndarray  # int64, -1 when n/a
+    err_corner: np.ndarray    # int8, -1 when n/a
+
+
+def _resolve_cell(lat, lon, grid: MeshGrid):
+    """Cell resolution + 4-corner parameter gather.
+
+    Mirrors ``MeshCell::try_from_point`` -> ``Params::new_unchecked``
+    (cell.rs:411-414, trans.rs:56-89).  Returns a dict of arrays; lanes
+    with status != OK carry undefined math fields.
+    """
+    n = lat.shape[0]
+    status = np.zeros(n, dtype=np.int8)
+    err_code = np.full(n, -1, dtype=np.int64)
+    err_corner = np.full(n, CORNER_NONE, dtype=np.int8)
+
+    lat_d, lon_d, valid = mesh.point_to_digits(lat, lon, grid.mesh_unit)
+    status[~valid] = STATUS_OUT_OF_BOUNDS
+
+    east = mesh.next_east(lon_d, grid.mesh_unit)
+    north = mesh.next_north(lat_d, grid.mesh_unit)
+
+    sw_code = mesh.digits_to_meshcode(lat_d, lon_d)
+    se_code = mesh.digits_to_meshcode(lat_d, east)
+    nw_code = mesh.digits_to_meshcode(north, lon_d)
+    ne_code = mesh.digits_to_meshcode(north, east)
+
+    p = {}
+    found_all = valid.copy()
+    # probe order sw, se, nw, ne — first miss wins (trans.rs:76-87)
+    for corner, code, key in (
+        (CORNER_NE, ne_code, "ne"),
+        (CORNER_NW, nw_code, "nw"),
+        (CORNER_SE, se_code, "se"),
+        (CORNER_SW, sw_code, "sw"),
+    ):
+        dlat, dlon, dalt, found = grid.lookup(code)
+        p[key] = (dlat, dlon, dalt)
+        miss = valid & ~found
+        # iterating ne->sw so the earliest corner overwrites last
+        status[miss] = STATUS_PARAMETER_NOT_FOUND
+        err_code[miss] = code[miss]
+        err_corner[miss] = corner
+        found_all &= found
+
+    y, x = mesh.cell_position(lat, lon, lat_d, lon_d, grid.mesh_unit)
+    return {
+        "status": status,
+        "err_code": err_code,
+        "err_corner": err_corner,
+        "ok": valid & found_all,
+        "y": y,
+        "x": x,
+        "p": p,
+        "sw_code": sw_code,
+    }
+
+
+def forward_corr(lat, lon, grid: MeshGrid) -> CorrResult:
+    """``Transformer::forward_corr`` (trans.rs:428-451), vectorized.
+
+    Correction in degrees (lat/lon) and metres (alt); lanes with
+    status != OK get NaN corrections.
+    """
+    lat = np.ascontiguousarray(lat, dtype=np.float64)
+    lon = np.ascontiguousarray(lon, dtype=np.float64)
+    cell = _resolve_cell(lat, lon, grid)
+    p, y, x = cell["p"], cell["y"], cell["x"]
+
+    dlat = bilinear(p["sw"][0], p["se"][0], p["nw"][0], p["ne"][0], y, x) / SCALE
+    dlon = bilinear(p["sw"][1], p["se"][1], p["nw"][1], p["ne"][1], y, x) / SCALE
+    dalt = bilinear(p["sw"][2], p["se"][2], p["nw"][2], p["ne"][2], y, x)
+
+    bad = ~cell["ok"]
+    dlat[bad] = np.nan
+    dlon[bad] = np.nan
+    dalt[bad] = np.nan
+    return CorrResult(dlat, dlon, dalt, cell["status"], cell["err_code"], cell["err_corner"])
+
+
+def _add_normalized(lat, lon, dlat, dlon):
+    """``Point + Correction`` wrapping add (point.rs:90-151): component
+    add then normalize."""
+    return (
+        mesh.normalize_latitude(lat + dlat),
+        mesh.normalize_longitude(lon + dlon),
+    )
+
+
+def forward(lat, lon, alt, grid: MeshGrid):
+    """``Transformer::forward`` (trans.rs:134-136): point + corr."""
+    c = forward_corr(lat, lon, grid)
+    out_lat, out_lon = _add_normalized(lat, lon, c.dlat, c.dlon)
+    out_alt = np.asarray(alt, dtype=np.float64) + c.dalt
+    return out_lat, out_lon, out_alt, c
+
+
+def backward_compat_corr(lat, lon, grid: MeshGrid) -> CorrResult:
+    """``Transformer::backward_compat_corr`` (trans.rs:491-512): the
+    GIAJ-web-compatible two-step fixed point (non-iterative)."""
+    lat = np.ascontiguousarray(lat, dtype=np.float64)
+    lon = np.ascontiguousarray(lon, dtype=np.float64)
+
+    t_lat, t_lon = _add_normalized(lat, lon, -DELTA, DELTA)
+    c1 = forward_corr(t_lat, t_lon, grid)
+
+    r_lat, r_lon = _add_normalized(lat, lon, -c1.dlat, -c1.dlon)
+    c2 = forward_corr(r_lat, r_lon, grid)
+
+    # first failure wins (reference short-circuits on c1's error)
+    status = np.where(c1.status != STATUS_OK, c1.status, c2.status).astype(np.int8)
+    err_code = np.where(c1.status != STATUS_OK, c1.err_meshcode, c2.err_meshcode)
+    err_corner = np.where(c1.status != STATUS_OK, c1.err_corner, c2.err_corner).astype(np.int8)
+
+    dlat, dlon, dalt = -c2.dlat, -c2.dlon, -c2.dalt
+    bad = status != STATUS_OK
+    dlat[bad] = np.nan
+    dlon[bad] = np.nan
+    dalt[bad] = np.nan
+    return CorrResult(dlat, dlon, dalt, status, err_code, err_corner)
+
+
+def backward_compat(lat, lon, alt, grid: MeshGrid):
+    c = backward_compat_corr(lat, lon, grid)
+    out_lat, out_lon = _add_normalized(lat, lon, c.dlat, c.dlon)
+    out_alt = np.asarray(alt, dtype=np.float64) + c.dalt
+    return out_lat, out_lon, out_alt, c
+
+
+def backward_corr(lat, lon, grid: MeshGrid) -> CorrResult:
+    """``Transformer::backward_corr`` (trans.rs:556-672): masked 2-D
+    Newton, <= 4 iterations, early per-lane exit at |residual| <
+    MAX_ERROR on both axes.
+
+    Faithfully reproduces the reference's Jacobian, which evaluates the
+    corner-difference terms at the *absolute* latitude/longitude
+    iterate (yn, xn) — not the cell-local fraction (trans.rs:624-648).
+    Converged lanes freeze; the cell is re-resolved from the updated
+    iterate every round (it can change between iterations).
+    """
+    q_lat = np.ascontiguousarray(lat, dtype=np.float64)
+    q_lon = np.ascontiguousarray(lon, dtype=np.float64)
+    n = q_lat.shape[0]
+
+    yn = q_lat.copy()
+    xn = q_lon.copy()
+
+    out_dlat = np.full(n, np.nan)
+    out_dlon = np.full(n, np.nan)
+    out_dalt = np.full(n, np.nan)
+    status = np.full(n, STATUS_CORRECTION_NOT_FOUND, dtype=np.int8)  # default: CNF (trans.rs:671)
+    err_code = np.full(n, -1, dtype=np.int64)
+    err_corner = np.full(n, CORNER_NONE, dtype=np.int8)
+    active = np.ones(n, dtype=bool)
+
+    for _ in range(ITERATION):
+        if not active.any():
+            break
+        cell = _resolve_cell(yn, xn, grid)
+        fail = active & ~cell["ok"]
+        status[fail] = cell["status"][fail]
+        err_code[fail] = cell["err_code"][fail]
+        err_corner[fail] = cell["err_corner"][fail]
+        active &= cell["ok"]
+
+        p, y, x = cell["p"], cell["y"], cell["x"]
+        sw, se, nw, ne = p["sw"], p["se"], p["nw"], p["ne"]
+
+        corr_x = bilinear(sw[1], se[1], nw[1], ne[1], y, x) / SCALE
+        corr_y = bilinear(sw[0], se[0], nw[0], ne[0], y, x) / SCALE
+
+        fx = q_lon - (xn + corr_x)
+        fy = q_lat - (yn + corr_y)
+
+        # Jacobian in terms of the absolute iterate (trans.rs:624-648);
+        # fma(a, b, c) == a*b + c on the non-fma path.
+        fx_x = -1.0 - ((se[1] - sw[1]) * (1.0 - yn) + (ne[1] - nw[1]) * yn) / SCALE
+        fx_y = -((nw[1] - sw[1]) * (1.0 - xn) + (ne[1] - se[1]) * xn) / SCALE
+        fy_x = -((se[0] - sw[0]) * (1.0 - yn) + (ne[0] - nw[0]) * yn) / SCALE
+        fy_y = -1.0 - ((nw[0] - sw[0]) * (1.0 - xn) + (ne[0] - se[0]) * xn) / SCALE
+
+        det = fx_x * fy_y + (-fx_y) * fy_x  # trans.rs:651
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            new_xn = xn - (fy_y * fx - fx_y * fy) / det
+            new_yn = yn - (fx_x * fy - fy_x * fx) / det
+        xn = np.where(active, new_xn, xn)
+        yn = np.where(active, new_yn, yn)
+
+        # verification step: fresh forward_corr at the updated iterate
+        # (trans.rs:657-668) — errors there also terminate the lane.
+        vcell = _resolve_cell(yn, xn, grid)
+        vfail = active & ~vcell["ok"]
+        status[vfail] = vcell["status"][vfail]
+        err_code[vfail] = vcell["err_code"][vfail]
+        err_corner[vfail] = vcell["err_corner"][vfail]
+        active &= vcell["ok"]
+
+        vp, vy, vx = vcell["p"], vcell["y"], vcell["x"]
+        vlat = bilinear(vp["sw"][0], vp["se"][0], vp["nw"][0], vp["ne"][0], vy, vx) / SCALE
+        vlon = bilinear(vp["sw"][1], vp["se"][1], vp["nw"][1], vp["ne"][1], vy, vx) / SCALE
+        valt = bilinear(vp["sw"][2], vp["se"][2], vp["nw"][2], vp["ne"][2], vy, vx)
+
+        conv = (
+            active
+            & (np.abs(q_lat - (yn + vlat)) < MAX_ERROR)
+            & (np.abs(q_lon - (xn + vlon)) < MAX_ERROR)
+        )
+        out_dlat[conv] = -vlat[conv]
+        out_dlon[conv] = -vlon[conv]
+        out_dalt[conv] = -valt[conv]
+        status[conv] = STATUS_OK
+        active &= ~conv
+
+    return CorrResult(out_dlat, out_dlon, out_dalt, status, err_code, err_corner)
+
+
+def backward(lat, lon, alt, grid: MeshGrid):
+    """``Transformer::backward`` (trans.rs:233-235): point + corr."""
+    c = backward_corr(lat, lon, grid)
+    out_lat, out_lon = _add_normalized(lat, lon, c.dlat, c.dlon)
+    out_alt = np.asarray(alt, dtype=np.float64) + c.dalt
+    return out_lat, out_lon, out_alt, c

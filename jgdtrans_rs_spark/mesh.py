@@ -1,0 +1,251 @@
+"""Vectorized JGD mesh kernels (numpy only, no Spark dependency).
+
+Re-implements the semantics of the reference's mesh module
+(/root/reference/src/mesh/{coord.rs,node.rs,cell.rs,code.rs}) as flat
+int64/float64 array math.  This is the engine's tile-index layer: the
+8-digit JGD meshcode plays the role H3/S2 plays in other spatial
+engines.
+
+Exactness notes (binding — the reference's tests assert bit equality):
+
+* ``MeshCoord::try_from_latitude`` (coord.rs:260-283) computes
+  ``3*lat/2`` and, when the IEEE-754 bit pattern of ``lat`` is odd,
+  bumps the product one ulp up (coord.rs:271-275).  This guarantees the
+  from/to identity on node latitudes.  We replicate it with an
+  ``int64`` view of the float64 array.
+* ``to_degree`` (coord.rs:322-326 / code.rs:69-82) is the two-step
+  ``second*(1/8) + first`` then ``third*(1/80) + temp`` — NOT
+  ``k*(1/80)``; the rounding differs, so the order is pinned.
+* All arithmetic is plain ``a*b + c`` (the reference's non-fma path,
+  lib.rs:181-188), which numpy does natively.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Mesh units (mesh/unit.rs:3-8): One = third-order (~1 km), Five = ~5 km.
+UNIT_ONE = 1
+UNIT_FIVE = 5
+
+
+def _as_f64(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a, dtype=np.float64))
+
+
+def lat_mesh_value(lat: np.ndarray) -> np.ndarray:
+    """``3*lat/2`` with the ulp-parity bump (coord.rs:265-276, code.rs:17-24)."""
+    lat = _as_f64(lat)
+    value = 3.0 * lat / 2.0
+    odd = (lat.view(np.int64) & 1) == 1
+    return np.where(odd, np.nextafter(value, np.inf), value)
+
+
+def value_to_digits(value: np.ndarray, unit: int):
+    """``MeshCoord::from_degree`` (coord.rs:203-229), vectorized.
+
+    ``value`` must already be the mesh-value (lat: 3*lat/2 bumped,
+    lon: the longitude itself).  Returns int64 digit arrays
+    (first, second, third).  Caller is responsible for bounds.
+    """
+    value = _as_f64(value)
+    # floor can produce huge ints for garbage input; clip to keep the
+    # int64 cast defined.  Invalid lanes are masked by the caller.
+    safe = np.where(np.isfinite(value), value, 0.0)
+    integer = np.floor(safe).astype(np.int64)
+    first = integer % 100
+    second = np.floor(8.0 * safe).astype(np.int64) - 8 * integer
+    third = np.floor(80.0 * safe).astype(np.int64) - 80 * integer - 10 * second
+    if unit == UNIT_FIVE:
+        third = np.where(third < 5, 0, 5)
+    return first, second, third
+
+
+def lat_valid(lat: np.ndarray) -> np.ndarray:
+    """try_from_latitude bounds: mesh value in [0, 100] (coord.rs:278-280)."""
+    v = lat_mesh_value(lat)
+    return np.isfinite(v) & (v >= 0.0) & (v <= 100.0)
+
+
+def lon_valid(lon: np.ndarray) -> np.ndarray:
+    """try_from_longitude bounds: lon in [100, 180] (coord.rs:313-316)."""
+    lon = _as_f64(lon)
+    return np.isfinite(lon) & (lon >= 100.0) & (lon <= 180.0)
+
+
+def point_to_digits(lat: np.ndarray, lon: np.ndarray, unit: int):
+    """``MeshCode::from_point`` (code.rs:16-57): digit triples of the
+    south-west node of the cell containing each point.
+
+    Returns ((lat1, lat2, lat3), (lon1, lon2, lon3), valid_mask).
+    Digits on invalid lanes are unspecified.
+    """
+    latv = lat_mesh_value(lat)
+    lonv = _as_f64(lon)
+    valid = (
+        np.isfinite(latv)
+        & (latv >= 0.0)
+        & (latv < 100.0)
+        & np.isfinite(lonv)
+        & (lonv >= 100.0)
+        & (lonv < 180.0)
+    )
+    lat_digits = value_to_digits(latv, unit)
+    lon_digits = value_to_digits(lonv, unit)
+    return lat_digits, lon_digits, valid
+
+
+def digits_to_meshcode(lat_digits, lon_digits) -> np.ndarray:
+    """``MeshCode::to_u32`` / ``MeshNode::to_meshcode`` (code.rs:61-65,
+    node.rs:372-376)."""
+    (f1, s1, t1), (f2, s2, t2) = lat_digits, lon_digits
+    return (f1 * 100 + f2) * 10_000 + (s1 * 10 + s2) * 100 + (t1 * 10 + t2)
+
+
+def meshcode_to_digits(code: np.ndarray):
+    """``MeshNode::try_from_meshcode`` (node.rs:310-347), vectorized.
+
+    Returns (lat_digits, lon_digits, valid).  Validity: code < 10^8,
+    both second digits < 8, and longitude triple <= (80, 0, 0)
+    (node.rs:89-124; rejected examples node.rs:621-626).
+    """
+    code = np.asarray(code, dtype=np.int64)
+    in_range = (code >= 0) & (code < 100_000_000)
+    safe = np.where(in_range, code, 0)
+    lat1 = safe // 1_000_000
+    rest = safe % 1_000_000
+    lon1 = rest // 10_000
+    rest = rest % 10_000
+    lat2 = rest // 1_000
+    rest = rest % 1_000
+    lon2 = rest // 100
+    rest = rest % 100
+    lat3 = rest // 10
+    lon3 = rest % 10
+    lon_ok = (lon1 < 80) | ((lon1 == 80) & (lon2 == 0) & (lon3 == 0))
+    valid = in_range & (lat2 < 8) & (lon2 < 8) & lon_ok
+    return (lat1, lat2, lat3), (lon1, lon2, lon3), valid
+
+
+def _next_digits(first, second, third, unit: int):
+    """One tile step up with digit carry (code.rs:100-140,
+    coord.rs:409-463)."""
+    bound = 9 if unit == UNIT_ONE else 5
+    at_bound = third == bound
+    carry_second = at_bound & (second == 7)
+    new_third = np.where(at_bound, 0, third + unit)
+    new_second = np.where(at_bound, np.where(second == 7, 0, second + 1), second)
+    new_first = np.where(carry_second, first + 1, first)
+    return new_first, new_second, new_third
+
+
+def _prev_digits(first, second, third, unit: int):
+    """One tile step down with digit borrow (coord.rs:466-514)."""
+    bound = 9 if unit == UNIT_ONE else 5
+    at_zero = third == 0
+    borrow_second = at_zero & (second == 0)
+    new_third = np.where(at_zero, bound, third - unit)
+    new_second = np.where(at_zero, np.where(second == 0, 7, second - 1), second)
+    new_first = np.where(borrow_second, first - 1, first)
+    return new_first, new_second, new_third
+
+
+def next_east(lon_digits, unit: int):
+    return _next_digits(*lon_digits, unit)
+
+
+def next_west(lon_digits, unit: int):
+    return _prev_digits(*lon_digits, unit)
+
+
+def next_north(lat_digits, unit: int):
+    return _next_digits(*lat_digits, unit)
+
+
+def next_south(lat_digits, unit: int):
+    return _prev_digits(*lat_digits, unit)
+
+
+def digits_to_lat(lat_digits) -> np.ndarray:
+    """``MeshCoord::to_latitude`` (coord.rs:322-353): pinned two-step
+    rounding then ``2*temp/3``."""
+    f, s, t = lat_digits
+    temp = s.astype(np.float64) * (1.0 / 8.0) + f.astype(np.float64)
+    temp = t.astype(np.float64) * (1.0 / 80.0) + temp
+    return 2.0 * temp / 3.0
+
+
+def digits_to_lon(lon_digits) -> np.ndarray:
+    """``MeshCoord::to_longitude`` (coord.rs:376-380): ``100 + temp``."""
+    f, s, t = lon_digits
+    temp = s.astype(np.float64) * (1.0 / 8.0) + f.astype(np.float64)
+    temp = t.astype(np.float64) * (1.0 / 80.0) + temp
+    return 100.0 + temp
+
+
+def cell_position(lat, lon, lat_digits, lon_digits, unit: int):
+    """``MeshCell::position`` (cell.rs:483-491 / code.rs:86-96):
+    (y, x) of the point within its cell, sw corner = (0, 0)."""
+    lat = _as_f64(lat)
+    lon = _as_f64(lon)
+    x = lon - digits_to_lon(lon_digits)
+    y = lat - digits_to_lat(lat_digits)
+    if unit == UNIT_ONE:
+        return 120.0 * y, 80.0 * x
+    return 24.0 * y, 16.0 * x
+
+
+def normalize_latitude(t: np.ndarray) -> np.ndarray:
+    """point.rs:9-19, vectorized; NaN passes through."""
+    t = _as_f64(t)
+    out = t.copy()
+    need = ~(np.isnan(t) | ((t >= -90.0) & (t <= 90.0)))
+    if not need.any():
+        return out
+    s = np.where(need, np.fmod(t, 360.0), 0.0)
+    case1 = need & ~((s >= -270.0) & (s <= 270.0))
+    r = np.where(case1, s - np.copysign(360.0, s), s)
+    case2 = need & ~case1 & ~((s >= -90.0) & (s <= 90.0))
+    r = np.where(case2, np.copysign(180.0, s) - s, r)
+    return np.where(need, r, out)
+
+
+def normalize_longitude(t: np.ndarray) -> np.ndarray:
+    """point.rs:23-32, vectorized; NaN passes through."""
+    t = _as_f64(t)
+    out = t.copy()
+    need = ~(np.isnan(t) | ((t >= -180.0) & (t <= 180.0)))
+    if not need.any():
+        return out
+    s = np.where(need, np.fmod(t, 360.0), 0.0)
+    case1 = need & ~((s >= -180.0) & (s < 180.0))
+    r = np.where(case1, s - np.copysign(360.0, s), s)
+    return np.where(need, r, out)
+
+
+# ---------------------------------------------------------------------------
+# Secondary tile scheme: S2-style quadtree cell id (engine addition; the
+# reference has no equivalent — required by the north rule's H3/S2
+# re-encode).  Pure integer bit math so it is also expressible as a SQL
+# column expression (see plans/oracle.py::quadkey_sql).
+# ---------------------------------------------------------------------------
+
+def quadkey(lat: np.ndarray, lon: np.ndarray, level: int = 15) -> np.ndarray:
+    """Level-``level`` quadtree cell id over the lat/lon rectangle.
+
+    ix = floor((lon+180)/360 * 2^level), iy likewise for latitude, bits
+    interleaved (lon bit low).  Deterministic, no trig — a faithful
+    stand-in for an S2 cell id at fixed level.
+    """
+    lat = _as_f64(lat)
+    lon = _as_f64(lon)
+    n = np.int64(1) << level
+    ix = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    iy = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+    ix = np.clip(ix, 0, int(n) - 1)
+    iy = np.clip(iy, 0, int(n) - 1)
+    out = np.zeros_like(ix)
+    for b in range(level):
+        out |= ((ix >> b) & 1) << (2 * b)
+        out |= ((iy >> b) & 1) << (2 * b + 1)
+    return out
