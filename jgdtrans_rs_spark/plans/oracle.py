@@ -1,0 +1,403 @@
+"""ANSI-SQL generators mirroring the engine's kernels bit-for-bit.
+
+These emit plain SQL (runnable by DuckDB *and* Spark SQL) that
+reproduces the numpy kernels' float64 arithmetic in the exact same
+operation order, so a value-hash comparison of engine output vs oracle
+output succeeds exactly:
+
+* mesh digits: floor-based extraction (coord.rs:203-229).  The SQL
+  path intentionally omits the ulp-parity bump of coord.rs:271-275 (no
+  float bit view in SQL) — it only matters for inputs sitting within
+  one ulp of a node boundary, which the deterministic synthetic inputs
+  never do.
+* node degrees: the pinned two-step rounding ``t*(1/80) + (s*0.125 + f)``
+  (coord.rs:322-326).
+* bilinear: ``sw*(mx*my) + (se*(x*my) + (nw*(mx*y) + ne*x*y))``
+  (trans.rs:10-19, non-fma path).
+
+Every numeric literal carries an ``e0`` exponent so both Spark SQL and
+DuckDB type it DOUBLE — bare decimals parse as DECIMAL in both engines
+and would silently change the rounding behaviour.
+"""
+
+from __future__ import annotations
+
+UNIT_BOUND = {1: 9, 5: 5}
+
+# ---------------------------------------------------------------------------
+# Synthetic geotagged points, derived deterministically from the orders
+# table (so both engines see identical input doubles).  Distribution per
+# FIXTURES.md: 70% inside the SemiDynaEXE fixture cell, 10% Iwo-Jima-ish
+# (in mesh domain but absent from the grid -> PARAMETER_NOT_FOUND), 10%
+# one hot cell (skew), 10% out of the mesh domain (OUT_OF_BOUNDS).
+# ---------------------------------------------------------------------------
+
+POINTS_LAT_EXPR = (
+    "CASE WHEN k % 10 = 9 THEN 2.0e0 + (k % 100) / 50.0e0 "
+    "WHEN k % 10 = 8 THEN 36.090125e0 "
+    "WHEN k % 10 = 7 THEN 24.77e0 + (k % 50) / 5000.0e0 "
+    "ELSE 36.084e0 + ((k * 7919) % 9973) / 9973.0e0 * 0.04e0 END"
+)
+POINTS_LON_EXPR = (
+    "CASE WHEN k % 10 = 9 THEN 3.0e0 + (k % 100) / 50.0e0 "
+    "WHEN k % 10 = 8 THEN 140.071875e0 "
+    "WHEN k % 10 = 7 THEN 141.30e0 + (k % 50) / 5000.0e0 "
+    "ELSE 140.063e0 + ((k * 104729) % 9973) / 9973.0e0 * 0.06e0 END"
+)
+POINTS_ALT_EXPR = "(k % 1000) / 100.0e0"
+
+
+def points_sql(orders: str = "orders") -> str:
+    """Deterministic geotagged point set keyed by o_orderkey."""
+    return (
+        "SELECT k AS pkey, "
+        f"{POINTS_LAT_EXPR} AS lat, {POINTS_LON_EXPR} AS lon, {POINTS_ALT_EXPR} AS alt "
+        f"FROM (SELECT o_orderkey AS k FROM {orders}) _pk"
+    )
+
+
+def grid_values(rows: list[tuple]) -> str:
+    """Inline un-aliased VALUES relation for a (small) parameter grid —
+    corr_sql aliases it per corner join."""
+    vals = ", ".join(
+        f"({int(c)}, CAST({a!r} AS DOUBLE), CAST({b!r} AS DOUBLE), CAST({h!r} AS DOUBLE))"
+        for c, a, b, h in rows
+    )
+    return f"(VALUES {vals})"
+
+
+# ---------------------------------------------------------------------------
+# Mesh digit / meshcode fragments
+# ---------------------------------------------------------------------------
+
+def digits_select(lat: str = "lat", lon: str = "lon", unit: int = 5) -> str:
+    """SELECT-list fragment computing digit columns + validity for the
+    south-west node of the containing cell (code.rs:16-57)."""
+    third_lat = "(flat3r)" if unit == 1 else "(CASE WHEN flat3r < 5 THEN 0 ELSE 5 END)"
+    third_lon = "(flon3r)" if unit == 1 else "(CASE WHEN flon3r < 5 THEN 0 ELSE 5 END)"
+    return f"""
+      SELECT *,
+             {third_lat} AS lat3,
+             {third_lon} AS lon3,
+             (latv >= 0.0e0 AND latv < 100.0e0 AND {lon} >= 100.0e0 AND {lon} < 180.0e0) AS mesh_valid
+      FROM (
+        SELECT *,
+               (ilat % 100) AS lat1,
+               (CAST(floor(8.0e0 * latv) AS BIGINT) - 8 * ilat) AS lat2,
+               (CAST(floor(80.0e0 * latv) AS BIGINT) - 80 * ilat - 10 * (CAST(floor(8.0e0 * latv) AS BIGINT) - 8 * ilat)) AS flat3r,
+               (ilon % 100) AS lon1,
+               (CAST(floor(8.0e0 * lonv) AS BIGINT) - 8 * ilon) AS lon2,
+               (CAST(floor(80.0e0 * lonv) AS BIGINT) - 80 * ilon - 10 * (CAST(floor(8.0e0 * lonv) AS BIGINT) - 8 * ilon)) AS flon3r
+        FROM (
+          SELECT *,
+                 CAST(floor(latv) AS BIGINT) AS ilat,
+                 CAST(floor(lonv) AS BIGINT) AS ilon
+          FROM (
+            SELECT *,
+                   3.0e0 * {lat} / 2.0e0 AS latv,
+                   {lon} AS lonv
+            FROM __IN__
+          ) _v
+        ) _i
+      ) _d
+    """
+
+
+def _carry_up(f: str, s: str, t: str, unit: int) -> tuple[str, str, str]:
+    """One tile step up with digit carry (code.rs:100-140) as CASE text."""
+    bound = UNIT_BOUND[unit]
+    nt = f"(CASE WHEN {t} = {bound} THEN 0 ELSE {t} + {unit} END)"
+    ns = f"(CASE WHEN {t} = {bound} THEN (CASE WHEN {s} = 7 THEN 0 ELSE {s} + 1 END) ELSE {s} END)"
+    nf = f"(CASE WHEN {t} = {bound} AND {s} = 7 THEN {f} + 1 ELSE {f} END)"
+    return nf, ns, nt
+
+
+def _code(fla: str, sla: str, tla: str, flo: str, slo: str, tlo: str) -> str:
+    return (
+        f"(({fla} * 100 + {flo}) * 10000 + ({sla} * 10 + {slo}) * 100 + ({tla} * 10 + {tlo}))"
+    )
+
+
+def corners_select(unit: int) -> str:
+    """Adds sw/se/nw/ne meshcode columns to a digit relation."""
+    nlo = _carry_up("lon1", "lon2", "lon3", unit)
+    nla = _carry_up("lat1", "lat2", "lat3", unit)
+    sw = _code("lat1", "lat2", "lat3", "lon1", "lon2", "lon3")
+    se = _code("lat1", "lat2", "lat3", *nlo)
+    nw = _code(*nla, "lon1", "lon2", "lon3")
+    ne = _code(*nla, *nlo)
+    return f"""
+      SELECT *, {sw} AS sw_code, {se} AS se_code, {nw} AS nw_code, {ne} AS ne_code
+      FROM __IN__
+    """
+
+
+def node_lat_expr(f: str, s: str, t: str) -> str:
+    """to_latitude with pinned rounding (coord.rs:322-353)."""
+    return f"(2.0e0 * ({t} * (1.0e0 / 80.0e0) + ({s} * 0.125e0 + {f})) / 3.0e0)"
+
+
+def node_lon_expr(f: str, s: str, t: str) -> str:
+    """to_longitude (coord.rs:376-380)."""
+    return f"(100.0e0 + ({t} * (1.0e0 / 80.0e0) + ({s} * 0.125e0 + {f})))"
+
+
+def position_select(lat: str, lon: str, unit: int) -> str:
+    """Cell-local (y, x) columns (cell.rs:483-491 / code.rs:86-96)."""
+    ky, kx = ("120.0e0", "80.0e0") if unit == 1 else ("24.0e0", "16.0e0")
+    swlat = node_lat_expr("lat1", "lat2", "lat3")
+    swlon = node_lon_expr("lon1", "lon2", "lon3")
+    return f"""
+      SELECT *, {ky} * ({lat} - {swlat}) AS pos_y, {kx} * ({lon} - {swlon}) AS pos_x
+      FROM __IN__
+    """
+
+
+def bilinear_expr(sw: str, se: str, nw: str, ne: str, y: str = "pos_y", x: str = "pos_x") -> str:
+    """trans.rs:10-19 non-fma nesting, verbatim association."""
+    return (
+        f"({sw} * ((1.0e0 - {x}) * (1.0e0 - {y})) + "
+        f"({se} * ({x} * (1.0e0 - {y})) + "
+        f"({nw} * ((1.0e0 - {x}) * {y}) + {ne} * {x} * {y})))"
+    )
+
+
+def _pipe(*stages: str) -> str:
+    """Chain stage templates: each stage's __IN__ is the previous stage."""
+    out = stages[0]
+    for st in stages[1:]:
+        out = st.replace("__IN__", f"({out})")
+    return out
+
+
+def corr_sql(input_rel: str, grid_rel: str, unit: int,
+             lat: str = "lat", lon: str = "lon") -> str:
+    """forward_corr (trans.rs:428-451) over ``input_rel`` (an aliased
+    relation with ``lat``/``lon`` + passthrough columns), joined against
+    ``grid_rel`` (un-aliased; columns meshcode, dlat_sec, dlon_sec,
+    dalt_m assigned per corner).
+
+    Emits the input columns + dlat_deg/dlon_deg/dalt_m (NULL unless
+    OK) + status/err_meshcode/err_corner.
+    """
+    cells = _pipe(
+        digits_select(lat, lon, unit).replace("__IN__", input_rel),
+        corners_select(unit),
+        position_select(lat, lon, unit),
+    )
+    b_lat = bilinear_expr("psw.dlat_sec", "pse.dlat_sec", "pnw.dlat_sec", "pne.dlat_sec")
+    b_lon = bilinear_expr("psw.dlon_sec", "pse.dlon_sec", "pnw.dlon_sec", "pne.dlon_sec")
+    b_alt = bilinear_expr("psw.dalt_m", "pse.dalt_m", "pnw.dalt_m", "pne.dalt_m")
+    ok = (
+        "c.mesh_valid AND psw.meshcode IS NOT NULL AND pse.meshcode IS NOT NULL "
+        "AND pnw.meshcode IS NOT NULL AND pne.meshcode IS NOT NULL"
+    )
+    # error priority: OOB, then first missing corner sw, se, nw, ne
+    # (trans.rs:76-87)
+    return f"""
+      SELECT c.*,
+             CASE WHEN {ok} THEN {b_lat} / 3600.0e0 END AS dlat_deg,
+             CASE WHEN {ok} THEN {b_lon} / 3600.0e0 END AS dlon_deg,
+             CASE WHEN {ok} THEN {b_alt} END AS dalt_m,
+             CAST(CASE WHEN NOT c.mesh_valid THEN 1
+                  WHEN psw.meshcode IS NULL OR pse.meshcode IS NULL
+                    OR pnw.meshcode IS NULL OR pne.meshcode IS NULL THEN 2
+                  ELSE 0 END AS INTEGER) AS status,
+             CAST(CASE WHEN NOT c.mesh_valid THEN -1
+                  WHEN psw.meshcode IS NULL THEN c.sw_code
+                  WHEN pse.meshcode IS NULL THEN c.se_code
+                  WHEN pnw.meshcode IS NULL THEN c.nw_code
+                  WHEN pne.meshcode IS NULL THEN c.ne_code
+                  ELSE -1 END AS BIGINT) AS err_meshcode,
+             CAST(CASE WHEN NOT c.mesh_valid THEN -1
+                  WHEN psw.meshcode IS NULL THEN 0
+                  WHEN pse.meshcode IS NULL THEN 1
+                  WHEN pnw.meshcode IS NULL THEN 2
+                  WHEN pne.meshcode IS NULL THEN 3
+                  ELSE -1 END AS INTEGER) AS err_corner
+      FROM ({cells}) c
+      LEFT JOIN {grid_rel} AS psw(meshcode, dlat_sec, dlon_sec, dalt_m) ON c.mesh_valid AND psw.meshcode = c.sw_code
+      LEFT JOIN {grid_rel} AS pse(meshcode, dlat_sec, dlon_sec, dalt_m) ON c.mesh_valid AND pse.meshcode = c.se_code
+      LEFT JOIN {grid_rel} AS pnw(meshcode, dlat_sec, dlon_sec, dalt_m) ON c.mesh_valid AND pnw.meshcode = c.nw_code
+      LEFT JOIN {grid_rel} AS pne(meshcode, dlat_sec, dlon_sec, dalt_m) ON c.mesh_valid AND pne.meshcode = c.ne_code
+    """
+
+
+def forward_sql(input_rel: str, grid_rel: str, unit: int, key: str = "pkey") -> str:
+    """Full forward transform: point + corr (trans.rs:134-136).
+
+    Output: (key, out_lat, out_lon, out_alt, status, err_meshcode,
+    err_corner); coordinate outputs NULL unless status = 0.
+    """
+    c = corr_sql(input_rel, grid_rel, unit)
+    return f"""
+      SELECT {key},
+             CASE WHEN status = 0 THEN lat + dlat_deg END AS out_lat,
+             CASE WHEN status = 0 THEN lon + dlon_deg END AS out_lon,
+             CASE WHEN status = 0 THEN alt + dalt_m END AS out_alt,
+             status, err_meshcode, err_corner
+      FROM ({c}) _fwd
+    """
+
+
+def forward_corr_only_sql(input_rel: str, grid_rel: str, unit: int, key: str = "pkey") -> str:
+    c = corr_sql(input_rel, grid_rel, unit)
+    return f"""
+      SELECT {key}, dlat_deg, dlon_deg, dalt_m, status, err_meshcode, err_corner
+      FROM ({c}) _fc
+    """
+
+
+def backward_compat_sql(input_rel: str, grid_rel: str, unit: int, key: str = "pkey") -> str:
+    """backward_compat (trans.rs:491-512): two chained forward_corr
+    evaluations; first failure wins.
+
+    ``lat - (1.0/300.0)`` is bit-identical to the kernel's
+    ``lat + (-DELTA)`` (negation and subtraction are exact)."""
+    temporal = (
+        f"SELECT pkey, lat AS q_lat, lon AS q_lon, alt AS q_alt, "
+        f"lat - (1.0e0 / 300.0e0) AS lat, lon + (1.0e0 / 300.0e0) AS lon "
+        f"FROM {input_rel}"
+    )
+    c1 = corr_sql(f"({temporal}) _t1", grid_rel, unit)
+    ref = f"""
+      SELECT pkey, q_lat, q_lon, q_alt,
+             q_lat - dlat_deg AS lat, q_lon - dlon_deg AS lon,
+             status AS status1, err_meshcode AS err_meshcode1, err_corner AS err_corner1
+      FROM ({c1}) _r0
+    """
+    c2 = corr_sql(f"({ref}) _r1", grid_rel, unit)
+    return f"""
+      SELECT pkey,
+             CASE WHEN status1 = 0 AND status = 0 THEN q_lat - dlat_deg END AS out_lat,
+             CASE WHEN status1 = 0 AND status = 0 THEN q_lon - dlon_deg END AS out_lon,
+             CASE WHEN status1 = 0 AND status = 0 THEN q_alt - dalt_m END AS out_alt,
+             CAST(CASE WHEN status1 <> 0 THEN status1 ELSE status END AS INTEGER) AS status,
+             CAST(CASE WHEN status1 <> 0 THEN err_meshcode1 ELSE err_meshcode END AS BIGINT) AS err_meshcode,
+             CAST(CASE WHEN status1 <> 0 THEN err_corner1 ELSE err_corner END AS INTEGER) AS err_corner
+      FROM ({c2}) _bc
+    """
+
+
+# ---------------------------------------------------------------------------
+# Tiling
+# ---------------------------------------------------------------------------
+
+def tile_sql(input_rel: str, unit: int, level: int = 15, key: str = "pkey") -> str:
+    """meshcode (floor path) + quadkey tile assignment."""
+    cells = digits_select("lat", "lon", unit).replace("__IN__", input_rel)
+    code = _code("lat1", "lat2", "lat3", "lon1", "lon2", "lon3")
+    n = 1 << level
+    ix = f"LEAST(GREATEST(CAST(floor((lon + 180.0e0) / 360.0e0 * {n}.0e0) AS BIGINT), 0), {n - 1})"
+    iy = f"LEAST(GREATEST(CAST(floor((lat + 90.0e0) / 180.0e0 * {n}.0e0) AS BIGINT), 0), {n - 1})"
+    terms = []
+    for b in range(level):
+        terms.append(f"((CAST(floor(_ix / {1 << b}.0e0) AS BIGINT) % 2) * {1 << (2 * b)})")
+        terms.append(f"((CAST(floor(_iy / {1 << b}.0e0) AS BIGINT) % 2) * {1 << (2 * b + 1)})")
+    qk = " + ".join(terms)
+    return f"""
+      SELECT {key},
+             CAST(CASE WHEN mesh_valid THEN {code} ELSE -1 END AS BIGINT) AS meshcode,
+             CAST({qk} AS BIGINT) AS quadkey
+      FROM (SELECT *, {ix} AS _ix, {iy} AS _iy FROM ({cells}) _c) _q
+    """
+
+
+def cell_position_sql(input_rel: str, unit: int, key: str = "pkey") -> str:
+    """(y, x) in-cell position, NULL outside the mesh domain."""
+    cells = _pipe(
+        digits_select("lat", "lon", unit).replace("__IN__", input_rel),
+        position_select("lat", "lon", unit),
+    )
+    return f"""
+      SELECT {key},
+             CASE WHEN mesh_valid THEN pos_y END AS pos_y,
+             CASE WHEN mesh_valid THEN pos_x END AS pos_x
+      FROM ({cells}) _p
+    """
+
+
+# ---------------------------------------------------------------------------
+# Spatial join / kNN
+# ---------------------------------------------------------------------------
+
+def polygon_edges_values(polygons: list[tuple[str, list[tuple[float, float]]]],
+                         alias: str = "edges") -> str:
+    """Closed rings -> inline edge relation (poly_id, y1, x1, y2, x2).
+
+    Coordinates are (lat, lon) pairs; ring closure is implicit."""
+    rows = []
+    for pid, ring in polygons:
+        for i in range(len(ring)):
+            y1, x1 = ring[i]
+            y2, x2 = ring[(i + 1) % len(ring)]
+            rows.append(
+                f"({pid!r}, CAST({y1!r} AS DOUBLE), CAST({x1!r} AS DOUBLE), "
+                f"CAST({y2!r} AS DOUBLE), CAST({x2!r} AS DOUBLE))"
+            )
+    return f"(VALUES {', '.join(rows)}) AS {alias}(poly_id, y1, x1, y2, x2)"
+
+
+def point_in_polygon_sql(input_rel: str, edges_rel: str, key: str = "pkey") -> str:
+    """Crossing-number containment as edge-parity aggregation.
+
+    A point is inside iff an odd number of edges crosses the ray
+    x -> +inf: ((y1 > lat) != (y2 > lat)) AND
+    lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1.
+    (Horizontal edges: the parity test is false and IEEE inf/nan keeps
+    the division harmless.)  Integer parity output -> hash-robust.
+    """
+    return f"""
+      SELECT {key}, poly_id
+      FROM (
+        SELECT _pp.{key}, e.poly_id,
+               SUM(CASE WHEN ((e.y1 > _pp.lat) <> (e.y2 > _pp.lat))
+                         AND _pp.lon < (e.x2 - e.x1) * (_pp.lat - e.y1) / (e.y2 - e.y1) + e.x1
+                        THEN 1 ELSE 0 END) AS crossings
+        FROM (SELECT * FROM {input_rel}) _pp
+        JOIN {edges_rel} ON 1 = 1
+        GROUP BY _pp.{key}, e.poly_id
+      ) _x
+      WHERE crossings % 2 = 1
+    """
+
+
+def knn_nodes_sql(input_rel: str, unit: int, k: int = 3, key: str = "pkey") -> str:
+    """k nearest mesh nodes.
+
+    For a point strictly inside a cell of a rectangular lattice, the 4
+    nearest lattice nodes are exactly the cell corners, so candidates =
+    corners; rank by squared degree distance, ties broken by meshcode.
+    Output (key, rank, node_code) — all integers.
+    """
+    cells = _pipe(
+        digits_select("lat", "lon", unit).replace("__IN__", input_rel),
+        corners_select(unit),
+    )
+    nlo = _carry_up("lon1", "lon2", "lon3", unit)
+    nla = _carry_up("lat1", "lat2", "lat3", unit)
+    corners = []
+    for name, (la, lo) in {
+        "sw_code": (("lat1", "lat2", "lat3"), ("lon1", "lon2", "lon3")),
+        "se_code": (("lat1", "lat2", "lat3"), nlo),
+        "nw_code": (nla, ("lon1", "lon2", "lon3")),
+        "ne_code": (nla, nlo),
+    }.items():
+        nlat = node_lat_expr(*la)
+        nlon = node_lon_expr(*lo)
+        corners.append(
+            f"SELECT {key}, {name} AS node_code, "
+            f"(lat - {nlat}) * (lat - {nlat}) + (lon - {nlon}) * (lon - {nlon}) AS d2 "
+            f"FROM _cells WHERE mesh_valid"
+        )
+    union = " UNION ALL ".join(corners)
+    return f"""
+      WITH _cells AS ({cells})
+      SELECT {key}, CAST(rnk AS INTEGER) AS rank, node_code
+      FROM (
+        SELECT {key}, node_code,
+               ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY d2, node_code) AS rnk
+        FROM ({union}) _u
+      ) _r
+      WHERE rnk <= {k}
+    """
