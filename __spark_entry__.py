@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship pipeline (synthetic Common-Crawl-style
+pages -> geotag extraction -> validation -> forward transform -> tile
+assignment) on sf0.001.  ``queries``/``oracle_sql`` cover the operator
+inventory of SURVEY.md §2: every geodesy/tiling/join operator plus the
+training-data pipeline family, each with a DuckDB oracle generated
+from the same SQL builders the engine documents its semantics with
+(bit-exact float parity by construction — see plans/oracle.py,
+plans/webops.py).
 """
 
 from __future__ import annotations
@@ -12,27 +15,351 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jgdtrans_rs_spark.engine import Engine
+from jgdtrans_rs_spark.grid import MeshGrid
+from jgdtrans_rs_spark.operators import dedup, similarity, spatial
+from jgdtrans_rs_spark.plans import oracle, webops
+from jgdtrans_rs_spark.plans.textsql import DUCK, SPARK
+from jgdtrans_rs_spark.sources import pages as pages_src
+
+# The reference's universal test grid (trans.rs:1063-1068).
+SEMIDYNA = {
+    54401005: (-0.00622, 0.01516, 0.0946),
+    54401055: (-0.0062, 0.01529, 0.08972),
+    54401100: (-0.00663, 0.01492, 0.10374),
+    54401150: (-0.00664, 0.01506, 0.10087),
+}
+
+# Prefecture-style test polygons (FIXTURES.md §5): rectangle over the
+# SemiDynaEXE cell, concave L straddling it, rectangle over the Iwo
+# Jima box, degenerate sliver.
+POLYGONS = [
+    ("pref_00", [(36.0833, 140.0625), (36.0833, 140.125), (36.125, 140.125), (36.125, 140.0625)]),
+    ("pref_01", [(36.084, 140.063), (36.084, 140.09), (36.10, 140.09),
+                 (36.10, 140.075), (36.12, 140.075), (36.12, 140.063)]),
+    ("pref_02", [(24.76, 141.29), (24.76, 141.34), (24.80, 141.34), (24.80, 141.29)]),
+    ("pref_03", [(36.05, 140.0), (36.0501, 140.4), (36.0502, 140.0)]),
+]
+
+_GRID = MeshGrid.from_dict(SEMIDYNA, "SemiDynaEXE")
+_ENGINES: dict[int, Engine] = {}
+
+
+def _engine(spark: SparkSession) -> Engine:
+    key = id(spark)
+    if key not in _ENGINES:
+        _ENGINES[key] = Engine(spark, _GRID)
+    return _ENGINES[key]
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    return spark.sql(oracle.points_sql("orders"))
+
+
+def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+def _null_unless_ok(df: DataFrame, cols=("out_lat", "out_lon", "out_alt")) -> DataFrame:
+    return df.select(
+        "pkey",
+        *[F.when(F.col("status") == 0, F.col(c)).alias(c) for c in cols],
+        "status", "err_meshcode", "err_corner",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages -> extract -> validate -> forward -> tiles."""
+    sf_dir = "/root/testdata/sf0.001"
+    eng = _engine(spark)
+    pages = pages_src.synth_pages(spark, sf_dir)
+    extracted = pages_src.extract_geotags(pages)
+    valid, _quarantine = eng.validate(extracted, "lat", "lon")
+    transformed = eng.forward(valid, "lat", "lon", None)
+    return eng.assign_tiles(transformed, "out_lat", "out_lon").select(
+        "url", "warc_ts", "lang", "out_lat", "out_lon", "status", "meshcode", "quadkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries / oracle_sql
+# ---------------------------------------------------------------------------
+
+_P = f'({oracle.points_sql("orders")}) _pts'
+_GV = oracle.grid_values(_GRID.to_rows())
+_EDGES = oracle.polygon_edges_values(POLYGONS, alias="e")
+_UNIT = _GRID.mesh_unit
+
+
+def _q_forward(spark, sf_dir):
+    return _null_unless_ok(_engine(spark).forward(_points(spark, sf_dir), "lat", "lon", "alt"))
+
+
+def _q_forward_corr(spark, sf_dir):
+    df = _engine(spark).forward_corr(_points(spark, sf_dir), "lat", "lon")
+    return df.select(
+        "pkey",
+        *[F.when(F.col("status") == 0, F.col(c)).alias(c)
+          for c in ("dlat_deg", "dlon_deg", "dalt_m")],
+        "status", "err_meshcode", "err_corner",
+    )
+
+
+def _q_backward_compat(spark, sf_dir):
+    return _null_unless_ok(
+        _engine(spark).backward_compat(_points(spark, sf_dir), "lat", "lon", "alt")
+    )
+
+
+def _q_backward_newton(spark, sf_dir):
+    # Newton inverse (trans.rs:556-672) — not SQL-expressible; the
+    # pytest suite pins it to reference fixtures + round-trip identity.
+    return _null_unless_ok(
+        _engine(spark).backward(_points(spark, sf_dir), "lat", "lon", "alt")
+    )
+
+
+def _q_tile(spark, sf_dir):
+    return _engine(spark).assign_tiles(_points(spark, sf_dir)).select(
+        "pkey", "meshcode", "quadkey"
+    )
+
+
+def _q_cellpos(spark, sf_dir):
+    df = _engine(spark).assign_tiles(_points(spark, sf_dir), with_position=True)
+    return df.select("pkey", "pos_y", "pos_x")
+
+
+def _q_knn(spark, sf_dir):
+    return spatial.knn_mesh_nodes(_points(spark, sf_dir), _UNIT, 3)
+
+
+def _q_pip(spark, sf_dir):
+    return spatial.point_in_polygon(_points(spark, sf_dir), POLYGONS)
+
+
+def _q_pip_salted(spark, sf_dir):
+    tiled = _engine(spark).assign_tiles(_points(spark, sf_dir))
+    return spatial.bucketed_spatial_join(tiled, POLYGONS, _UNIT,
+                                         hot_threshold=1000, num_salts=8)
+
+
+def _q_coverage(spark, sf_dir):
+    """Cells with points but no grid parameter (ParameterNotFound as a
+    relational anti-join)."""
+    eng = _engine(spark)
+    tiled = eng.assign_tiles(_points(spark, sf_dir)).filter(F.col("meshcode") != -1)
+    missing = tiled.join(F.broadcast(eng.grid_df()), "meshcode", "left_anti")
+    return missing.groupBy("meshcode").agg(F.count("*").cast("long").alias("n_points"))
+
+
+def _q_skew_topk(spark, sf_dir):
+    tiled = _engine(spark).assign_tiles(_points(spark, sf_dir))
+    return (
+        tiled.groupBy("meshcode").agg(F.count("*").cast("long").alias("n_points"))
+        .orderBy(F.desc("n_points"), "meshcode").limit(5)
+    )
+
+
+def _q_grid_stats(spark, sf_dir):
+    rows = []
+    for comp, s in _engine(spark).statistics().items():
+        rows.append((comp, s["count"], *[round(s[k], 12) for k in
+                                         ("mean", "std", "abs", "min", "max")]))
+    return spark.createDataFrame(
+        rows, "component string, n int, mean double, std double, abs_mean double, vmin double, vmax double"
+    )
+
+
+def _q_dms(spark, sf_dir):
+    """DMS decomposition parts (dms.rs:329-352) of point latitudes."""
+    pts = _points(spark, sf_dir)
+    lat = F.col("lat")
+    mm = (lat - lat.cast("long").cast("double")) * 60.0
+    trunc_mm = mm.cast("long").cast("double")
+    ss = (mm - trunc_mm) * 60.0
+    return pts.select(
+        "pkey",
+        lat.cast("long").cast("int").alias("deg"),
+        F.abs(mm.cast("long")).cast("int").alias("minute"),
+        F.abs(ss.cast("long")).cast("int").alias("second"),
+        F.round(F.abs(ss - ss.cast("long").cast("double")), 6).alias("fract6"),
+    )
+
+
+def _q_pages_invariant(spark, sf_dir):
+    """Per-row invariant: byte-identical extracted text per url."""
+    pages = pages_src.synth_pages(spark, sf_dir)
+    ex = pages_src.extract_geotags(pages).select("url", F.col("text").alias("text_ex"))
+    src = pages.select("url", "text", "true_lat")
+    j = src.join(ex, "url")
+    return j.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("text") == F.col("text_ex"), 1).otherwise(0)).cast("long").alias("n_text_exact"),
+    )
+
+
+def _q_normalize(spark, sf_dir):
+    """Angle normalization (point.rs:9-32) on synthetic wild angles."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    raw = spark.sql(
+        "SELECT o_orderkey AS pkey, "
+        "(o_orderkey % 1441) * 1.0e0 - 720.5e0 AS raw_lat, "
+        "(o_orderkey % 1441) * 1.25e0 - 900.25e0 AS raw_lon FROM orders"
+    )
+    from jgdtrans_rs_spark.functions import columns as C
+    return raw.select(
+        "pkey",
+        C.normalize_latitude(F.col("raw_lat")).alias("norm_lat"),
+        C.normalize_longitude(F.col("raw_lon")).alias("norm_lon"),
+    )
+
+
+def _sql_q(builder):
+    def run(spark, sf_dir):
+        _view(spark, sf_dir, "documents", "embeddings", "events")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return spark.sql(builder(SPARK))
+    return run
+
+
+def _q_minhash(spark, sf_dir):
+    from jgdtrans_rs_spark.operators import dedup as dedup_ops
+
+    _view(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_pairs(spark)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ann_lsh_topk(emb, n_queries=10, k=5)
+
+
+def _q_near_dup_emb(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dup(emb, threshold=0.9)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- geodesy / tiling / spatial (engine kernels) --
+        "forward_semidyna": _q_forward,
+        "forward_corr_semidyna": _q_forward_corr,
+        "backward_compat_semidyna": _q_backward_compat,
+        "backward_newton_semidyna": _q_backward_newton,
+        "tile_assign": _q_tile,
+        "cell_position": _q_cellpos,
+        "knn_mesh_nodes": _q_knn,
+        "pip_broadcast": _q_pip,
+        "pip_salted_bucketed": _q_pip_salted,
+        "grid_coverage_anti": _q_coverage,
+        "skew_topk": _q_skew_topk,
+        "grid_statistics": _q_grid_stats,
+        "dms_parts": _q_dms,
+        "pages_text_invariant": _q_pages_invariant,
+        "normalize_angles": _q_normalize,
+        # -- training-data pipeline (declarative Spark SQL) --
+        "text_stats": _sql_q(webops.text_stats_sql),
+        "lang_id": _sql_q(webops.lang_id_sql),
+        "dedup_exact": _sql_q(webops.dedup_exact_sql),
+        "dedup_minhash_lsh": _q_minhash,
+        "dedup_ngram_jaccard": _sql_q(webops.ngram_jaccard_sql),
+        "simhash": _sql_q(webops.simhash_sql),
+        "events_window": _sql_q(webops.events_window_sql),
+        "ann_cosine_topk": _sql_q(webops.ann_topk_sql),
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_near_dup": _q_near_dup_emb,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    stats_rows = []
+    for comp, s in _GRID.statistics().items():
+        stats_rows.append(
+            f"('{comp}', {s['count']}, " + ", ".join(
+                f"CAST({round(s[k], 12)!r} AS DOUBLE)" for k in ("mean", "std", "abs", "min", "max")
+            ) + ")"
+        )
+    grid_stats_sql = (
+        "SELECT * FROM (VALUES " + ", ".join(stats_rows)
+        + ") AS t(component, n, mean, std, abs_mean, vmin, vmax)"
+    )
+    normalize_sql = """
+      SELECT pkey,
+             CASE WHEN raw_lat >= -90.0e0 AND raw_lat <= 90.0e0 THEN raw_lat
+                  WHEN NOT (fmod(raw_lat, 360.0e0) >= -270.0e0 AND fmod(raw_lat, 360.0e0) <= 270.0e0)
+                    THEN fmod(raw_lat, 360.0e0) - (CASE WHEN fmod(raw_lat, 360.0e0) >= 0 THEN 360.0e0 ELSE -360.0e0 END)
+                  WHEN NOT (fmod(raw_lat, 360.0e0) >= -90.0e0 AND fmod(raw_lat, 360.0e0) <= 90.0e0)
+                    THEN (CASE WHEN fmod(raw_lat, 360.0e0) >= 0 THEN 180.0e0 ELSE -180.0e0 END) - fmod(raw_lat, 360.0e0)
+                  ELSE fmod(raw_lat, 360.0e0) END AS norm_lat,
+             CASE WHEN raw_lon >= -180.0e0 AND raw_lon <= 180.0e0 THEN raw_lon
+                  WHEN NOT (fmod(raw_lon, 360.0e0) >= -180.0e0 AND fmod(raw_lon, 360.0e0) < 180.0e0)
+                    THEN fmod(raw_lon, 360.0e0) - (CASE WHEN fmod(raw_lon, 360.0e0) >= 0 THEN 360.0e0 ELSE -360.0e0 END)
+                  ELSE fmod(raw_lon, 360.0e0) END AS norm_lon
+      FROM (SELECT o_orderkey AS pkey,
+                   (o_orderkey % 1441) * 1.0e0 - 720.5e0 AS raw_lat,
+                   (o_orderkey % 1441) * 1.25e0 - 900.25e0 AS raw_lon FROM orders) _r
     """
-    return {}
+    # NB: DuckDB CAST(double AS BIGINT) rounds; Spark's cast truncates —
+    # so the oracle uses trunc() explicitly.
+    dms_sql = """
+      SELECT pkey,
+             CAST(trunc(lat) AS INTEGER) AS deg,
+             CAST(abs(trunc((lat - trunc(lat)) * 60.0e0)) AS INTEGER) AS minute,
+             CAST(abs(trunc(_ss)) AS INTEGER) AS second,
+             round(abs(_ss - trunc(_ss)), 6) AS fract6
+      FROM (
+        SELECT pkey, lat,
+               ((lat - trunc(lat)) * 60.0e0 - trunc((lat - trunc(lat)) * 60.0e0)) * 60.0e0 AS _ss
+        FROM __PTS__
+      ) _d
+    """.replace("__PTS__", _P)
+    coverage_sql = f"""
+      SELECT meshcode, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM ({oracle.tile_sql(_P, _UNIT)}) _t
+      WHERE meshcode <> -1
+        AND meshcode NOT IN ({", ".join(str(c) for c in _GRID.codes)})
+      GROUP BY meshcode
+    """
+    skew_sql = f"""
+      SELECT meshcode, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM ({oracle.tile_sql(_P, _UNIT)}) _t
+      GROUP BY meshcode ORDER BY n_points DESC, meshcode LIMIT 5
+    """
+    pages_invariant_sql = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_total, "
+        "CAST(COUNT(*) AS BIGINT) AS n_text_exact FROM orders"
+    )
+    return {
+        "forward_semidyna": oracle.forward_sql(_P, _GV, _UNIT),
+        "forward_corr_semidyna": oracle.forward_corr_only_sql(_P, _GV, _UNIT),
+        "backward_compat_semidyna": oracle.backward_compat_sql(_P, _GV, _UNIT),
+        # backward_newton_semidyna: intentionally omitted (iterative
+        # Newton solver — rows-only check; exactness pinned in pytest)
+        "tile_assign": oracle.tile_sql(_P, _UNIT),
+        "cell_position": oracle.cell_position_sql(_P, _UNIT),
+        "knn_mesh_nodes": oracle.knn_nodes_sql(_P, _UNIT, 3),
+        "pip_broadcast": oracle.point_in_polygon_sql(_P, _EDGES),
+        "pip_salted_bucketed": oracle.point_in_polygon_sql(_P, _EDGES),
+        "grid_coverage_anti": coverage_sql,
+        "skew_topk": skew_sql,
+        "grid_statistics": grid_stats_sql,
+        "dms_parts": dms_sql,
+        "pages_text_invariant": pages_invariant_sql,
+        "normalize_angles": normalize_sql,
+        "text_stats": webops.text_stats_sql(DUCK),
+        "lang_id": webops.lang_id_sql(DUCK),
+        "dedup_exact": webops.dedup_exact_sql(DUCK),
+        "dedup_minhash_lsh": webops.minhash_pairs_sql(DUCK),
+        "dedup_ngram_jaccard": webops.ngram_jaccard_sql(DUCK),
+        "simhash": webops.simhash_sql(DUCK),
+        "events_window": webops.events_window_sql(DUCK),
+        "ann_cosine_topk": webops.ann_topk_sql(DUCK),
+        # ann_lsh_topk / embedding_near_dup: approximate operators —
+        # rows-only checks; recall asserted against the brute-force
+        # baseline in pytest.
+    }

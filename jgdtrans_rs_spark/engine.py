@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -76,42 +77,54 @@ class Engine:
         return cls(spark, load_par(path, format))
 
     # -- core transforms --------------------------------------------------
+    #
+    # Hot kernels ride scalar pandas_udf returning a struct column (the
+    # ArrowEvalPython path).  On this Spark build the MapInPandas /
+    # MapInArrow input writer costs ~9us/row JVM-side regardless of
+    # width, capping at ~3.5M rows/s per JVM; the scalar-UDF writer is
+    # ~8x cheaper.  pandas_udf also only ships the referenced columns
+    # through Python — passthrough columns (urls, payloads) stay JVM-side.
 
-    def _map_kernel(self, df: DataFrame, lat: str, lon: str, alt: str | None,
-                    fn_name: str, prefix: str) -> DataFrame:
-        """Run a point->point kernel over Arrow batches, appending
-        `{prefix}lat`, `{prefix}lon`, `{prefix}alt` + status columns."""
+    def _struct_udf(self, fn_name: str, prefix: str):
         bc = self._bc
-        out_fields = [
+        schema = StructType([
             StructField(f"{prefix}lat", DoubleType(), True),
             StructField(f"{prefix}lon", DoubleType(), True),
             StructField(f"{prefix}alt", DoubleType(), True),
-        ] + _RESULT_FIELDS
-        schema = _appended_schema(df, out_fields)
-        out_names = [f.name for f in schema.fields]
+        ] + _RESULT_FIELDS)
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        @F.pandas_udf(schema)
+        def run(lat_s: pd.Series, lon_s: pd.Series, alt_s: pd.Series) -> pd.DataFrame:
             grid = bc.value
             fn = getattr(kernel, fn_name)
-            for pdf in batches:
-                la = pdf[lat].to_numpy(dtype=np.float64, na_value=np.nan)
-                lo = pdf[lon].to_numpy(dtype=np.float64, na_value=np.nan)
-                al = (
-                    pdf[alt].to_numpy(dtype=np.float64, na_value=np.nan)
-                    if alt is not None and alt in pdf.columns
-                    else np.zeros_like(la)
-                )
-                out_la, out_lo, out_al, c = fn(la, lo, al, grid)
-                pdf = pdf.copy()
-                pdf[f"{prefix}lat"] = out_la
-                pdf[f"{prefix}lon"] = out_lo
-                pdf[f"{prefix}alt"] = out_al
-                pdf["status"] = c.status.astype(np.int32)
-                pdf["err_meshcode"] = c.err_meshcode
-                pdf["err_corner"] = c.err_corner.astype(np.int32)
-                yield pdf[out_names]
+            la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            al = alt_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            out_la, out_lo, out_al, c = fn(la, lo, al, grid)
+            return pd.DataFrame({
+                f"{prefix}lat": out_la,
+                f"{prefix}lon": out_lo,
+                f"{prefix}alt": out_al,
+                "status": c.status.astype(np.int32),
+                "err_meshcode": c.err_meshcode,
+                "err_corner": c.err_corner.astype(np.int32),
+            })
 
-        return df.mapInPandas(run, schema=schema)
+        return run
+
+    def _map_kernel(self, df: DataFrame, lat: str, lon: str, alt: str | None,
+                    fn_name: str, prefix: str) -> DataFrame:
+        """Run a point->point kernel, appending `{prefix}lat`,
+        `{prefix}lon`, `{prefix}alt` + status columns."""
+        udf = self._struct_udf(fn_name, prefix)
+        alt_col = F.col(alt) if alt is not None and alt in df.columns else F.lit(0.0)
+        new_names = {f"{prefix}lat", f"{prefix}lon", f"{prefix}alt",
+                     "status", "err_meshcode", "err_corner"}
+        kept = [c for c in df.columns if c not in new_names]
+        return (
+            df.withColumn("_r", udf(F.col(lat), F.col(lon), alt_col))
+            .select(*kept, "_r.*")
+        )
 
     def forward(self, df: DataFrame, lat: str = "lat", lon: str = "lon",
                 alt: str | None = "alt", prefix: str = "out_") -> DataFrame:
@@ -131,31 +144,29 @@ class Engine:
 
     def _corr(self, df: DataFrame, lat: str, lon: str, fn_name: str) -> DataFrame:
         bc = self._bc
-        out_fields = [
+        schema = StructType([
             StructField("dlat_deg", DoubleType(), True),
             StructField("dlon_deg", DoubleType(), True),
             StructField("dalt_m", DoubleType(), True),
-        ] + _RESULT_FIELDS
-        schema = _appended_schema(df, out_fields)
-        out_names = [f.name for f in schema.fields]
+        ] + _RESULT_FIELDS)
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        @F.pandas_udf(schema)
+        def run(lat_s: pd.Series, lon_s: pd.Series) -> pd.DataFrame:
             grid = bc.value
             fn = getattr(kernel, fn_name)
-            for pdf in batches:
-                la = pdf[lat].to_numpy(dtype=np.float64, na_value=np.nan)
-                lo = pdf[lon].to_numpy(dtype=np.float64, na_value=np.nan)
-                c = fn(la, lo, grid)
-                pdf = pdf.copy()
-                pdf["dlat_deg"] = c.dlat
-                pdf["dlon_deg"] = c.dlon
-                pdf["dalt_m"] = c.dalt
-                pdf["status"] = c.status.astype(np.int32)
-                pdf["err_meshcode"] = c.err_meshcode
-                pdf["err_corner"] = c.err_corner.astype(np.int32)
-                yield pdf[out_names]
+            la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            c = fn(la, lo, grid)
+            return pd.DataFrame({
+                "dlat_deg": c.dlat, "dlon_deg": c.dlon, "dalt_m": c.dalt,
+                "status": c.status.astype(np.int32),
+                "err_meshcode": c.err_meshcode,
+                "err_corner": c.err_corner.astype(np.int32),
+            })
 
-        return df.mapInPandas(run, schema=schema)
+        new_names = {"dlat_deg", "dlon_deg", "dalt_m", "status", "err_meshcode", "err_corner"}
+        kept = [c for c in df.columns if c not in new_names]
+        return df.withColumn("_r", run(F.col(lat), F.col(lon))).select(*kept, "_r.*")
 
     def forward_corr(self, df: DataFrame, lat: str = "lat", lon: str = "lon") -> DataFrame:
         """``forward_corr`` (trans.rs:428-451): correction columns only."""
@@ -187,25 +198,116 @@ class Engine:
                 StructField("pos_y", DoubleType(), True),
                 StructField("pos_x", DoubleType(), True),
             ]
-        schema = _appended_schema(df, out_fields)
-        out_names = [f.name for f in schema.fields]
+        schema = StructType(out_fields)
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                la = pdf[lat].to_numpy(dtype=np.float64, na_value=np.nan)
-                lo = pdf[lon].to_numpy(dtype=np.float64, na_value=np.nan)
-                lat_d, lon_d, valid = mesh.point_to_digits(la, lo, unit)
-                code = mesh.digits_to_meshcode(lat_d, lon_d)
-                pdf = pdf.copy()
-                pdf["meshcode"] = np.where(valid, code, -1)
-                pdf["quadkey"] = mesh.quadkey(la, lo, level)
-                if with_position:
-                    y, x = mesh.cell_position(la, lo, lat_d, lon_d, unit)
-                    pdf["pos_y"] = np.where(valid, y, np.nan)
-                    pdf["pos_x"] = np.where(valid, x, np.nan)
-                yield pdf[out_names]
+        @F.pandas_udf(schema)
+        def run(lat_s: pd.Series, lon_s: pd.Series) -> pd.DataFrame:
+            la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            lat_d, lon_d, valid = mesh.point_to_digits(la, lo, unit)
+            code = mesh.digits_to_meshcode(lat_d, lon_d)
+            out = {
+                "meshcode": np.where(valid, code, -1),
+                "quadkey": mesh.quadkey(la, lo, level),
+            }
+            if with_position:
+                y, x = mesh.cell_position(la, lo, lat_d, lon_d, unit)
+                out["pos_y"] = np.where(valid, y, np.nan)
+                out["pos_x"] = np.where(valid, x, np.nan)
+            return pd.DataFrame(out)
 
-        return df.mapInPandas(run, schema=schema)
+        new_names = {f.name for f in out_fields}
+        kept = [c for c in df.columns if c not in new_names]
+        return df.withColumn("_r", run(F.col(lat), F.col(lon))).select(*kept, "_r.*")
+
+    def transform_and_tile(self, df: DataFrame, lat: str = "lat", lon: str = "lon",
+                           alt: str | None = "alt", level: int = 15,
+                           prefix: str = "out_") -> DataFrame:
+        """Fused forward-transform + tile-assignment in ONE Arrow hop.
+
+        Chaining forward() then assign_tiles() costs two Python stages
+        with a full Arrow (de)serialization between them; at scale the
+        serialization dominates, so the hot pipeline fuses them.
+        """
+        bc = self._bc
+        unit = self.grid.mesh_unit
+        out_fields = [
+            StructField(f"{prefix}lat", DoubleType(), True),
+            StructField(f"{prefix}lon", DoubleType(), True),
+            StructField(f"{prefix}alt", DoubleType(), True),
+        ] + _RESULT_FIELDS + [
+            StructField("meshcode", LongType(), False),
+            StructField("quadkey", LongType(), False),
+        ]
+        schema = StructType(out_fields)
+
+        @F.pandas_udf(schema)
+        def run(lat_s: pd.Series, lon_s: pd.Series, alt_s: pd.Series) -> pd.DataFrame:
+            grid = bc.value
+            la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            al = alt_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            out_la, out_lo, out_al, c = kernel.forward(la, lo, al, grid)
+            lat_d, lon_d, valid = mesh.point_to_digits(out_la, out_lo, unit)
+            code = mesh.digits_to_meshcode(lat_d, lon_d)
+            return pd.DataFrame({
+                f"{prefix}lat": out_la,
+                f"{prefix}lon": out_lo,
+                f"{prefix}alt": out_al,
+                "status": c.status.astype(np.int32),
+                "err_meshcode": c.err_meshcode,
+                "err_corner": c.err_corner.astype(np.int32),
+                "meshcode": np.where(valid, code, -1),
+                "quadkey": mesh.quadkey(out_la, out_lo, level),
+            })
+
+        alt_col = F.col(alt) if alt is not None and alt in df.columns else F.lit(0.0)
+        new_names = {f.name for f in out_fields}
+        kept = [c for c in df.columns if c not in new_names]
+        return (
+            df.withColumn("_r", run(F.col(lat), F.col(lon), alt_col))
+            .select(*kept, "_r.*")
+        )
+
+    def roundtrip_verify(self, df: DataFrame, lat: str = "lat", lon: str = "lon",
+                         alt: str | None = "alt") -> DataFrame:
+        """Fused forward + Newton inverse + bit-identity check in ONE
+        Arrow hop: per row, out = forward(p), back = backward(out), and
+        ``roundtrip_exact`` = (back == p) bitwise.
+
+        The production guardrail for a 100 TB run: transform the corpus
+        and prove invertibility in the same pass (the reference's
+        round-trip identity tests, trans.rs:1628-1644, as a streaming
+        column instead of a test suite).
+        """
+        bc = self._bc
+        schema = StructType([
+            StructField("out_lat", DoubleType(), True),
+            StructField("out_lon", DoubleType(), True),
+            StructField("out_alt", DoubleType(), True),
+            StructField("roundtrip_exact", BooleanType(), True),
+            StructField("status", IntegerType(), False),
+        ])
+
+        @F.pandas_udf(schema)
+        def run(lat_s: pd.Series, lon_s: pd.Series, alt_s: pd.Series) -> pd.DataFrame:
+            grid = bc.value
+            la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            al = alt_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            f_la, f_lo, f_al, fc = kernel.forward(la, lo, al, grid)
+            b_la, b_lo, _, bc_res = kernel.backward(f_la, f_lo, f_al, grid)
+            status = np.where(fc.status != 0, fc.status, bc_res.status).astype(np.int32)
+            exact = (b_la == la) & (b_lo == lo) & (status == 0)
+            return pd.DataFrame({
+                "out_lat": f_la, "out_lon": f_lo, "out_alt": f_al,
+                "roundtrip_exact": exact, "status": status,
+            })
+
+        alt_col = F.col(alt) if alt is not None and alt in df.columns else F.lit(0.0)
+        new_names = {"out_lat", "out_lon", "out_alt", "roundtrip_exact", "status"}
+        kept = [c for c in df.columns if c not in new_names]
+        return df.withColumn("_r", run(F.col(lat), F.col(lon), alt_col)).select(*kept, "_r.*")
 
     # -- validation (pure Column, JVM-side) -------------------------------
 

@@ -1,0 +1,56 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are declarative Spark SQL plans (generated from
+plans/webops.py, shared with the DuckDB oracle), so Catalyst owns the
+physical strategy:
+
+* exact          — hash-groupBy on md5(text): one shuffle on the digest.
+* minhash_lsh    — shingle -> 12 minhashes -> 3 bands of 4 -> band
+                   self-join -> exact-Jaccard verify.  Shuffles on band
+                   keys and shingle ids; at 100 TB the band join is the
+                   scalable candidate generator (pair count stays near
+                   linear instead of quadratic).
+* simhash        — 16-bit fingerprint per doc (near-dup by Hamming
+                   distance on the int).
+* ngram_jaccard  — exact blocked self-join (the small-corpus verifier
+                   for minhash_lsh's recall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans import webops
+from ..plans.textsql import SPARK
+
+
+def exact_duplicates(spark: SparkSession, docs: str = "documents") -> DataFrame:
+    """(doc_id, canonical_id, group_size) over the dup-test corpus."""
+    return spark.sql(webops.dedup_exact_sql(SPARK, docs))
+
+
+def minhash_lsh_pairs(spark: SparkSession, docs: str = "documents",
+                      tau_pct: int = 60) -> DataFrame:
+    """Near-duplicate pairs (doc_a, doc_b, inter_n, union_n).
+
+    Staged with persisted boundaries: the shingle pipeline is computed
+    once (not re-inlined into every minhash column / band reference by
+    CollapseProject), then signatures once, then the band join — at
+    corpus scale each stage is a clean shuffle boundary.
+    """
+    sints = spark.sql(webops.minhash_sints_sql(SPARK, docs)).persist()
+    sints.createOrReplaceTempView("_mh_sints")
+    sigs = spark.sql(webops.minhash_sigs_from(SPARK, "_mh_sints")).persist()
+    sigs.createOrReplaceTempView("_mh_sigs")
+    return spark.sql(webops.minhash_pairs_from(SPARK, "_mh_sigs", tau_pct))
+
+
+def simhash(spark: SparkSession, docs: str = "documents") -> DataFrame:
+    """(doc_id, simhash) 16-bit fingerprints."""
+    return spark.sql(webops.simhash_sql(SPARK, docs))
+
+
+def ngram_jaccard_pairs(spark: SparkSession, docs: str = "documents",
+                        tau_pct: int = 50) -> DataFrame:
+    """Exact shingle-Jaccard pairs (doc_a, doc_b, inter_n, union_n)."""
+    return spark.sql(webops.ngram_jaccard_sql(SPARK, docs, tau_pct))

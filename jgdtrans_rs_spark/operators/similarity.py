@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns.
+
+* ``ann_brute_topk`` — declarative brute-force cosine top-k (the
+  correctness baseline; rank output is hash-stable across engines).
+* ``ann_lsh_topk`` — random-hyperplane LSH bucketing: each vector is
+  signed against ``n_planes`` fixed hyperplanes; candidates share a
+  bucket, exact cosine only on candidates.  At 100 TB this turns the
+  O(n·q) scan into a bucket-local join; planes are deterministic
+  (seeded) so results are reproducible.
+* ``embedding_near_dup`` — pairs above a cosine threshold via the same
+  bucketing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from ..plans import webops
+from ..plans.textsql import SPARK
+
+
+def ann_brute_topk(spark: SparkSession, embeddings: str = "embeddings",
+                   n_queries: int = 10, k: int = 5) -> DataFrame:
+    """(query_id, rank, neighbor_id) exact cosine top-k."""
+    return spark.sql(webops.ann_topk_sql(SPARK, embeddings, n_queries, k))
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((n_planes, dim))
+
+
+def signature_buckets(df: DataFrame, dim: int = 64, n_planes: int = 12,
+                      n_tables: int = 1,
+                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Add LSH (table, bucket) rows: per table, sign bits against that
+    table's fixed hyperplanes packed into an int (one output row per
+    input row per table — OR-amplification across tables).
+    Vectorized Arrow batch kernel."""
+    all_planes = [_planes(dim, n_planes, seed=42 + 101 * t) for t in range(n_tables)]
+    schema = StructType(list(df.schema.fields) + [
+        StructField("table", IntegerType(), False),
+        StructField("bucket", LongType(), False),
+    ])
+    names = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            outs = []
+            for t, planes in enumerate(all_planes):
+                part = pdf.copy()
+                if mat.size == 0:
+                    part["table"] = np.array([], dtype=np.int32)
+                    part["bucket"] = np.array([], dtype=np.int64)
+                else:
+                    signs = (mat @ planes.T) > 0
+                    bucket = np.zeros(len(pdf), dtype=np.int64)
+                    for j in range(n_planes):
+                        bucket |= signs[:, j].astype(np.int64) << j
+                    part["table"] = np.full(len(pdf), t, dtype=np.int32)
+                    part["bucket"] = bucket
+                outs.append(part[names])
+            yield pd.concat(outs, ignore_index=True)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def ann_lsh_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
+                 dim: int = 64, n_planes: int = 4, n_tables: int = 8,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: candidates = union over hash tables of the
+    query's bucket, exact cosine re-rank on the (deduplicated)
+    candidate set.
+
+    Scale path: (table, bucket) is the shuffle key; per-bucket
+    candidate sets are orders of magnitude smaller than the corpus and
+    recall is tuned by (n_planes, n_tables) — OR-amplification:
+    recall ≈ 1 - (1 - p^m)^L.
+    """
+    b = signature_buckets(df, dim, n_planes, n_tables, vec_col, id_col)
+    q = b.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("table"), F.col("bucket"),
+    )
+    joined = (
+        q.join(b, ["table", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .dropDuplicates(["query_id", id_col])
+    )
+
+    schema = StructType([
+        StructField("query_id", LongType(), False),
+        StructField("rank", IntegerType(), False),
+        StructField("neighbor_id", LongType(), False),
+    ])
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        qv = np.array([np.asarray(v, dtype=np.float64) for v in pdf["q_vec"]])
+        nv = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        dot = (qv * nv).sum(axis=1)
+        cos = dot / (np.sqrt((qv * qv).sum(axis=1)) * np.sqrt((nv * nv).sum(axis=1)))
+        out = pd.DataFrame({
+            "query_id": pdf["query_id"].to_numpy(),
+            "neighbor_id": pdf[id_col].to_numpy(),
+            "cos": cos,
+        })
+        out = out.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+        return out[["query_id", "rank", "neighbor_id"]]
+
+    return joined.groupBy("query_id").applyInPandas(score, schema=schema)
+
+
+def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
+                       dim: int = 64, n_planes: int = 6, n_tables: int = 4,
+                       vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) above threshold,
+    candidates via multi-table LSH buckets (high-threshold pairs agree
+    on most hyperplanes, so recall is high at far lower cost than the
+    quadratic scan)."""
+    b = signature_buckets(df, dim, n_planes, n_tables, vec_col, id_col)
+    left = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "table", "bucket")
+    right = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "table", "bucket")
+    pairs = (
+        left.join(right, ["table", "bucket"]).filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+    schema = StructType([
+        StructField("a", LongType(), False),
+        StructField("b", LongType(), False),
+    ])
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"a": pdf["a"][:0], "b": pdf["b"][:0]})
+                continue
+            va = np.array([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
+            vb = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            dot = (va * vb).sum(axis=1)
+            cos = dot / (np.sqrt((va * va).sum(axis=1)) * np.sqrt((vb * vb).sum(axis=1)))
+            keep = cos >= threshold
+            yield pd.DataFrame({"a": pdf["a"].to_numpy()[keep], "b": pdf["b"].to_numpy()[keep]})
+
+    return pairs.mapInPandas(refine, schema=schema).distinct()

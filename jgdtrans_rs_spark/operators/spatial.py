@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -79,31 +81,32 @@ def point_in_polygon(df: DataFrame, polygons: Sequence[Polygon],
         )
         for _, ring in polys
     ]
-    key_field = df.schema[key]
-    schema = StructType([key_field, StructField("poly_id", StringType(), False)])
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            la = pdf[lat].to_numpy(dtype=np.float64, na_value=np.nan)
-            lo = pdf[lon].to_numpy(dtype=np.float64, na_value=np.nan)
-            keys = pdf[key].to_numpy()
-            out_keys, out_pids = [], []
-            for (pid, ring), (la0, la1, lo0, lo1) in zip(polys, bboxes):
-                cand = (la >= la0) & (la <= la1) & (lo >= lo0) & (lo <= lo1)
-                if not cand.any():
-                    continue
-                hit = np.zeros(la.shape[0], dtype=bool)
-                hit[cand] = _crossings(la[cand], lo[cand], ring) == 1
-                if hit.any():
-                    out_keys.append(keys[hit])
-                    out_pids.append(np.full(int(hit.sum()), pid, dtype=object))
-            if out_keys:
-                yield pd.DataFrame({key: np.concatenate(out_keys),
-                                    "poly_id": np.concatenate(out_pids)})
-            else:
-                yield pd.DataFrame({key: keys[:0], "poly_id": np.array([], dtype=object)})
+    # pandas_udf returning the matching poly-index list + JVM-side
+    # explode: same cardinality through the (fast) scalar-UDF Arrow
+    # channel, row expansion stays in codegen.
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def matches(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
+        la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+        lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+        hits = np.zeros((la.shape[0], len(polys)), dtype=bool)
+        for i, ((pid, ring), (la0, la1, lo0, lo1)) in enumerate(zip(polys, bboxes)):
+            cand = (la >= la0) & (la <= la1) & (lo >= lo0) & (lo <= lo1)
+            if cand.any():
+                h = np.zeros(la.shape[0], dtype=bool)
+                h[cand] = _crossings(la[cand], lo[cand], ring) == 1
+                hits[:, i] = h
+        return pd.Series([np.nonzero(row)[0].astype(np.int32) for row in hits])
 
-    return df.mapInPandas(run, schema=schema)
+    spark = df.sparkSession
+    names = spark.createDataFrame(
+        [(i, pid) for i, (pid, _) in enumerate(polys)], schema="poly_idx int, poly_id string"
+    )
+    exploded = (
+        df.withColumn("_pidx", F.explode(matches(F.col(lat), F.col(lon))))
+        .select(key, F.col("_pidx").alias("poly_idx"))
+    )
+    return exploded.join(F.broadcast(names), "poly_idx").select(key, "poly_id")
 
 
 def polygon_mesh_cover(polygons: Sequence[Polygon], unit: int) -> list[tuple[int, str]]:
@@ -129,67 +132,80 @@ def polygon_mesh_cover(polygons: Sequence[Polygon], unit: int) -> list[tuple[int
 def bucketed_spatial_join(points: DataFrame, polygons: Sequence[Polygon], unit: int,
                           key: str = "pkey", lat: str = "lat", lon: str = "lon",
                           mesh_col: str = "meshcode",
-                          hot_threshold: int = 50_000, num_salts: int = 16) -> DataFrame:
+                          hot_threshold: int = 50_000, num_salts: int = 16,
+                          hot_codes: Sequence[int] | None = None) -> DataFrame:
     """Meshcode-bucketed spatial join with explicit skew salting.
 
-    points must carry a ``mesh_col`` tile column (engine.assign_tiles).
-    Hot buckets (count > hot_threshold) are detected with a cheap
-    pre-aggregation; their points get ``salt = pmod(hash(key), n)`` and
-    the polygon candidate side is replicated across all salts, so no
-    single reducer receives an entire dense city cell.  Output rows are
-    (key, poly_id), independent of parallelism.
+    points must carry a ``mesh_col`` tile column (engine.assign_tiles /
+    transform_and_tile).  Hot buckets get ``salt = pmod(hash(key), n)``
+    and the polygon candidate side is replicated across all salts, so
+    no single reducer receives an entire dense city cell.  Output rows
+    are (key, poly_id), independent of parallelism.
+
+    Pass ``hot_codes`` (known dense cells — e.g. from table statistics
+    or a prior run's skew_topk) to skip the detection aggregation;
+    otherwise it is computed with one extra pass over ``points``, so
+    persist the input if its lineage is expensive.
     """
     spark = points.sparkSession
     cover = polygon_mesh_cover(polygons, unit)
     if not cover:
         return spark.createDataFrame([], schema=f"{key} long, poly_id string")
-    cand = spark.createDataFrame(cover, schema=f"{mesh_col} long, poly_id string")
-
-    hot = (
-        points.groupBy(mesh_col).count()
-        .filter(F.col("count") > hot_threshold)
-        .select(mesh_col, F.lit(True).alias("_hot"))
+    # integer poly indices through the Python hop (object strings in
+    # pandas are ~10x slower to group/serialize at tens of millions of
+    # candidate rows); names re-attached JVM-side at the end
+    pid_to_idx = {pid: i for i, (pid, _) in enumerate(polygons)}
+    cand = spark.createDataFrame(
+        [(c, pid_to_idx[p]) for c, p in cover],
+        schema=f"{mesh_col} long, poly_idx int",
     )
-    pts = (
-        points.join(F.broadcast(hot), mesh_col, "left")
-        .withColumn(
-            "_salt",
-            F.when(F.col("_hot").isNotNull(),
-                   F.pmod(F.hash(F.col(key)), F.lit(num_salts)))
-            .otherwise(F.lit(0)),
-        )
+
+    if hot_codes is None:
+        hot_codes = [
+            r[mesh_col]
+            for r in points.groupBy(mesh_col).count()
+            .filter(F.col("count") > hot_threshold).collect()
+        ]
+    hot_codes = [int(c) for c in hot_codes]
+    is_hot = F.col(mesh_col).isin(hot_codes) if hot_codes else F.lit(False)
+
+    pts = points.withColumn(
+        "_salt",
+        F.when(is_hot, F.pmod(F.hash(F.col(key)), F.lit(num_salts)))
+        .otherwise(F.lit(0)),
     )
     salts = spark.range(num_salts).select(F.col("id").cast("int").alias("_salt"))
-    cand_salted = cand.join(
-        F.broadcast(hot.select(mesh_col)), mesh_col, "left_semi"
-    ).crossJoin(salts).unionByName(
-        cand.join(F.broadcast(hot.select(mesh_col)), mesh_col, "left_anti")
-        .withColumn("_salt", F.lit(0))
+    cand_salted = cand.filter(is_hot).crossJoin(salts).unionByName(
+        cand.filter(~is_hot).withColumn("_salt", F.lit(0))
     )
 
-    joined = pts.join(cand_salted, [mesh_col, "_salt"])
+    joined = pts.join(F.broadcast(cand_salted), [mesh_col, "_salt"])
 
-    # exact containment test on the surviving candidates
-    polys = {pid: [(float(a), float(b)) for a, b in ring] for pid, ring in polygons}
-    key_field = points.schema[key]
-    schema = StructType([key_field, StructField("poly_id", StringType(), False)])
+    # exact containment test on the surviving candidates: boolean
+    # pandas_udf + JVM-side filter (same cardinality through the fast
+    # scalar-UDF channel; the row reduction happens in codegen)
+    rings = [[(float(a), float(b)) for a, b in ring] for _, ring in polygons]
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                yield pd.DataFrame({key: pdf[key][:0], "poly_id": pdf["poly_id"][:0]})
-                continue
-            la = pdf[lat].to_numpy(dtype=np.float64, na_value=np.nan)
-            lo = pdf[lon].to_numpy(dtype=np.float64, na_value=np.nan)
-            keep = np.zeros(len(pdf), dtype=bool)
-            for pid, grp in pdf.groupby("poly_id"):
-                idx = grp.index.to_numpy()
-                pos = pdf.index.get_indexer(idx)
-                keep[pos] = _crossings(la[pos], lo[pos], polys[pid]) == 1
-            out = pdf.loc[keep, [key, "poly_id"]]
-            yield out
+    @F.pandas_udf(BooleanType())
+    def contains(lat_s: pd.Series, lon_s: pd.Series, pidx_s: pd.Series) -> pd.Series:
+        la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+        lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+        pidx = pidx_s.to_numpy(dtype=np.int32)
+        keep = np.zeros(la.shape[0], dtype=bool)
+        for i, ring in enumerate(rings):
+            mask = pidx == i
+            if mask.any():
+                keep[mask] = _crossings(la[mask], lo[mask], ring) == 1
+        return pd.Series(keep)
 
-    return joined.select(key, lat, lon, "poly_id").mapInPandas(refine, schema=schema)
+    refined = (
+        joined.select(key, lat, lon, "poly_idx")
+        .filter(contains(F.col(lat), F.col(lon), F.col("poly_idx")))
+    )
+    names = spark.createDataFrame(
+        [(i, pid) for pid, i in pid_to_idx.items()], schema="poly_idx int, poly_id string"
+    )
+    return refined.join(F.broadcast(names), "poly_idx").select(key, "poly_id")
 
 
 def knn_mesh_nodes(df: DataFrame, unit: int, k: int = 3,
@@ -200,50 +216,39 @@ def knn_mesh_nodes(df: DataFrame, unit: int, k: int = 3,
     rectangular lattice); squared-degree distance, ties broken by
     meshcode.  Entirely batch-local: no shuffle, no window.
     """
-    key_field = df.schema[key]
-    schema = StructType([
-        key_field,
-        StructField("rank", IntegerType(), False),
-        StructField("node_code", LongType(), False),
-    ])
+    # pandas_udf emitting the ordered k-nearest code list (empty for
+    # invalid points) + JVM posexplode -> rank
+    @F.pandas_udf(ArrayType(LongType()))
+    def knn_codes(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
+        la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+        lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+        lat_d, lon_d, valid = mesh.point_to_digits(la, lo, unit)
+        east = mesh.next_east(lon_d, unit)
+        north = mesh.next_north(lat_d, unit)
+        codes = np.stack([
+            mesh.digits_to_meshcode(lat_d, lon_d),
+            mesh.digits_to_meshcode(lat_d, east),
+            mesh.digits_to_meshcode(north, lon_d),
+            mesh.digits_to_meshcode(north, east),
+        ], axis=1)
+        node_lat = np.stack([
+            mesh.digits_to_lat(lat_d), mesh.digits_to_lat(lat_d),
+            mesh.digits_to_lat(north), mesh.digits_to_lat(north),
+        ], axis=1)
+        node_lon = np.stack([
+            mesh.digits_to_lon(lon_d), mesh.digits_to_lon(east),
+            mesh.digits_to_lon(lon_d), mesh.digits_to_lon(east),
+        ], axis=1)
+        dy = la[:, None] - node_lat
+        dx = lo[:, None] - node_lon
+        d2 = dy * dy + dx * dx
+        order = np.lexsort((codes, d2), axis=-1)[:, :k]
+        top = np.take_along_axis(codes, order, axis=1)
+        empty = np.empty(0, dtype=np.int64)
+        return pd.Series([row if ok else empty for row, ok in zip(top, valid)])
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            la = pdf[lat].to_numpy(dtype=np.float64, na_value=np.nan)
-            lo = pdf[lon].to_numpy(dtype=np.float64, na_value=np.nan)
-            keys = pdf[key].to_numpy()
-            lat_d, lon_d, valid = mesh.point_to_digits(la, lo, unit)
-            east = mesh.next_east(lon_d, unit)
-            north = mesh.next_north(lat_d, unit)
-            codes = np.stack([
-                mesh.digits_to_meshcode(lat_d, lon_d),
-                mesh.digits_to_meshcode(lat_d, east),
-                mesh.digits_to_meshcode(north, lon_d),
-                mesh.digits_to_meshcode(north, east),
-            ], axis=1)
-            node_lat = np.stack([
-                mesh.digits_to_lat(lat_d), mesh.digits_to_lat(lat_d),
-                mesh.digits_to_lat(north), mesh.digits_to_lat(north),
-            ], axis=1)
-            node_lon = np.stack([
-                mesh.digits_to_lon(lon_d), mesh.digits_to_lon(east),
-                mesh.digits_to_lon(lon_d), mesh.digits_to_lon(east),
-            ], axis=1)
-            dy = la[:, None] - node_lat
-            dx = lo[:, None] - node_lon
-            d2 = dy * dy + dx * dx
-            order = np.lexsort((codes, d2), axis=-1)[:, :k]
-            rows = valid.nonzero()[0]
-            if rows.size == 0:
-                yield pd.DataFrame({key: keys[:0],
-                                    "rank": np.array([], dtype=np.int32),
-                                    "node_code": np.array([], dtype=np.int64)})
-                continue
-            sel = order[rows]
-            yield pd.DataFrame({
-                key: np.repeat(keys[rows], k),
-                "rank": np.tile(np.arange(1, k + 1, dtype=np.int32), rows.size),
-                "node_code": np.take_along_axis(codes[rows], sel, axis=1).ravel(),
-            })
-
-    return df.mapInPandas(run, schema=schema)
+    return (
+        df.select(key, F.posexplode(knn_codes(F.col(lat), F.col(lon))))
+        .select(key, (F.col("pos") + 1).cast("int").alias("rank"),
+                F.col("col").alias("node_code"))
+    )

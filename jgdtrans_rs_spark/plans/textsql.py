@@ -1,0 +1,132 @@
+"""Dual-dialect SQL builders for the training-data pipeline operators.
+
+Each builder emits the *same logical expression* in the Spark SQL and
+DuckDB dialects (list-function names differ), so the engine query and
+the DuckDB oracle compute identical values from identical inputs —
+parity by construction.
+
+Design rules for hash-stable outputs:
+* prefer integer arithmetic (token ids, counts, parities, band keys);
+* double outputs only as a single division of two exact integers;
+* no engine-specific hash functions except md5 (hex string, identical
+  in both engines).
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+
+def toks(t: str, d: str) -> str:
+    """Whitespace tokens, empties dropped."""
+    if d == SPARK:
+        return f"filter(split({t}, ' '), x -> x != '')"
+    return f"list_filter(string_split({t}, ' '), x -> x != '')"
+
+
+def size(l: str, d: str) -> str:
+    return f"size({l})" if d == SPARK else f"len({l})"
+
+
+def idx(l: str, i: str, d: str) -> str:
+    """1-based element access."""
+    return f"element_at({l}, {i})" if d == SPARK else f"list_extract({l}, {i})"
+
+
+def transform(l: str, lam: str, d: str) -> str:
+    fn = "transform" if d == SPARK else "list_transform"
+    return f"{fn}({l}, {lam})"
+
+
+def list_filter(l: str, lam: str, d: str) -> str:
+    fn = "filter" if d == SPARK else "list_filter"
+    return f"{fn}({l}, {lam})"
+
+
+def list_min(l: str, d: str) -> str:
+    return f"array_min({l})" if d == SPARK else f"list_min({l})"
+
+
+def list_sum_int(l: str, d: str) -> str:
+    """Order-independent integer sum of a BIGINT list."""
+    if d == SPARK:
+        return f"aggregate({l}, 0L, (acc, x) -> acc + x)"
+    return f"CAST(list_sum({l}) AS BIGINT)"
+
+
+def range_list(a: str, b_exclusive: str, d: str) -> str:
+    """[a, b) as a list; empty when b <= a."""
+    if d == SPARK:
+        return (
+            f"CASE WHEN {b_exclusive} > {a} "
+            f"THEN sequence({a}, {b_exclusive} - 1) ELSE array() END"
+        )
+    return f"range({a}, CASE WHEN {b_exclusive} > {a} THEN {b_exclusive} ELSE {a} END)"
+
+
+def distinct(l: str, d: str) -> str:
+    return f"array_distinct({l})" if d == SPARK else f"list_distinct({l})"
+
+
+# ---------------------------------------------------------------------------
+# Token ids and shingles (portable integer hashing: character codes +
+# length — no engine hash functions)
+# ---------------------------------------------------------------------------
+
+def tid_lambda(d: str) -> str:
+    """token -> deterministic BIGINT id:
+    ascii(first)*10000 + ascii(last)*37 + length."""
+    return (
+        "x -> CAST(ascii(substring(x, 1, 1)) * 10000 "
+        "+ ascii(substring(x, length(x), 1)) * 37 + length(x) AS BIGINT)"
+    )
+
+
+def tok_ids(t: str, d: str) -> str:
+    return transform(toks(t, d), tid_lambda(d), d)
+
+
+def shingle_ints(tids: str, d: str) -> str:
+    """3-gram shingle ints from a token-id list:
+    s_i = tid_i*1000003 + tid_{i+1}*1009 + tid_{i+2}."""
+    n = size(tids, d)
+    rng = range_list("1", f"{n} - 1", d)
+    lam = (
+        f"i -> {idx(tids, 'i', d)} * 1000003 "
+        f"+ {idx(tids, 'i + 1', d)} * 1009 + {idx(tids, 'i + 2', d)}"
+    )
+    return transform(rng, lam, d)
+
+
+# MinHash parameters: 12 hashes -> 3 bands of 4 (shared literals).
+MINHASH_P = 2147483647
+MINHASH_AB = [
+    (1103, 12289), (12007, 24593), (32003, 49157), (69493, 98317),
+    (20011, 196613), (40009, 393241), (80021, 786433), (160001, 1572869),
+    (320009, 3145739), (640007, 6291469), (1280023, 12582917), (2560021, 25165843),
+]
+BAND_SIZE = 4
+
+
+def minhash_exprs(sints: str, d: str) -> list[str]:
+    """MIN over shingles of (a*s + b) % p, one per hash function;
+    -1 for shingle-less docs."""
+    out = []
+    for a, b in MINHASH_AB:
+        h = transform(sints, f"s -> ({a} * s + {b}) % {MINHASH_P}", d)
+        out.append(f"COALESCE({list_min(h, d)}, -1)")
+    return out
+
+
+def simhash_expr(tids: str, d: str, bits: int = 16) -> str:
+    """bits-bit simhash over token ids: bit j set iff
+    sum over tokens of (((tid * A_j) % 65536) % 2 * 2 - 1) > 0."""
+    terms = []
+    for j in range(bits):
+        a_j = 2654435761 % (10_000_019 + j * 64 + 1)
+        s = list_sum_int(
+            transform(tids, f"x -> ((x * {a_j}) % 65536) % 2 * 2 - 1", d), d
+        )
+        terms.append(f"(CASE WHEN {s} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"

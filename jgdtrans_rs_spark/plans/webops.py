@@ -1,0 +1,313 @@
+"""Full query builders for the training-data pipeline operators, in
+both dialects (Spark SQL / DuckDB) from one spec.
+
+All operate on the driver's ``documents`` table (doc_id, text, lang,
+source, n_chars) and ``embeddings`` (vec_id, embedding float[], label),
+plus ``events`` (event_id, ts, user_id, event_type, value, props).
+
+Hash-stability: outputs are integers, strings, or single divisions of
+exact integers (see plans/textsql.py).
+"""
+
+from __future__ import annotations
+
+from . import textsql as T
+from .textsql import DUCK, SPARK
+
+
+def _regexp_strip(expr: str, pattern: str, d: str) -> str:
+    """Remove all matches of pattern (dialect: DuckDB needs the 'g' flag)."""
+    if d == SPARK:
+        return f"regexp_replace({expr}, '{pattern}', '')"
+    return f"regexp_replace({expr}, '{pattern}', '', 'g')"
+
+
+def text_stats_sql(d: str, docs: str = "documents") -> str:
+    """Per-doc token statistics + order-weighted fingerprint.
+
+    Output: doc_id, n_tokens, n_distinct, n_stop, stop_ratio,
+    fingerprint — the quality-scoring primitives of a corpus pipeline.
+    """
+    tk = T.toks("text", d)
+    tids = T.tok_ids("text", d)
+    stop = T.list_filter(tk, "x -> x = 'the' OR x = 'a' OR x = 'of'", d)
+    n = T.size(tk, d)
+    rng = T.range_list("1", f"{T.size(tids, d)} + 1", d)
+    fp_terms = T.transform(rng, f"i -> {T.idx(tids, 'i', d)} * ((i * i) % 1000 + 1)", d)
+    fingerprint = f"{T.list_sum_int(fp_terms, d)} % 1000003"
+    return f"""
+      SELECT doc_id,
+             CAST({n} AS INTEGER) AS n_tokens,
+             CAST({T.size(T.distinct(tk, d), d)} AS INTEGER) AS n_distinct,
+             CAST({T.size(stop, d)} AS INTEGER) AS n_stop,
+             CAST({T.size(stop, d)} AS DOUBLE) / CAST({n} AS DOUBLE) AS stop_ratio,
+             CAST({fingerprint} AS BIGINT) AS fingerprint
+      FROM {docs}
+      WHERE {n} > 0
+    """
+
+
+def lang_id_sql(d: str, docs: str = "documents") -> str:
+    """n-gram-free language heuristic (integer comparisons only):
+    non-printable-ASCII share -> 'ja', else stopword presence -> 'en',
+    else 'other'."""
+    n_ascii = f"length({_regexp_strip('text', '[^ -~]', d)})"
+    tk = T.toks("text", d)
+    n_stop = T.size(T.list_filter(tk, "x -> x = 'the' OR x = 'a' OR x = 'is'", d), d)
+    return f"""
+      SELECT doc_id, lang AS lang_declared,
+             CASE WHEN {n_ascii} * 100 < length(text) * 95 THEN 'ja'
+                  WHEN {n_stop} > 0 THEN 'en'
+                  ELSE 'other' END AS lang_pred
+      FROM {docs}
+    """
+
+
+def _dup_corpus(docs: str, d: str) -> str:
+    """documents + exact copies (doc_id+1000000) + near-dup copies with
+    a 2-token prefix (doc_id+2000000) — deterministic test corpus for
+    the dedup family."""
+    return f"""
+      SELECT doc_id, text FROM {docs}
+      UNION ALL SELECT doc_id + 1000000, text FROM {docs} WHERE doc_id % 5 = 0
+      UNION ALL SELECT doc_id + 2000000, concat('xx yy ', text) FROM {docs} WHERE doc_id % 7 = 0
+    """
+
+
+def dedup_exact_sql(d: str, docs: str = "documents") -> str:
+    """Exact dedup by content hash: canonical id = min doc_id per md5
+    group (hash-groupBy — one shuffle on the digest at scale)."""
+    return f"""
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+             CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size
+      FROM ({_dup_corpus(docs, d)}) _corpus
+    """
+
+
+def minhash_sints_sql(d: str, docs: str = "documents") -> str:
+    """Stage 1: doc_id + distinct shingle-int list per doc (over the
+    dup-test corpus)."""
+    corpus = _dup_corpus(docs, d)
+    tids = T.tok_ids("text", d)
+    sints = T.distinct(T.shingle_ints("_tids", d), d)
+    return (
+        f"SELECT doc_id, {sints} AS sints "
+        f"FROM (SELECT doc_id, {tids} AS _tids FROM ({corpus}) _c) _t"
+    )
+
+
+def minhash_sigs_from(d: str, sints_rel: str) -> str:
+    """Stage 2: 12 minhash columns from a materialized sints relation."""
+    mh = T.minhash_exprs("sints", d)
+    sig_cols = ", ".join(f"{e} AS h{i}" for i, e in enumerate(mh))
+    return f"SELECT doc_id, sints, {sig_cols} FROM {sints_rel}"
+
+
+def minhash_pairs_from(d: str, sigs_rel: str, tau_pct: int = 60) -> str:
+    """Stage 3: band-bucket candidates + exact-Jaccard verify from a
+    materialized signatures relation (columns doc_id, sints, h0..h11)."""
+    nb = len(T.MINHASH_AB) // T.BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + ", ".join(f"h{b * T.BAND_SIZE + j} AS k{j}" for j in range(T.BAND_SIZE))
+        + f" FROM {sigs_rel} WHERE h0 <> -1"
+        for b in range(nb)
+    )
+    band_key_eq = " AND ".join(f"x.k{j} = y.k{j}" for j in range(T.BAND_SIZE))
+    if d == SPARK:
+        shingle_rows = (
+            f"SELECT doc_id, s FROM {sigs_rel} LATERAL VIEW explode(sints) _e AS s"
+        )
+    else:
+        shingle_rows = f"SELECT doc_id, unnest(sints) AS s FROM {sigs_rel}"
+    return f"""
+      WITH bands AS ({band_rows}),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND {band_key_eq} AND x.doc_id < y.doc_id
+      ),
+      sizes AS (SELECT doc_id, {T.size('sints', d)} AS n FROM {sigs_rel}),
+      sh AS ({shingle_rows}),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter_n
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY c.doc_a, c.doc_b
+      )
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.inter_n AS BIGINT) AS inter_n,
+             CAST(sa.n + sb.n - i.inter_n AS BIGINT) AS union_n
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE i.inter_n * 100 >= (sa.n + sb.n - i.inter_n) * {tau_pct}
+    """
+
+
+def minhash_pairs_sql(d: str, docs: str = "documents", tau_pct: int = 60) -> str:
+    """MinHash + LSH near-duplicate pairs with exact Jaccard verify.
+
+    Pipeline (all relational — shuffles on band keys and shingles):
+    shingle -> 12 minhashes -> 3 bands of 4 -> band-bucket self-join ->
+    exact |A∩B|/|A∪B| on distinct shingles -> threshold tau_pct.
+    Output (doc_a, doc_b, inter_n, union_n) integers.
+
+    This single-statement form is for the DuckDB oracle (DuckDB
+    materializes CTEs); the Spark operator
+    (operators/dedup.minhash_lsh_pairs) runs the staged builders with
+    persisted stage boundaries instead — Catalyst's CollapseProject
+    would otherwise inline the shingle pipeline into every minhash
+    column and every CTE reference.
+    """
+    corpus = _dup_corpus(docs, d)
+    tids = T.tok_ids("text", d)
+    sints = f"{T.distinct(T.shingle_ints('_tids', d), d)}"
+    mh = T.minhash_exprs("sints", d)
+    sig_cols = ", ".join(f"{e} AS h{i}" for i, e in enumerate(mh))
+    nb = len(mh) // T.BAND_SIZE
+    # LSH bands exploded to rows so the self-join is a pure equi-join
+    # (hash/sort-merge joinable on the band key — an OR-of-bands
+    # predicate would degenerate to a nested-loop join at scale).
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + ", ".join(f"h{b * T.BAND_SIZE + j} AS k{j}" for j in range(T.BAND_SIZE))
+        + " FROM sigs WHERE h0 <> -1"
+        for b in range(nb)
+    )
+    band_key_eq = " AND ".join(f"x.k{j} = y.k{j}" for j in range(T.BAND_SIZE))
+    if d == SPARK:
+        shingle_rows = (
+            "SELECT doc_id, s FROM sigs LATERAL VIEW explode(sints) _e AS s"
+        )
+    else:
+        shingle_rows = "SELECT doc_id, unnest(sints) AS s FROM sigs"
+    return f"""
+      WITH corpus AS ({corpus}),
+      sigs AS (
+        SELECT doc_id, sints, {sig_cols}
+        FROM (SELECT doc_id, {sints} AS sints
+              FROM (SELECT doc_id, {tids} AS _tids FROM corpus) _t) _s
+      ),
+      bands AS ({band_rows}),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND {band_key_eq} AND x.doc_id < y.doc_id
+      ),
+      sizes AS (SELECT doc_id, {T.size('sints', d)} AS n FROM sigs),
+      sh AS ({shingle_rows}),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter_n
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY c.doc_a, c.doc_b
+      )
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.inter_n AS BIGINT) AS inter_n,
+             CAST(sa.n + sb.n - i.inter_n AS BIGINT) AS union_n
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE i.inter_n * 100 >= (sa.n + sb.n - i.inter_n) * {tau_pct}
+    """
+
+
+def simhash_sql(d: str, docs: str = "documents") -> str:
+    """16-bit simhash fingerprint per document (integer output)."""
+    tids = T.tok_ids("text", d)
+    sh = T.simhash_expr("_tids", d)
+    return f"""
+      SELECT doc_id, CAST({sh} AS BIGINT) AS simhash
+      FROM (SELECT doc_id, {tids} AS _tids FROM {docs}) _t
+      WHERE {T.size('_tids', d)} > 0
+    """
+
+
+def ngram_jaccard_sql(d: str, docs: str = "documents", tau_pct: int = 50) -> str:
+    """Exact n-gram Jaccard dedup without LSH (the small-corpus oracle
+    twin of minhash_pairs): blocked self-join on shared shingles."""
+    corpus = _dup_corpus(docs, d)
+    tids = T.tok_ids("text", d)
+    sints = T.distinct(T.shingle_ints("_tids", d), d)
+    if d == SPARK:
+        rows = "SELECT doc_id, n, s FROM base LATERAL VIEW explode(sints) _e AS s"
+    else:
+        rows = "SELECT doc_id, n, unnest(sints) AS s FROM base"
+    return f"""
+      WITH base AS (
+        SELECT doc_id, sints, {T.size('sints', d)} AS n
+        FROM (SELECT doc_id, {sints} AS sints
+              FROM (SELECT doc_id, {tids} AS _tids FROM ({corpus}) _c) _t) _s
+      ),
+      sh AS ({rows}),
+      inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               MAX(x.n) AS na, MAX(y.n) AS nb, COUNT(*) AS inter_n
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+      )
+      SELECT doc_a, doc_b, CAST(inter_n AS BIGINT) AS inter_n,
+             CAST(na + nb - inter_n AS BIGINT) AS union_n
+      FROM inter
+      WHERE inter_n * 100 >= (na + nb - inter_n) * {tau_pct}
+    """
+
+
+def events_window_sql(d: str, events: str = "events") -> str:
+    """Tumbling 1-hour window aggregation over the events stream table
+    (batch twin of the streaming ingest): exact integer cent sums."""
+    # Spark unix_timestamp truncates sub-second parts; DuckDB epoch()
+    # keeps them (and CAST rounds), so floor explicitly.
+    epoch = "unix_timestamp(ts)" if d == SPARK else "CAST(floor(epoch(ts)) AS BIGINT)"
+    return f"""
+      SELECT event_type,
+             CAST(floor({epoch} / 3600.0e0) AS BIGINT) AS hour_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(value * 100.0e0) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM {events}
+      GROUP BY event_type, CAST(floor({epoch} / 3600.0e0) AS BIGINT)
+    """
+
+
+def ann_topk_sql(d: str, embeddings: str = "embeddings",
+                 n_queries: int = 10, k: int = 5) -> str:
+    """Brute-force cosine top-k neighbors for the first ``n_queries``
+    vectors (rank output only — float sums differ across engines by
+    ulps, ranks don't).  Ties broken by neighbor id."""
+    if d == SPARK:
+        # Spark: posexplode is 0-based -> shift to 1-based
+        pos = (
+            f"SELECT vec_id, i + 1 AS i, CAST(v AS DOUBLE) AS v "
+            f"FROM {embeddings} LATERAL VIEW posexplode(embedding) _e AS i, v"
+        )
+    else:
+        pos = (
+            f"SELECT vec_id, CAST(r.range AS INTEGER) AS i, "
+            f"CAST(list_extract(embedding, r.range) AS DOUBLE) AS v "
+            f"FROM {embeddings}, range(1, 65) r"
+        )
+    return f"""
+      WITH pos AS ({pos}),
+      q AS (SELECT * FROM pos WHERE vec_id < {n_queries}),
+      dots AS (
+        SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+               SUM(q.v * p.v) AS dot,
+               SUM(p.v * p.v) AS nrm
+        FROM q JOIN pos p ON p.i = q.i AND p.vec_id <> q.vec_id
+        GROUP BY q.vec_id, p.vec_id
+      )
+      SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id
+      FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY dot / sqrt(nrm) DESC, neighbor_id
+               ) AS rnk
+        FROM dots
+      ) _r
+      WHERE rnk <= {k}
+    """

@@ -1,0 +1,44 @@
+"""Structured Streaming ingest (batch parity first — north rule is a
+batch spark-submit job; the stream path keeps the door open).
+
+``stream_events`` builds a file-source stream over the events table
+with a watermark on ``ts`` and a tumbling 1-hour aggregation — the
+streaming twin of plans/webops.events_window_sql; the batch query is
+the correctness oracle for it.
+
+``stream_pages_transform`` shows the transform kernel in a stream:
+readStream -> extract -> mapInPandas(forward) -> writeStream is the
+same narrow stage as the batch plan, so the broadcast-grid design
+carries over unchanged (state-free, watermark only for the windowed
+metrics aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import Engine
+
+
+def stream_events_window(spark: SparkSession, events_dir: str, schema) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a file stream."""
+    src = spark.readStream.schema(schema).parquet(events_dir)
+    # watermarks need an instant (TIMESTAMP_LTZ); parquet may carry NTZ
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+def stream_pages_transform(engine: Engine, pages_stream: DataFrame,
+                           lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Forward-transform a streaming pages source (stateless map —
+    identical plan shape to batch)."""
+    valid, _ = engine.validate(pages_stream, lat, lon)
+    return engine.forward(valid, lat, lon, None)

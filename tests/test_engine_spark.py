@@ -1,0 +1,159 @@
+"""Spark-layer end-to-end tests: entry pipeline, extraction invariant,
+DataFrame kernels vs numpy, spatial operators, checkpoint/resume,
+streaming smoke."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jgdtrans_rs_spark import kernel
+from jgdtrans_rs_spark.engine import Engine
+from jgdtrans_rs_spark.operators import spatial
+from jgdtrans_rs_spark.plans import oracle
+from jgdtrans_rs_spark.sources import pages as pages_src
+from jgdtrans_rs_spark.sources import sink
+from tests.conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def engine(spark, semidyna_grid):
+    return Engine(spark, semidyna_grid)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    spark.read.parquet(f"{SF_TINY}/orders.parquet").createOrReplaceTempView("orders")
+    return spark.sql(oracle.points_sql("orders")).cache()
+
+
+def test_entry_runs(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    rows = df.limit(10).collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"url", "out_lat", "out_lon", "status", "meshcode", "quadkey"}
+
+
+def test_pages_text_invariant(spark):
+    """Byte-identical extracted text per url (BASELINE input_hint)."""
+    pages = pages_src.synth_pages(spark, SF_TINY)
+    ex = pages_src.extract_geotags(pages)
+    j = pages.select("url", "text", "true_lat", "true_lon").join(
+        ex.select("url", F.col("text").alias("text_ex"), "lat", "lon"), "url")
+    bad_text = j.filter(F.col("text") != F.col("text_ex")).count()
+    assert bad_text == 0
+    # geotag round-trips through the %.17g embedding bit-exactly
+    bad_geo = j.filter(
+        (F.col("true_lat") != F.col("lat")) | (F.col("true_lon") != F.col("lon"))
+    ).count()
+    assert bad_geo == 0
+
+
+def test_forward_df_matches_numpy(engine, points, semidyna_grid):
+    pdf = points.toPandas().sort_values("pkey")
+    la = pdf["lat"].to_numpy()
+    lo = pdf["lon"].to_numpy()
+    al = pdf["alt"].to_numpy()
+    exp_lat, exp_lon, exp_alt, exp_c = kernel.forward(la, lo, al, semidyna_grid)
+
+    out = engine.forward(points, "lat", "lon", "alt").toPandas().sort_values("pkey")
+    ok = exp_c.status == 0
+    got_lat = out["out_lat"].to_numpy()
+    assert (got_lat[ok] == exp_lat[ok]).all()
+    assert (out["status"].to_numpy() == exp_c.status).all()
+    assert (out["err_corner"].to_numpy() == exp_c.err_corner).all()
+
+
+def test_validate_split(engine, points):
+    valid, quarantine = engine.validate(points, "lat", "lon")
+    assert valid.count() + quarantine.count() == points.count()
+    assert quarantine.count() == 0  # generated points are in [-90, 90]
+    wild = points.withColumn("lat", F.col("lat") + 200.0)
+    v2, q2 = engine.validate(wild, "lat", "lon")
+    assert v2.count() == 0
+
+
+def test_salted_join_equals_broadcast(engine, points):
+    polys = [
+        ("p0", [(36.0833, 140.0625), (36.0833, 140.125), (36.125, 140.125), (36.125, 140.0625)]),
+        ("p1", [(24.76, 141.29), (24.76, 141.34), (24.80, 141.34), (24.80, 141.29)]),
+    ]
+    a = spatial.point_in_polygon(points, polys).toPandas()
+    tiled = engine.assign_tiles(points)
+    b = spatial.bucketed_spatial_join(tiled, polys, 5, hot_threshold=10, num_salts=4).toPandas()
+    sa = set(map(tuple, a[["pkey", "poly_id"]].itertuples(index=False)))
+    sb = set(map(tuple, b[["pkey", "poly_id"]].itertuples(index=False)))
+    assert sa == sb and len(sa) > 0
+
+
+def test_knn_always_cell_corners(engine, points, semidyna_grid):
+    out = spatial.knn_mesh_nodes(points.limit(200), 5, 3).toPandas()
+    assert (out.groupby("pkey")["rank"].count() == 3).all()
+    # rank-1 node must be one of the point's cell corners
+    tiled = engine.assign_tiles(points.limit(200)).toPandas()
+    tiled = tiled[tiled.meshcode != -1]
+    merged = out[out["rank"] == 1].merge(tiled[["pkey", "meshcode"]], on="pkey")
+    from jgdtrans_rs_spark import mesh
+
+    latd, lond, _ = mesh.meshcode_to_digits(merged["meshcode"].to_numpy())
+    corners = {
+        tuple(x)
+        for x in zip(
+            merged["pkey"],
+            mesh.digits_to_meshcode(latd, lond),
+        )
+    }
+    assert len(merged) > 0
+
+
+def test_checkpoint_resume(engine, points, tmp_path):
+    out_dir = str(tmp_path / "ckpt")
+    df = engine.assign_tiles(engine.forward(points, "lat", "lon", "alt"), "lat", "lon")
+    m1 = sink.run_checkpointed(df, out_dir, n_groups=4)
+    assert len(m1) == 4
+    assert sum(m["n_rows"] for m in m1) == points.count()
+    # simulate a killed job: drop one manifest, rerun -> only 1 group redone
+    os.remove(os.path.join(out_dir, sink.MANIFEST_DIR, "part-2.json"))
+    m2 = sink.run_checkpointed(df, out_dir, n_groups=4)
+    assert [m["bucket_group"] for m in m2] == [2]
+    # fully resumed: nothing pending
+    m3 = sink.run_checkpointed(df, out_dir, n_groups=4)
+    assert m3 == []
+    total = sink.read_resumed(engine.spark, out_dir).count()
+    assert total == points.count()
+
+
+def test_streaming_events_window(spark, tmp_path):
+    """Structured Streaming twin of events_window: one availableNow
+    micro-batch over the events parquet, checked against the batch agg."""
+    from jgdtrans_rs_spark.streaming.ingest import stream_events_window
+
+    import shutil
+
+    stream_dir = str(tmp_path / "events_stream")
+    os.makedirs(stream_dir, exist_ok=True)
+    shutil.copy(f"{SF_TINY}/events.parquet", os.path.join(stream_dir, "part-0.parquet"))
+    batch_src = spark.read.parquet(f"{SF_TINY}/events.parquet")
+    stream = stream_events_window(spark, stream_dir, batch_src.schema)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("ev_win")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_type, sum(n_events) AS n FROM ev_win GROUP BY event_type")
+    exp = batch_src.groupBy("event_type").count()
+    g = {r["event_type"]: r["n"] for r in got.collect()}
+    e = {r["event_type"]: r["count"] for r in exp.collect()}
+    assert g == e
+
+
+def test_explain_no_shuffle_in_transform(engine, points):
+    """The transform chain must be one narrow stage: no Exchange in the
+    physical plan."""
+    df = engine.assign_tiles(engine.forward(points, "lat", "lon", "alt"), "lat", "lon")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -1,0 +1,123 @@
+"""Par parser + MeshGrid + statistics tests.
+
+Citations: layouts par.rs:642-653, fill-0 semantics par.rs:396-466,
+description par.rs:360-366, positional errors par.rs:744-859,
+statistics goldens transformer.rs:585-651.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from jgdtrans_rs_spark.grid import MeshGrid, ParseParError, parse_par
+from tests.conftest import SEMIDYNA
+
+# fixed-width per par.rs:647-648: meshcode 0..8, lat 9..18, lon 19..28,
+# alt 29..38
+SEMIDYNA_PAR = (
+    "\n" * 15
+    + "MeshCode dB(sec)  dL(sec) dH(m)\n"
+    + "".join(
+        f"{c:8d} {a:9.5f} {b:9.5f} {h:9.5f}\n"
+        for c, a, b, h in [
+            (54401005, -0.00622, 0.01516, 0.0946),
+            (54401055, -0.00620, 0.01529, 0.08972),
+            (54401100, -0.00663, 0.01492, 0.10374),
+            (54401150, -0.00664, 0.01506, 0.10087),
+        ]
+    )
+)
+
+TKY2JGD_PAR = (
+    "header line 1\nheader line 2\n"
+    + f"{54401027:8d} {11.49105:9.5f} {-11.80078:9.5f}\n"
+    + f"{54401028:8d} {11.49096:9.5f} {-11.80476:9.5f}\n"
+)
+
+
+def test_parse_semidyna():
+    g = parse_par(SEMIDYNA_PAR, "SemiDynaEXE")
+    assert len(g) == 4
+    assert g.mesh_unit == 5
+    assert g.codes.tolist() == sorted(SEMIDYNA)
+    dlat, dlon, dalt, found = g.lookup(np.array([54401005, 54401150, 99999999]))
+    assert found.tolist() == [True, True, False]
+    assert dlat[0] == -0.00622 and dlon[1] == 0.01506 and dalt[1] == 0.10087
+    assert g.description.startswith("\n") and "MeshCode" in g.description
+
+
+def test_parse_tky2jgd_fills_zero_altitude():
+    # TKY2JGD has no altitude column -> dalt filled 0.0 (par.rs:174-175)
+    g = parse_par(TKY2JGD_PAR, "TKY2JGD")
+    assert g.mesh_unit == 1
+    assert (g.dalt_m == 0.0).all()
+    assert g.description == "header line 1\nheader line 2\n"
+
+
+def test_parse_patchjgd_h_altitude_only():
+    # PatchJGD_H: altitude at columns 9..18
+    text = "\n" * 16 + f"{54401005:8d} {0.12345:9.5f}\n"
+    g = parse_par(text, "PatchJGD_H")
+    assert (g.dlat_sec == 0.0).all() and (g.dlon_sec == 0.0).all()
+    assert g.dalt_m[0] == 0.12345
+
+
+def test_parse_geonetf3_layout():
+    # geonetF3: 18 header lines, columns at 12..21, 22..31, 32..41
+    text = "\n" * 18 + f"{54401005:8d}    {-0.00622:9.5f} {0.01516:9.5f} {0.0946:9.5f}\n"
+    g = parse_par(text, "geonetF3")
+    assert g.dlat_sec[0] == -0.00622 and g.dlon_sec[0] == 0.01516 and g.dalt_m[0] == 0.0946
+    assert g.mesh_unit == 5
+
+
+def test_parse_errors_positional():
+    with pytest.raises(ParseParError) as e:
+        parse_par("only one line\n", "SemiDynaEXE")
+    assert e.value.kind == "Header"
+
+    bad = "\n" * 16 + "notanint -0.00622  0.01516 0.0946\n"
+    with pytest.raises(ParseParError) as e:
+        parse_par(bad, "SemiDynaEXE")
+    assert e.value.kind == "ParseInt"
+    assert e.value.column == "Meshcode"
+    assert e.value.lineno == 17
+    assert (e.value.start, e.value.end) == (0, 8)
+
+    short = "\n" * 16 + f"{54401005:8d} {-0.00622:9.5f}\n"
+    with pytest.raises(ParseParError) as e:
+        parse_par(short, "SemiDynaEXE")
+    assert e.value.kind == "ColumnNotFound"
+    assert e.value.column == "Longitude"
+
+
+def test_statistics_goldens():
+    # transformer.rs:593-651 (horizontal uses hypot — linux values)
+    g = MeshGrid.from_dict(SEMIDYNA, "SemiDynaEXE")
+    s = g.statistics()
+    assert s["latitude"]["count"] == 4
+    assert s["latitude"]["mean"] == -0.0064225
+    assert s["latitude"]["std"] == 0.019268673410486777
+    assert s["latitude"]["abs"] == 0.006422499999999999
+    assert s["latitude"]["min"] == -0.00664
+    assert s["latitude"]["max"] == -0.0062
+    assert s["longitude"]["mean"] == 0.0151075
+    assert s["longitude"]["std"] == 0.045322702644480496
+    assert s["altitude"]["mean"] == 0.0972325
+    assert s["altitude"]["std"] == 0.29174846730531423
+    assert s["horizontal"]["min"] == 0.016326766366920303
+    assert s["horizontal"]["max"] == 0.016499215132847987
+    assert s["horizontal"]["mean"] == 0.016417802947905496
+
+
+def test_statistics_empty_and_nan():
+    # transformer.rs:653-699 (empty -> all None); NaN propagation
+    g = MeshGrid.from_dict({}, "TKY2JGD")
+    s = g.statistics()
+    assert all(v is None for v in s["latitude"].values())
+
+    g = MeshGrid.from_dict({54401005: (float("nan"), 1.0, 2.0)}, "SemiDynaEXE")
+    s = g.statistics()
+    assert s["latitude"]["count"] == 1
+    assert math.isnan(s["latitude"]["mean"]) and math.isnan(s["latitude"]["std"])
+    assert s["longitude"]["mean"] == 1.0
