@@ -227,6 +227,37 @@ def _sql_q(builder):
     return run
 
 
+def _q_transform_metrics(spark, sf_dir):
+    """Pipeline metrics (SURVEY §2.5): per-status transform counts +
+    per-cell row counts for the skew monitor — the relational twin of
+    the reference's error taxonomy over a whole corpus run."""
+    eng = _engine(spark)
+    t = eng.transform_and_tile(_points(spark, sf_dir), "lat", "lon", "alt")
+    return (
+        t.groupBy("status", "err_corner")
+        .agg(F.count("*").cast("long").alias("n_rows"),
+             F.countDistinct("meshcode").cast("long").alias("n_cells"))
+    )
+
+
+def _q_multimodal(spark, sf_dir):
+    """Binary-column pipeline: html bytes -> metadata + decoded body.
+
+    The oracle independently reconstructs the body text from the
+    deterministic token rule, so this verifies the full
+    binary -> decode -> text path end-to-end."""
+    from jgdtrans_rs_spark.operators import multimodal
+
+    pages = pages_src.synth_pages(spark, sf_dir)
+    meta = multimodal.binary_meta(pages, "html")
+    doc = F.decode(F.col("html"), "UTF-8")
+    return meta.select(
+        "pkey",
+        F.regexp_extract(doc, r"<body>(.*)</body>", 1).alias("body"),
+        F.when(F.col("modality") == "html", 1).otherwise(0).cast("int").alias("is_html"),
+    )
+
+
 def _q_minhash(spark, sf_dir):
     from jgdtrans_rs_spark.operators import dedup as dedup_ops
 
@@ -262,6 +293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dms_parts": _q_dms,
         "pages_text_invariant": _q_pages_invariant,
         "normalize_angles": _q_normalize,
+        "multimodal_binary_meta": _q_multimodal,
+        "transform_metrics": _q_transform_metrics,
         # -- training-data pipeline (declarative Spark SQL) --
         "text_stats": _sql_q(webops.text_stats_sql),
         "lang_id": _sql_q(webops.lang_id_sql),
@@ -334,6 +367,27 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_total, "
         "CAST(COUNT(*) AS BIGINT) AS n_text_exact FROM orders"
     )
+    words = "[" + ", ".join(f"'{w}'" for w in pages_src._WORDS) + "]"
+    body_toks = ", ".join(
+        f"list_extract({words}, CAST((k * {p}) % {len(pages_src._WORDS)} AS INTEGER) + 1)"
+        for p in (3, 5, 7, 11, 13, 17, 19, 23)
+    )
+    multimodal_sql = f"""
+      SELECT k AS pkey, concat_ws(' ', {body_toks}) AS body,
+             CAST(1 AS INTEGER) AS is_html
+      FROM (SELECT o_orderkey AS k FROM orders) _k
+    """
+    fwd = oracle.forward_sql(_P, _GV, _UNIT)
+    tile_of_fwd = oracle.tile_sql(
+        f"(SELECT pkey, out_lat AS lat, out_lon AS lon FROM ({fwd}) _f) _tm", _UNIT
+    )
+    transform_metrics_sql = f"""
+      SELECT f.status, f.err_corner,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT t.meshcode) AS BIGINT) AS n_cells
+      FROM ({fwd}) f JOIN ({tile_of_fwd}) t USING (pkey)
+      GROUP BY f.status, f.err_corner
+    """
     return {
         "forward_semidyna": oracle.forward_sql(_P, _GV, _UNIT),
         "forward_corr_semidyna": oracle.forward_corr_only_sql(_P, _GV, _UNIT),
@@ -351,6 +405,8 @@ def oracle_sql() -> dict[str, str]:
         "dms_parts": dms_sql,
         "pages_text_invariant": pages_invariant_sql,
         "normalize_angles": normalize_sql,
+        "multimodal_binary_meta": multimodal_sql,
+        "transform_metrics": transform_metrics_sql,
         "text_stats": webops.text_stats_sql(DUCK),
         "lang_id": webops.lang_id_sql(DUCK),
         "dedup_exact": webops.dedup_exact_sql(DUCK),

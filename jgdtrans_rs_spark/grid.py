@@ -169,6 +169,31 @@ class MeshGrid:
             "horizontal": _stat_from_array(horizontal),
         }
 
+    def to_json(self) -> str:
+        """serde-style (de)serialization round-trip (lib.rs:98-136,
+        par.rs:71-92): format + description + parameter map."""
+        import json
+
+        return json.dumps({
+            "format": self.format,
+            "description": self.description,
+            "parameter": {
+                str(int(c)): {"latitude": float(a), "longitude": float(b), "altitude": float(h)}
+                for c, a, b, h in zip(self.codes, self.dlat_sec, self.dlon_sec, self.dalt_m)
+            },
+        })
+
+    @classmethod
+    def from_json(cls, s: str) -> "MeshGrid":
+        import json
+
+        d = json.loads(s)
+        params = {
+            int(c): (p["latitude"], p["longitude"], p["altitude"])
+            for c, p in d["parameter"].items()
+        }
+        return cls.from_dict(params, format=d["format"], description=d.get("description"))
+
     def to_rows(self) -> list[tuple]:
         """(meshcode, dlat_sec, dlon_sec, dalt_m) rows, sorted by code —
         for building a small Spark/DuckDB side table."""

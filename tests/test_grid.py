@@ -71,6 +71,27 @@ def test_parse_geonetf3_layout():
     assert g.mesh_unit == 5
 
 
+def test_parse_all_formats():
+    """Every format variant parses with its own layout (par.rs:642-653)."""
+    from jgdtrans_rs_spark.grid import FORMAT_MESH_UNIT, PAR_LAYOUTS
+
+    for fmt, (header, _, lat_rng, lon_rng, alt_rng) in PAR_LAYOUTS.items():
+        line = [" "] * 60
+        line[0:8] = f"{54401005:8d}"
+        for rng, val in ((lat_rng, "-0.00622"), (lon_rng, "0.01516"), (alt_rng, "0.09460")):
+            if rng:
+                start, end = rng
+                field = f"{float(val):>{end - start}.5f}"
+                line[start:end] = field
+        text = "\n" * header + "".join(line).rstrip() + "\n"
+        g = parse_par(text, fmt)
+        assert len(g) == 1, fmt
+        assert g.mesh_unit == FORMAT_MESH_UNIT[fmt]
+        assert g.dlat_sec[0] == (-0.00622 if lat_rng else 0.0), fmt
+        assert g.dlon_sec[0] == (0.01516 if lon_rng else 0.0), fmt
+        assert g.dalt_m[0] == (0.0946 if alt_rng else 0.0), fmt
+
+
 def test_parse_errors_positional():
     with pytest.raises(ParseParError) as e:
         parse_par("only one line\n", "SemiDynaEXE")

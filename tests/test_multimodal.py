@@ -1,0 +1,70 @@
+"""Multimodal binary-column operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jgdtrans_rs_spark.operators import multimodal
+from jgdtrans_rs_spark.sources import pages as pages_src
+from tests.conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_src.synth_pages(spark, SF_TINY).limit(50).cache()
+
+
+def test_binary_meta(pages):
+    out = multimodal.binary_meta(pages, "html").select("n_bytes", "magic", "modality")
+    rows = out.collect()
+    assert all(r.modality == "html" for r in rows)
+    assert all(r.magic == "<html>" for r in rows)
+    assert all(r.n_bytes > 50 for r in rows)
+
+
+def test_binary_meta_magic_detection(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\n1234")),
+         (2, bytearray(b"RIFF1234WAVE")),
+         (3, bytearray(b"garbage"))],
+        "id long, html binary",
+    )
+    rows = {r.id: r.modality for r in multimodal.binary_meta(df, "html").collect()}
+    assert rows[1] == "image/png"
+    assert rows[2] == "audio/wav"
+    assert rows[3] == "unknown"
+
+
+def test_byte_histogram_features(pages):
+    out = multimodal.byte_histogram_features(pages, "html").select("pkey", "features")
+    rows = out.collect()
+    for r in rows:
+        f = np.array(r.features)
+        assert f.shape == (multimodal.N_BUCKETS,)
+        assert abs(f.sum() - 1.0) < 1e-12
+    # determinism: same payload -> same features
+    again = {r.pkey: r.features for r in out.collect()}
+    assert all(again[r.pkey] == r.features for r in rows)
+
+
+def test_sample_offsets(pages):
+    rows = multimodal.sample_offsets(pages, "html", n=4).select("html", "frame_offsets").collect()
+    for r in rows:
+        n = len(bytes(r.html))
+        assert list(r.frame_offsets) == [0, n // 4, (2 * n) // 4, (3 * n) // 4]
+
+
+def test_decode_image_stub(pages):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(pages, "html")
+
+
+def test_grid_json_roundtrip(semidyna_grid):
+    from jgdtrans_rs_spark.grid import MeshGrid
+
+    s = semidyna_grid.to_json()
+    g2 = MeshGrid.from_json(s)
+    assert (g2.codes == semidyna_grid.codes).all()
+    assert (g2.dlat_sec == semidyna_grid.dlat_sec).all()
+    assert g2.format == semidyna_grid.format
+    assert g2.mesh_unit == semidyna_grid.mesh_unit
