@@ -392,8 +392,9 @@ def oracle_sql() -> dict[str, str]:
         "forward_semidyna": oracle.forward_sql(_P, _GV, _UNIT),
         "forward_corr_semidyna": oracle.forward_corr_only_sql(_P, _GV, _UNIT),
         "backward_compat_semidyna": oracle.backward_compat_sql(_P, _GV, _UNIT),
-        # backward_newton_semidyna: intentionally omitted (iterative
-        # Newton solver — rows-only check; exactness pinned in pytest)
+        # the Newton solver IS SQL-expressible: 4 unrolled iterations
+        # with per-lane freezing (oracle.backward_newton_sql), bit-exact
+        "backward_newton_semidyna": oracle.backward_newton_sql(_P, _GV, _UNIT),
         "tile_assign": oracle.tile_sql(_P, _UNIT),
         "cell_position": oracle.cell_position_sql(_P, _UNIT),
         "knn_mesh_nodes": oracle.knn_nodes_sql(_P, _UNIT, 3),

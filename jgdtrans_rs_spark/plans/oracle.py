@@ -171,7 +171,8 @@ def _pipe(*stages: str) -> str:
 
 
 def corr_sql(input_rel: str, grid_rel: str, unit: int,
-             lat: str = "lat", lon: str = "lon") -> str:
+             lat: str = "lat", lon: str = "lon",
+             expose_params: bool = False) -> str:
     """forward_corr (trans.rs:428-451) over ``input_rel`` (an aliased
     relation with ``lat``/``lon`` + passthrough columns), joined against
     ``grid_rel`` (un-aliased; columns meshcode, dlat_sec, dlon_sec,
@@ -192,10 +193,17 @@ def corr_sql(input_rel: str, grid_rel: str, unit: int,
         "c.mesh_valid AND psw.meshcode IS NOT NULL AND pse.meshcode IS NOT NULL "
         "AND pnw.meshcode IS NOT NULL AND pne.meshcode IS NOT NULL"
     )
+    params_cols = ""
+    if expose_params:
+        # corner parameter values for the Newton Jacobian
+        params_cols = "".join(
+            f", p{c}.dlat_sec AS {c}_lat_sec, p{c}.dlon_sec AS {c}_lon_sec"
+            for c in ("sw", "se", "nw", "ne")
+        )
     # error priority: OOB, then first missing corner sw, se, nw, ne
     # (trans.rs:76-87)
     return f"""
-      SELECT c.*,
+      SELECT c.*{params_cols},
              CASE WHEN {ok} THEN {b_lat} / 3600.0e0 END AS dlat_deg,
              CASE WHEN {ok} THEN {b_lon} / 3600.0e0 END AS dlon_deg,
              CASE WHEN {ok} THEN {b_alt} END AS dalt_m,
@@ -276,6 +284,94 @@ def backward_compat_sql(input_rel: str, grid_rel: str, unit: int, key: str = "pk
              CAST(CASE WHEN status1 <> 0 THEN err_meshcode1 ELSE err_meshcode END AS BIGINT) AS err_meshcode,
              CAST(CASE WHEN status1 <> 0 THEN err_corner1 ELSE err_corner END AS INTEGER) AS err_corner
       FROM ({c2}) _bc
+    """
+
+
+def backward_newton_sql(input_rel: str, grid_rel: str, unit: int,
+                        key: str = "pkey", iterations: int = 4) -> str:
+    """Verified backward transform (trans.rs:556-672) as fully
+    unrolled SQL: per iteration, corr at the iterate (with corner
+    params exposed for the Jacobian), Newton update, verification corr
+    at the updated iterate, per-lane freeze on convergence
+    (|residual| < 5e-14 on both axes) or error.
+
+    The Jacobian uses the reference's absolute-coordinate quirk
+    (trans.rs:624-648) and every float op is pinned to the kernel's
+    order, so output is bit-identical to kernel.backward.
+    """
+    state = f"""
+      SELECT {key}, lat AS q_lat, lon AS q_lon, alt AS q_alt,
+             lat AS yn, lon AS xn,
+             FALSE AS done, CAST(3 AS INTEGER) AS st,
+             CAST(-1 AS BIGINT) AS e_code, CAST(-1 AS INTEGER) AS e_corner,
+             CAST(NULL AS DOUBLE) AS o_dlat, CAST(NULL AS DOUBLE) AS o_dlon,
+             CAST(NULL AS DOUBLE) AS o_dalt
+      FROM {input_rel}
+    """
+    for i in range(iterations):
+        pre = f"(SELECT *, yn AS lat, xn AS lon FROM ({state}) _s{i}) _sl{i}"
+        c1 = corr_sql(pre, grid_rel, unit, expose_params=True)
+        proj = f"""
+          SELECT {key}, q_lat, q_lon, q_alt, done, st, e_code, e_corner,
+                 o_dlat, o_dlon, o_dalt, yn, xn,
+                 dlat_deg AS corr_y, dlon_deg AS corr_x,
+                 status AS st1, err_meshcode AS ec1, err_corner AS eco1,
+                 sw_lat_sec AS swla, se_lat_sec AS sela,
+                 nw_lat_sec AS nwla, ne_lat_sec AS nela,
+                 sw_lon_sec AS swlo, se_lon_sec AS selo,
+                 nw_lon_sec AS nwlo, ne_lon_sec AS nelo
+          FROM ({c1}) _c{i}
+        """
+        jac = f"""
+          SELECT *,
+                 q_lon - (xn + corr_x) AS fx,
+                 q_lat - (yn + corr_y) AS fy,
+                 -1.0e0 - ((selo - swlo) * (1.0e0 - yn) + (nelo - nwlo) * yn) / 3600.0e0 AS fx_x,
+                 -((nwlo - swlo) * (1.0e0 - xn) + (nelo - selo) * xn) / 3600.0e0 AS fx_y,
+                 -((sela - swla) * (1.0e0 - yn) + (nela - nwla) * yn) / 3600.0e0 AS fy_x,
+                 -1.0e0 - ((nwla - swla) * (1.0e0 - xn) + (nela - sela) * xn) / 3600.0e0 AS fy_y
+          FROM ({proj}) _jx{i}
+        """
+        upd = f"""
+          SELECT {key}, q_lat, q_lon, q_alt, done, st, e_code, e_corner,
+                 o_dlat, o_dlon, o_dalt, st1, ec1, eco1,
+                 CASE WHEN done OR st1 <> 0 THEN yn
+                      ELSE yn - (fx_x * fy - fy_x * fx) / (fx_x * fy_y + (-fx_y) * fy_x) END AS yn,
+                 CASE WHEN done OR st1 <> 0 THEN xn
+                      ELSE xn - (fy_y * fx - fx_y * fy) / (fx_x * fy_y + (-fx_y) * fy_x) END AS xn
+          FROM ({jac}) _u{i}
+        """
+        c2 = corr_sql(f"(SELECT *, yn AS lat, xn AS lon FROM ({upd}) _p{i}) _pl{i}",
+                      grid_rel, unit)
+        state = f"""
+          SELECT {key}, q_lat, q_lon, q_alt, yn, xn,
+                 (done OR st1 <> 0 OR status <> 0 OR _conv) AS done,
+                 CAST(CASE WHEN done THEN st
+                      WHEN st1 <> 0 THEN st1
+                      WHEN status <> 0 THEN status
+                      WHEN _conv THEN 0
+                      ELSE st END AS INTEGER) AS st,
+                 CAST(CASE WHEN done THEN e_code WHEN st1 <> 0 THEN ec1
+                      WHEN status <> 0 THEN err_meshcode ELSE e_code END AS BIGINT) AS e_code,
+                 CAST(CASE WHEN done THEN e_corner WHEN st1 <> 0 THEN eco1
+                      WHEN status <> 0 THEN err_corner ELSE e_corner END AS INTEGER) AS e_corner,
+                 CASE WHEN _conv THEN -dlat_deg ELSE o_dlat END AS o_dlat,
+                 CASE WHEN _conv THEN -dlon_deg ELSE o_dlon END AS o_dlon,
+                 CASE WHEN _conv THEN -dalt_m ELSE o_dalt END AS o_dalt
+          FROM (
+            SELECT *, (NOT done AND st1 = 0 AND status = 0
+                       AND abs(q_lat - (yn + dlat_deg)) < 5e-14
+                       AND abs(q_lon - (xn + dlon_deg)) < 5e-14) AS _conv
+            FROM ({c2}) _v{i}
+          ) _w{i}
+        """
+    return f"""
+      SELECT {key},
+             CASE WHEN st = 0 THEN q_lat + o_dlat END AS out_lat,
+             CASE WHEN st = 0 THEN q_lon + o_dlon END AS out_lon,
+             CASE WHEN st = 0 THEN q_alt + o_dalt END AS out_alt,
+             st AS status, e_code AS err_meshcode, e_corner AS err_corner
+      FROM ({state}) _newton
     """
 
 

@@ -50,9 +50,9 @@ def test_all_oracle_queries(spark, duck, contract):
     queries, oracles = contract
     assert set(oracles) <= set(queries)
     missing_oracle = set(queries) - set(oracles)
-    # only the genuinely non-SQL-expressible ops may omit the oracle
-    assert missing_oracle <= {"backward_newton_semidyna", "ann_lsh_topk",
-                              "embedding_near_dup"}
+    # only the genuinely non-SQL-expressible (approximate) ops may omit
+    # the oracle
+    assert missing_oracle <= {"ann_lsh_topk", "embedding_near_dup"}
     for name, sql in oracles.items():
         a = queries[name](spark, SF_SMALL).toPandas()
         b = duck.sql(sql).df()
