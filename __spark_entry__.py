@@ -270,6 +270,11 @@ def _q_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(emb, n_queries=10, k=5)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ann_ivf_topk(emb, n_queries=10, k=5)
+
+
 def _q_near_dup_emb(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.embedding_near_dup(emb, threshold=0.9)
@@ -305,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _sql_q(webops.events_window_sql),
         "ann_cosine_topk": _sql_q(webops.ann_topk_sql),
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_near_dup_emb,
     }
 

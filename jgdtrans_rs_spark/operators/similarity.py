@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
 
 from ..plans import webops
 from ..plans.textsql import SPARK
@@ -112,6 +112,89 @@ def ann_lsh_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
             "neighbor_id": pdf[id_col].to_numpy(),
             "cos": cos,
         })
+        out = out.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+        return out[["query_id", "rank", "neighbor_id"]]
+
+    return joined.groupBy("query_id").applyInPandas(score, schema=schema)
+
+
+def train_ivf_centroids(df: DataFrame, n_lists: int = 8, dim: int = 64,
+                        sample_rows: int = 2000, iters: int = 10,
+                        vec_col: str = "embedding", seed: int = 42) -> np.ndarray:
+    """Deterministic k-means coarse quantizer for IVF.
+
+    Trains on a bounded sample collected to the driver (at corpus
+    scale: `df.sample(...)` keeps this O(sample), not O(n)); numpy
+    Lloyd iterations with fixed seed — reproducible across runs."""
+    sample = df.select(vec_col).limit(sample_rows).collect()
+    mat = np.array([np.asarray(r[0], dtype=np.float64) for r in sample])
+    rs = np.random.RandomState(seed)
+    centroids = mat[rs.choice(len(mat), n_lists, replace=False)]
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_lists):
+            members = mat[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
+
+
+def ann_ivf_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
+                 n_lists: int = 8, nprobe: int = 2, dim: int = 64,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into inverted
+    lists, probe the query's ``nprobe`` nearest lists, exact cosine
+    re-rank on the candidates.
+
+    Scale path: ``list_id`` is the shuffle key; each query touches
+    nprobe/n_lists of the corpus.  Centroids are trained once on a
+    driver-side sample and broadcast via closure.
+    """
+    centroids = train_ivf_centroids(df, n_lists, dim, vec_col=vec_col)
+
+    @F.pandas_udf(IntegerType())
+    def assign_list(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series(np.array([], dtype=np.int32))
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([])
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    corpus = df.withColumn("list_id", assign_list(F.col(vec_col)))
+    queries = (
+        df.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+                F.explode(probe_lists(F.col(vec_col))).alias("list_id"))
+    )
+    joined = queries.join(corpus, "list_id").filter(F.col(id_col) != F.col("query_id"))
+
+    schema = StructType([
+        StructField("query_id", LongType(), False),
+        StructField("rank", IntegerType(), False),
+        StructField("neighbor_id", LongType(), False),
+    ])
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        qv = np.array([np.asarray(v, dtype=np.float64) for v in pdf["q_vec"]])
+        nv = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        dot = (qv * nv).sum(axis=1)
+        cos = dot / (np.sqrt((qv * qv).sum(axis=1)) * np.sqrt((nv * nv).sum(axis=1)))
+        out = pd.DataFrame({
+            "query_id": pdf["query_id"].to_numpy(),
+            "neighbor_id": pdf[id_col].to_numpy(),
+            "cos": cos,
+        }).drop_duplicates(["query_id", "neighbor_id"])
         out = out.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
         out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
         return out[["query_id", "rank", "neighbor_id"]]

@@ -52,7 +52,7 @@ def test_all_oracle_queries(spark, duck, contract):
     missing_oracle = set(queries) - set(oracles)
     # only the genuinely non-SQL-expressible (approximate) ops may omit
     # the oracle
-    assert missing_oracle <= {"ann_lsh_topk", "embedding_near_dup"}
+    assert missing_oracle <= {"ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup"}
     for name, sql in oracles.items():
         a = queries[name](spark, SF_SMALL).toPandas()
         b = duck.sql(sql).df()
@@ -67,14 +67,15 @@ def test_rows_only_queries(spark, contract):
         assert len(df.schema.fields) > 0
 
 
-def test_lsh_recall_vs_brute(spark, contract):
-    """ann_lsh_topk must agree with the exact top-1 for most queries
-    (approximate operator quality gate)."""
+@pytest.mark.parametrize("approx", ["ann_lsh_topk", "ann_ivf_topk"])
+def test_ann_recall_vs_brute(spark, contract, approx):
+    """Approximate ANN variants must agree with the exact top-1 for
+    most queries (quality gate)."""
     queries, _ = contract
     brute = queries["ann_cosine_topk"](spark, SF_SMALL).toPandas()
-    lsh = queries["ann_lsh_topk"](spark, SF_SMALL).toPandas()
+    got = queries[approx](spark, SF_SMALL).toPandas()
     b1 = brute[brute["rank"] == 1].set_index("query_id")["neighbor_id"]
-    l1 = lsh[lsh["rank"] == 1].set_index("query_id")["neighbor_id"]
+    l1 = got[got["rank"] == 1].set_index("query_id")["neighbor_id"]
     joined = b1.to_frame("b").join(l1.to_frame("l"), how="inner")
     assert len(joined) > 0
     recall = (joined["b"] == joined["l"]).mean()
