@@ -73,14 +73,14 @@ def _null_unless_ok(df: DataFrame, cols=("out_lat", "out_lon", "out_alt")) -> Da
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: pages -> extract -> validate -> forward -> tiles."""
+    """Flagship: pages -> extract -> validate -> fused transform+tile
+    (one narrow stage, zero shuffles — see PLANS.md)."""
     sf_dir = "/root/testdata/sf0.001"
     eng = _engine(spark)
     pages = pages_src.synth_pages(spark, sf_dir)
     extracted = pages_src.extract_geotags(pages)
     valid, _quarantine = eng.validate(extracted, "lat", "lon")
-    transformed = eng.forward(valid, "lat", "lon", None)
-    return eng.assign_tiles(transformed, "out_lat", "out_lon").select(
+    return eng.transform_and_tile(valid, "lat", "lon", None).select(
         "url", "warc_ts", "lang", "out_lat", "out_lon", "status", "meshcode", "quadkey"
     )
 

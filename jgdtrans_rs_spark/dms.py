@@ -96,11 +96,13 @@ def degree_to_dms_parts(value: float):
 
 
 def _fract_str(fract: float) -> str:
-    """dms.rs:117-126: repr of the fraction, leading '0' and trailing
-    zeros trimmed ('' when zero)."""
+    """dms.rs:117-126: shortest round-trip decimal of the fraction in
+    positional notation (Rust's f64 Display never uses scientific
+    form), leading '0' and trailing zeros trimmed ('' when zero)."""
     if fract == 0.0:
         return ""
-    return repr(fract).lstrip("0").rstrip("0")
+    s = np.format_float_positional(fract, unique=True, trim="-")
+    return s.lstrip("0").rstrip("0")
 
 
 def format_dms_scalar(value: float) -> str | None:

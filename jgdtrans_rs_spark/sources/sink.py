@@ -59,17 +59,18 @@ def write_group(df_group: DataFrame, out_dir: str, group: int,
     data first, manifest last)."""
     path = os.path.join(out_dir, DATA_DIR, f"bucket_group={group}")
     rows = df_group.count()
+    has_status = status_col in df_group.columns
     by_status = {
         int(r[status_col]): int(r["count"])
         for r in df_group.groupBy(status_col).count().collect()
-    } if status_col in df_group.columns else {}
+    } if has_status else {}
     df_group.write.mode("overwrite").parquet(path)
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     manifest = {
         "bucket_group": group,
         "n_rows": rows,
-        "n_ok": by_status.get(0, rows),
+        "n_ok": by_status.get(0, 0) if has_status else rows,
         "status_counts": by_status,
         "wall_ts": time.time(),
     }
