@@ -227,6 +227,23 @@ def _sql_q(builder):
     return run
 
 
+def _q_raster_aggregate(spark, sf_dir):
+    """Rasterize: point values -> per-mesh-cell aggregates."""
+    from jgdtrans_rs_spark.operators import raster
+
+    tiled = _engine(spark).assign_tiles(_points(spark, sf_dir))
+    return raster.rasterize(tiled, "alt")
+
+
+def _q_raster_vectorize(spark, sf_dir):
+    """Vectorize: raster cells back to exact corner geometry."""
+    from jgdtrans_rs_spark.operators import raster
+
+    tiled = _engine(spark).assign_tiles(_points(spark, sf_dir))
+    cells = raster.rasterize(tiled, "alt").select("meshcode")
+    return raster.vectorize(cells, _UNIT)
+
+
 def _q_transform_metrics(spark, sf_dir):
     """Pipeline metrics (SURVEY §2.5): per-status transform counts +
     per-cell row counts for the skew monitor — the relational twin of
@@ -300,6 +317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_angles": _q_normalize,
         "multimodal_binary_meta": _q_multimodal,
         "transform_metrics": _q_transform_metrics,
+        "raster_aggregate": _q_raster_aggregate,
+        "raster_vectorize": _q_raster_vectorize,
         # -- training-data pipeline (declarative Spark SQL) --
         "text_stats": _sql_q(webops.text_stats_sql),
         "lang_id": _sql_q(webops.lang_id_sql),
@@ -383,6 +402,31 @@ def oracle_sql() -> dict[str, str]:
              CAST(1 AS INTEGER) AS is_html
       FROM (SELECT o_orderkey AS k FROM orders) _k
     """
+    tile_src = oracle.tile_sql(_P, _UNIT)
+    raster_agg_sql = f"""
+      SELECT t.meshcode, CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(SUM(CAST(round(p.alt * 100.0e0) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM ({tile_src}) t JOIN ({oracle.points_sql('orders')}) p USING (pkey)
+      WHERE t.meshcode <> -1
+      GROUP BY t.meshcode
+    """
+    # meshcode -> digits decode (node.rs:310-347) + corner geometry
+    dig = (
+        "SELECT meshcode, meshcode // 1000000 AS lat1, (meshcode // 10000) % 100 AS lon1, "
+        "(meshcode // 1000) % 10 AS lat2, (meshcode // 100) % 10 AS lon2, "
+        "(meshcode // 10) % 10 AS lat3, meshcode % 10 AS lon3 "
+        f"FROM (SELECT DISTINCT meshcode FROM ({tile_src}) _t WHERE meshcode <> -1) _m"
+    )
+    nla = oracle._carry_up("lat1", "lat2", "lat3", _UNIT)
+    nlo = oracle._carry_up("lon1", "lon2", "lon3", _UNIT)
+    raster_vec_sql = f"""
+      SELECT meshcode,
+             {oracle.node_lat_expr('lat1', 'lat2', 'lat3')} AS sw_lat,
+             {oracle.node_lon_expr('lon1', 'lon2', 'lon3')} AS sw_lon,
+             {oracle.node_lat_expr(*nla)} AS ne_lat,
+             {oracle.node_lon_expr(*nlo)} AS ne_lon
+      FROM ({dig}) _d
+    """
     fwd = oracle.forward_sql(_P, _GV, _UNIT)
     tile_of_fwd = oracle.tile_sql(
         f"(SELECT pkey, out_lat AS lat, out_lon AS lon FROM ({fwd}) _f) _tm", _UNIT
@@ -414,6 +458,8 @@ def oracle_sql() -> dict[str, str]:
         "normalize_angles": normalize_sql,
         "multimodal_binary_meta": multimodal_sql,
         "transform_metrics": transform_metrics_sql,
+        "raster_aggregate": raster_agg_sql,
+        "raster_vectorize": raster_vec_sql,
         "text_stats": webops.text_stats_sql(DUCK),
         "lang_id": webops.lang_id_sql(DUCK),
         "dedup_exact": webops.dedup_exact_sql(DUCK),

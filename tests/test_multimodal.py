@@ -68,3 +68,25 @@ def test_grid_json_roundtrip(semidyna_grid):
     assert (g2.dlat_sec == semidyna_grid.dlat_sec).all()
     assert g2.format == semidyna_grid.format
     assert g2.mesh_unit == semidyna_grid.mesh_unit
+
+
+def test_raster_roundtrip(spark, semidyna_grid):
+    """rasterize -> vectorize: every point lies inside its cell's
+    recovered corner geometry."""
+    from jgdtrans_rs_spark.engine import Engine
+    from jgdtrans_rs_spark.operators import raster
+    from jgdtrans_rs_spark.plans import oracle as osql
+
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").createOrReplaceTempView("orders")
+    pts = spark.sql(osql.points_sql("orders"))
+    eng = Engine(spark, semidyna_grid)
+    tiled = eng.assign_tiles(pts)
+    r = raster.rasterize(tiled, "alt")
+    v = raster.vectorize(r.select("meshcode"), semidyna_grid.mesh_unit)
+    j = tiled.filter(F.col("meshcode") != -1).join(v, "meshcode")
+    outside = j.filter(
+        (F.col("lat") < F.col("sw_lat")) | (F.col("lat") >= F.col("ne_lat"))
+        | (F.col("lon") < F.col("sw_lon")) | (F.col("lon") >= F.col("ne_lon"))
+    ).count()
+    assert outside == 0
+    assert r.count() > 0
