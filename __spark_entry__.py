@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from jgdtrans_rs_spark.engine import Engine
 from jgdtrans_rs_spark.grid import MeshGrid
-from jgdtrans_rs_spark.operators import dedup, similarity, spatial
+from jgdtrans_rs_spark.operators import similarity, spatial
 from jgdtrans_rs_spark.plans import oracle, webops
 from jgdtrans_rs_spark.plans.textsql import DUCK, SPARK
 from jgdtrans_rs_spark.sources import pages as pages_src

@@ -19,8 +19,6 @@ with typed metadata, per the training-data-pipeline requirements:
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -14,8 +14,6 @@ Both are SQL-expressible and carry full DuckDB oracles.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame

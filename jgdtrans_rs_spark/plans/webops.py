@@ -12,7 +12,7 @@ exact integers (see plans/textsql.py).
 from __future__ import annotations
 
 from . import textsql as T
-from .textsql import DUCK, SPARK
+from .textsql import SPARK
 
 
 def _regexp_strip(expr: str, pattern: str, d: str) -> str:
