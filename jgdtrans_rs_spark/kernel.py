@@ -219,10 +219,14 @@ def backward_corr(lat, lon, grid: MeshGrid) -> CorrResult:
     err_corner = np.full(n, CORNER_NONE, dtype=np.int8)
     active = np.ones(n, dtype=bool)
 
+    # The verification resolve of iteration i is at the same point as
+    # the preparation resolve of iteration i+1, so it is carried over —
+    # bit-identical inputs give bit-identical outputs, at ~60% of the
+    # cell-resolution cost.
+    cell = _resolve_cell(yn, xn, grid)
     for _ in range(ITERATION):
         if not active.any():
             break
-        cell = _resolve_cell(yn, xn, grid)
         fail = active & ~cell["ok"]
         status[fail] = cell["status"][fail]
         err_code[fail] = cell["err_code"][fail]
@@ -277,6 +281,7 @@ def backward_corr(lat, lon, grid: MeshGrid) -> CorrResult:
         out_dalt[conv] = -valt[conv]
         status[conv] = STATUS_OK
         active &= ~conv
+        cell = vcell
 
     return CorrResult(out_dlat, out_dlon, out_dalt, status, err_code, err_corner)
 
