@@ -116,8 +116,8 @@ def _q_backward_compat(spark, sf_dir):
 
 
 def _q_backward_newton(spark, sf_dir):
-    # Newton inverse (trans.rs:556-672) — not SQL-expressible; the
-    # pytest suite pins it to reference fixtures + round-trip identity.
+    # Newton inverse (trans.rs:556-672); oracle = 4 unrolled SQL
+    # iterations (oracle.backward_newton_sql), bit-exact.
     return _null_unless_ok(
         _engine(spark).backward(_points(spark, sf_dir), "lat", "lon", "alt")
     )
