@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -266,6 +267,72 @@ class Engine:
             df.withColumn("_r", run(F.col(lat), F.col(lon), alt_col))
             .select(*kept, "_r.*")
         )
+
+    def transform_tile_pip(self, df: DataFrame, polygons, lat: str = "lat",
+                           lon: str = "lon", alt: str | None = "alt",
+                           level: int = 15, prefix: str = "out_") -> DataFrame:
+        """Fully fused hot chain for broadcast-size polygon sets:
+        forward transform + tile assignment + point-in-polygon
+        containment in ONE Arrow hop, emitting a ``poly_idxs`` int
+        array (explode JVM-side; map to names with a broadcast join).
+
+        This is the 100 TB plan when the polygon side fits a broadcast:
+        zero shuffles, one Python stage.  Use
+        operators.spatial.bucketed_spatial_join when it doesn't.
+        """
+        from .operators.spatial import _crossings  # avoid cycle at import time
+
+        bc = self._bc
+        unit = self.grid.mesh_unit
+        polys = [[(float(a), float(b)) for a, b in ring] for _, ring in polygons]
+        bboxes = [
+            (min(p[0] for p in ring), max(p[0] for p in ring),
+             min(p[1] for p in ring), max(p[1] for p in ring))
+            for ring in polys
+        ]
+        out_fields = [
+            StructField(f"{prefix}lat", DoubleType(), True),
+            StructField(f"{prefix}lon", DoubleType(), True),
+            StructField(f"{prefix}alt", DoubleType(), True),
+        ] + _RESULT_FIELDS + [
+            StructField("meshcode", LongType(), False),
+            StructField("quadkey", LongType(), False),
+            StructField("poly_idxs", ArrayType(IntegerType()), False),
+        ]
+        schema = StructType(out_fields)
+
+        @F.pandas_udf(schema)
+        def run(lat_s: pd.Series, lon_s: pd.Series, alt_s: pd.Series) -> pd.DataFrame:
+            grid = bc.value
+            la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            al = alt_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            out_la, out_lo, out_al, c = kernel.forward(la, lo, al, grid)
+            lat_d, lon_d, valid = mesh.point_to_digits(out_la, out_lo, unit)
+            code = mesh.digits_to_meshcode(lat_d, lon_d)
+            hits = np.zeros((la.shape[0], len(polys)), dtype=bool)
+            for i, (ring, (la0, la1, lo0, lo1)) in enumerate(zip(polys, bboxes)):
+                cand = (out_la >= la0) & (out_la <= la1) & (out_lo >= lo0) & (out_lo <= lo1)
+                if cand.any():
+                    h = np.zeros(la.shape[0], dtype=bool)
+                    h[cand] = _crossings(out_la[cand], out_lo[cand], ring) == 1
+                    hits[:, i] = h
+            return pd.DataFrame({
+                f"{prefix}lat": out_la,
+                f"{prefix}lon": out_lo,
+                f"{prefix}alt": out_al,
+                "status": c.status.astype(np.int32),
+                "err_meshcode": c.err_meshcode,
+                "err_corner": c.err_corner.astype(np.int32),
+                "meshcode": np.where(valid, code, -1),
+                "quadkey": mesh.quadkey(out_la, out_lo, level),
+                "poly_idxs": [np.nonzero(row)[0].astype(np.int32) for row in hits],
+            })
+
+        alt_col = F.col(alt) if alt is not None and alt in df.columns else F.lit(0.0)
+        new_names = {f.name for f in out_fields}
+        kept = [c for c in df.columns if c not in new_names]
+        return df.withColumn("_r", run(F.col(lat), F.col(lon), alt_col)).select(*kept, "_r.*")
 
     def roundtrip_verify(self, df: DataFrame, lat: str = "lat", lon: str = "lon",
                          alt: str | None = "alt") -> DataFrame:
