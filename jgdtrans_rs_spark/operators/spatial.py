@@ -199,44 +199,94 @@ def bucketed_spatial_join(points: DataFrame, polygons: Sequence[Polygon], unit: 
     return refined.join(F.broadcast(names), "poly_idx").select(key, "poly_id")
 
 
+def knn_candidate_rows_cols(lat_d, lon_d, unit: int):
+    """The provably sufficient kNN candidate window for k <= 4: the 4x4
+    node block at lat offsets {-1, 0, +1, +2} x lon offsets
+    {-1, 0, +1, +2} from the cell's SW corner.
+
+    Sufficiency (squared-degree metric, lat step h, lon step w = 1.5h —
+    the JGD cell is anisotropic): every cell corner satisfies
+    d2 <= h^2 + w^2 = 3.25 h^2, while any node outside the window is at
+    lat distance >= 2h (d2 >= 4 h^2) or lon distance >= 2w
+    (d2 >= 9 h^2) — strictly farther than all four corners, so it can
+    never enter the top-4.  Neighbor stepping mirrors
+    node.rs:430-558 (next_south/next_west/...), including the None on
+    digit under/overflow (here: an invalid-digits mask).
+    """
+    rows = [mesh.next_south(lat_d, unit), lat_d, mesh.next_north(lat_d, unit)]
+    rows.append(mesh.next_north(rows[2], unit))
+    cols = [mesh.next_west(lon_d, unit), lon_d, mesh.next_east(lon_d, unit)]
+    cols.append(mesh.next_east(cols[2], unit))
+    return rows, cols
+
+
+def _lat_digits_valid(d) -> np.ndarray:
+    """MeshCoord bounds after a carry/borrow (coord.rs:42, 72-75):
+    first in 0..=99; second/third are kept in range by the carry."""
+    f, _, _ = d
+    return (f >= 0) & (f <= 99)
+
+
+def _lon_digits_valid(d) -> np.ndarray:
+    """MeshNode longitude invariant: <= (80, 0, 0) (node.rs:89-124)."""
+    f, s, t = d
+    return (f >= 0) & ((f < 80) | ((f == 80) & (s == 0) & (t == 0)))
+
+
+def knn_codes_np(la: np.ndarray, lo: np.ndarray, unit: int, k: int):
+    """Batch kNN kernel: ordered k-nearest node-code list per point
+    (empty list for points outside the mesh domain).  Pure numpy —
+    testable against an all-nodes brute force without Spark."""
+    lat_d, lon_d, valid = mesh.point_to_digits(la, lo, unit)
+    rows, cols = knn_candidate_rows_cols(lat_d, lon_d, unit)
+    codes, node_lat, node_lon, node_ok = [], [], [], []
+    for r in rows:
+        r_lat = mesh.digits_to_lat(r)
+        r_ok = _lat_digits_valid(r)
+        for c in cols:
+            codes.append(mesh.digits_to_meshcode(r, c))
+            node_lat.append(r_lat)
+            node_lon.append(mesh.digits_to_lon(c))
+            node_ok.append(r_ok & _lon_digits_valid(c))
+    codes = np.stack(codes, axis=1)
+    node_lat = np.stack(node_lat, axis=1)
+    node_lon = np.stack(node_lon, axis=1)
+    node_ok = np.stack(node_ok, axis=1)
+    dy = la[:, None] - node_lat
+    dx = lo[:, None] - node_lon
+    d2 = dy * dy + dx * dx
+    d2 = np.where(node_ok, d2, np.inf)  # invalid nodes sort last
+    order = np.lexsort((codes, d2), axis=-1)[:, :k]
+    top = np.take_along_axis(codes, order, axis=1)
+    top_ok = np.take_along_axis(node_ok, order, axis=1)
+    empty = np.empty(0, dtype=np.int64)
+    return [
+        row[ok_row] if ok else empty
+        for row, ok_row, ok in zip(top, top_ok, valid)
+    ]
+
+
 def knn_mesh_nodes(df: DataFrame, unit: int, k: int = 3,
                    key: str = "pkey", lat: str = "lat", lon: str = "lon") -> DataFrame:
-    """k nearest mesh nodes per point -> (key, rank, node_code).
+    """k nearest existing mesh nodes per point -> (key, rank, node_code).
 
-    Candidates are the 4 cell corners (exact for k <= 4 on a
-    rectangular lattice); squared-degree distance, ties broken by
+    Candidates are the 4x4 node window around the containing cell (see
+    knn_candidate_rows_cols for the sufficiency proof — exact for
+    k <= 4); nodes whose digits under/overflow the mesh domain are
+    dropped, matching the reference's None-returning neighbors
+    (node.rs:430-558).  Squared-degree distance, ties broken by
     meshcode.  Entirely batch-local: no shuffle, no window.
     """
+    if k > 4:
+        raise ValueError("knn_mesh_nodes supports k <= 4 (candidate window proof)")
+
     # pandas_udf emitting the ordered k-nearest code list (empty for
     # invalid points) + JVM posexplode -> rank
     @F.pandas_udf(ArrayType(LongType()))
     def knn_codes(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
         la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
         lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
-        lat_d, lon_d, valid = mesh.point_to_digits(la, lo, unit)
-        east = mesh.next_east(lon_d, unit)
-        north = mesh.next_north(lat_d, unit)
-        codes = np.stack([
-            mesh.digits_to_meshcode(lat_d, lon_d),
-            mesh.digits_to_meshcode(lat_d, east),
-            mesh.digits_to_meshcode(north, lon_d),
-            mesh.digits_to_meshcode(north, east),
-        ], axis=1)
-        node_lat = np.stack([
-            mesh.digits_to_lat(lat_d), mesh.digits_to_lat(lat_d),
-            mesh.digits_to_lat(north), mesh.digits_to_lat(north),
-        ], axis=1)
-        node_lon = np.stack([
-            mesh.digits_to_lon(lon_d), mesh.digits_to_lon(east),
-            mesh.digits_to_lon(lon_d), mesh.digits_to_lon(east),
-        ], axis=1)
-        dy = la[:, None] - node_lat
-        dx = lo[:, None] - node_lon
-        d2 = dy * dy + dx * dx
-        order = np.lexsort((codes, d2), axis=-1)[:, :k]
-        top = np.take_along_axis(codes, order, axis=1)
-        empty = np.empty(0, dtype=np.int64)
-        return pd.Series([row if ok else empty for row, ok in zip(top, valid)])
+        return pd.Series(knn_codes_np(la, lo, unit, k))
 
     return (
         df.select(key, F.posexplode(knn_codes(F.col(lat), F.col(lon))))

@@ -112,6 +112,16 @@ def _carry_up(f: str, s: str, t: str, unit: int) -> tuple[str, str, str]:
     return nf, ns, nt
 
 
+def _carry_down(f: str, s: str, t: str, unit: int) -> tuple[str, str, str]:
+    """One tile step down with digit borrow (coord.rs:466-514) as CASE
+    text; first may go to -1 (caller filters with the validity expr)."""
+    bound = UNIT_BOUND[unit]
+    nt = f"(CASE WHEN {t} = 0 THEN {bound} ELSE {t} - {unit} END)"
+    ns = f"(CASE WHEN {t} = 0 THEN (CASE WHEN {s} = 0 THEN 7 ELSE {s} - 1 END) ELSE {s} END)"
+    nf = f"(CASE WHEN {t} = 0 AND {s} = 0 THEN {f} - 1 ELSE {f} END)"
+    return nf, ns, nt
+
+
 def _code(fla: str, sla: str, tla: str, flo: str, slo: str, tlo: str) -> str:
     return (
         f"(({fla} * 100 + {flo}) * 10000 + ({sla} * 10 + {slo}) * 100 + ({tla} * 10 + {tlo}))"
@@ -459,34 +469,42 @@ def point_in_polygon_sql(input_rel: str, edges_rel: str, key: str = "pkey") -> s
 
 
 def knn_nodes_sql(input_rel: str, unit: int, k: int = 3, key: str = "pkey") -> str:
-    """k nearest mesh nodes.
+    """k nearest existing mesh nodes (k <= 4).
 
-    For a point strictly inside a cell of a rectangular lattice, the 4
-    nearest lattice nodes are exactly the cell corners, so candidates =
-    corners; rank by squared degree distance, ties broken by meshcode.
+    Candidates = the 4x4 node window around the containing cell (lat
+    offsets -1..+2, lon offsets -1..+2 from the SW corner) — the same
+    provably sufficient superset the engine kernel uses
+    (operators/spatial.py::knn_candidate_rows_cols): every cell corner
+    is within h^2 + (1.5h)^2 = 3.25 h^2 while any node outside the
+    window is >= 4 h^2 away.  Nodes whose digits under/overflow the
+    mesh domain are dropped (node.rs:430-558 None semantics); rank by
+    squared degree distance, ties broken by meshcode.
     Output (key, rank, node_code) — all integers.
     """
-    cells = _pipe(
-        digits_select("lat", "lon", unit).replace("__IN__", input_rel),
-        corners_select(unit),
-    )
-    nlo = _carry_up("lon1", "lon2", "lon3", unit)
-    nla = _carry_up("lat1", "lat2", "lat3", unit)
-    corners = []
-    for name, (la, lo) in {
-        "sw_code": (("lat1", "lat2", "lat3"), ("lon1", "lon2", "lon3")),
-        "se_code": (("lat1", "lat2", "lat3"), nlo),
-        "nw_code": (nla, ("lon1", "lon2", "lon3")),
-        "ne_code": (nla, nlo),
-    }.items():
+    cells = digits_select("lat", "lon", unit).replace("__IN__", input_rel)
+    lat0 = ("lat1", "lat2", "lat3")
+    lon0 = ("lon1", "lon2", "lon3")
+    lat_up = _carry_up(*lat0, unit)
+    lon_up = _carry_up(*lon0, unit)
+    rows = [_carry_down(*lat0, unit), lat0, lat_up, _carry_up(*lat_up, unit)]
+    cols = [_carry_down(*lon0, unit), lon0, lon_up, _carry_up(*lon_up, unit)]
+    selects = []
+    for la in rows:
+        lat_ok = f"({la[0]} >= 0 AND {la[0]} <= 99)"
         nlat = node_lat_expr(*la)
-        nlon = node_lon_expr(*lo)
-        corners.append(
-            f"SELECT {key}, {name} AS node_code, "
-            f"(lat - {nlat}) * (lat - {nlat}) + (lon - {nlon}) * (lon - {nlon}) AS d2 "
-            f"FROM _cells WHERE mesh_valid"
-        )
-    union = " UNION ALL ".join(corners)
+        for lo in cols:
+            lon_ok = (
+                f"({lo[0]} >= 0 AND ({lo[0]} < 80 OR "
+                f"({lo[0]} = 80 AND {lo[1]} = 0 AND {lo[2]} = 0)))"
+            )
+            nlon = node_lon_expr(*lo)
+            code = _code(*la, *lo)
+            selects.append(
+                f"SELECT {key}, {code} AS node_code, "
+                f"(lat - {nlat}) * (lat - {nlat}) + (lon - {nlon}) * (lon - {nlon}) AS d2 "
+                f"FROM _cells WHERE mesh_valid AND {lat_ok} AND {lon_ok}"
+            )
+    union = " UNION ALL ".join(selects)
     return f"""
       WITH _cells AS ({cells})
       SELECT {key}, CAST(rnk AS INTEGER) AS rank, node_code

@@ -89,24 +89,26 @@ def test_salted_join_equals_broadcast(engine, points):
     assert sa == sb and len(sa) > 0
 
 
-def test_knn_always_cell_corners(engine, points, semidyna_grid):
-    out = spatial.knn_mesh_nodes(points.limit(200), 5, 3).toPandas()
-    assert (out.groupby("pkey")["rank"].count() == 3).all()
-    # rank-1 node must be one of the point's cell corners
-    tiled = engine.assign_tiles(points.limit(200)).toPandas()
-    tiled = tiled[tiled.meshcode != -1]
-    merged = out[out["rank"] == 1].merge(tiled[["pkey", "meshcode"]], on="pkey")
-    from jgdtrans_rs_spark import mesh
+def test_knn_spark_matches_numpy_kernel(points):
+    """The Spark operator (pandas_udf + posexplode) emits exactly the
+    numpy kernel's ordered lists — which test_properties pins to the
+    all-nodes brute force."""
+    import numpy as np
 
-    latd, lond, _ = mesh.meshcode_to_digits(merged["meshcode"].to_numpy())
-    corners = {
-        tuple(x)
-        for x in zip(
-            merged["pkey"],
-            mesh.digits_to_meshcode(latd, lond),
-        )
+    src = points.limit(200).toPandas().sort_values("pkey")
+    out = spatial.knn_mesh_nodes(points.limit(200), 5, 3).toPandas()
+    want = spatial.knn_codes_np(
+        src["lat"].to_numpy(np.float64), src["lon"].to_numpy(np.float64), 5, 3)
+    expect = {
+        (int(pk), r + 1): int(code)
+        for pk, codes in zip(src["pkey"], want)
+        for r, code in enumerate(codes)
     }
-    assert len(merged) > 0
+    got = {
+        (int(row.pkey), int(row.rank)): int(row.node_code)
+        for row in out.itertuples(index=False)
+    }
+    assert got == expect and len(got) > 0
 
 
 def test_checkpoint_resume(engine, points, tmp_path):

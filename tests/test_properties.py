@@ -75,3 +75,71 @@ def test_dms_roundtrip_property(mag, sign):
     s = dms.format_dms_scalar(v)
     back = dms.dms_to_degree_scalar(s)
     assert abs(back - v) < 1e-11, (v, s, back)
+
+
+def _knn_brute(lat: float, lon: float, unit: int, k: int):
+    """All-nodes brute force over a +-5-step window (a strict superset
+    of the kernel's 4x4 candidate window): valid nodes sorted by
+    (squared-degree distance, meshcode)."""
+    from jgdtrans_rs_spark.operators import spatial
+
+    lat_d, lon_d, valid = mesh.point_to_digits(np.array([lat]), np.array([lon]), unit)
+    if not valid[0]:
+        return []
+    rows = [lat_d]
+    cols = [lon_d]
+    for _ in range(5):
+        rows.insert(0, mesh.next_south(rows[0], unit))
+        rows.append(mesh.next_north(rows[-1], unit))
+        cols.insert(0, mesh.next_west(cols[0], unit))
+        cols.append(mesh.next_east(cols[-1], unit))
+    cands = []
+    for r in rows:
+        if not spatial._lat_digits_valid(r)[0]:
+            continue
+        nlat = mesh.digits_to_lat(r)[0]
+        for c in cols:
+            if not spatial._lon_digits_valid(c)[0]:
+                continue
+            nlon = mesh.digits_to_lon(c)[0]
+            code = int(mesh.digits_to_meshcode(r, c)[0])
+            d2 = (lat - nlat) * (lat - nlat) + (lon - nlon) * (lon - nlon)
+            cands.append((d2, code))
+    cands.sort()
+    return [code for _, code in cands[:k]]
+
+
+@given(st.floats(min_value=20.0, max_value=45.0, allow_nan=False),
+       st.floats(min_value=122.0, max_value=154.0, allow_nan=False),
+       st.sampled_from([1, 5]), st.integers(min_value=1, max_value=4))
+@settings(max_examples=300, deadline=None)
+def test_knn_window_matches_brute_force(lat, lon, unit, k):
+    """The 4x4 candidate window returns exactly the true k nearest
+    nodes (anisotropic cell: lon step = 1.5x lat step), including the
+    anisotropy counterexamples the 4-corner candidate set misses."""
+    from jgdtrans_rs_spark.operators import spatial
+
+    got = spatial.knn_codes_np(np.array([lat]), np.array([lon]), unit, k)[0]
+    want = _knn_brute(lat, lon, unit, k)
+    assert list(got) == want, (lat, lon, unit, k)
+
+
+def test_knn_anisotropy_counterexample():
+    """VERDICT r01: unit-5 point at cell-local (0.1h, 0.9w) — the true
+    3rd-nearest node is south-of-SE (one lat step below the SE corner),
+    not the SW corner.  Pins the fix."""
+    from jgdtrans_rs_spark.operators import spatial
+
+    unit = 5
+    lat_d, lon_d, _ = mesh.point_to_digits(np.array([36.09]), np.array([140.07]), unit)
+    h = (2.0 / 3.0) / 80.0 * unit
+    w = (1.0 / 80.0) * unit
+    lat = mesh.digits_to_lat(lat_d)[0] + 0.1 * h
+    lon = mesh.digits_to_lon(lon_d)[0] + 0.9 * w
+    got = spatial.knn_codes_np(np.array([lat]), np.array([lon]), unit, 3)[0]
+    assert list(got) == _knn_brute(lat, lon, unit, 3)
+    south_of_se = mesh.digits_to_meshcode(
+        mesh.next_south(lat_d, unit), mesh.next_east(lon_d, unit))[0]
+    sw = mesh.digits_to_meshcode(lat_d, lon_d)[0]
+    assert south_of_se in got
+    assert sw not in got
