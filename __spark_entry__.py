@@ -293,8 +293,13 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_near_dup_emb(spark, sf_dir):
+    """Near-dup over the corpus augmented with deterministic perturbed
+    copies (the fixture alone has zero pairs >= 0.9, so the in-query
+    duplicates provide ground-truth positives; recall vs brute force is
+    asserted in tests/test_oracle_parity.py)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.embedding_near_dup(emb, threshold=0.9)
+    return similarity.embedding_near_dup(
+        similarity.augment_with_near_dups(emb), threshold=0.9)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

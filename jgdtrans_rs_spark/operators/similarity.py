@@ -202,18 +202,70 @@ def ann_ivf_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
     return joined.groupBy("query_id").applyInPandas(score, schema=schema)
 
 
+def augment_with_near_dups(df: DataFrame, every: int = 17, id_offset: int = 1_000_000,
+                           vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Union the corpus with deterministic perturbed copies of every
+    ``every``-th vector (new id = old + ``id_offset``): element-wise
+    scale by 1 + 0.015*sin(id*7 + i), cosine to the original
+    >= 1 - ~2e-4.  Pure Column ops — gives the near-dup operator
+    ground-truth positive pairs in-query (mirrors plans/webops.py
+    ``_dup_corpus`` for text)."""
+    dups = (
+        df.filter(F.col(id_col) % every == 0)
+        .select(
+            (F.col(id_col) + id_offset).alias(id_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x, i: (x * (1.0 + 0.015 * F.sin(F.col(id_col) * 7.0 + i.cast("double"))))
+                .cast("float"),
+            ).alias(vec_col),
+            *[c for c in df.columns if c not in (id_col, vec_col)],
+        )
+        .select(df.columns)
+    )
+    return df.unionByName(dups)
+
+
 def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
                        dim: int = 64, n_planes: int = 6, n_tables: int = 4,
-                       vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       hot_threshold: int = 5_000, num_salts: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) above threshold,
     candidates via multi-table LSH buckets (high-threshold pairs agree
     on most hyperplanes, so recall is high at far lower cost than the
-    quadratic scan)."""
-    b = signature_buckets(df, dim, n_planes, n_tables, vec_col, id_col)
-    left = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "table", "bucket")
+    quadratic scan).
+
+    Skew safety: a duplicate-heavy bucket — exactly the near-dup case —
+    self-joins quadratically, so buckets larger than ``hot_threshold``
+    are salted: each left row keeps its own salt, the right side is
+    replicated across all ``num_salts``, and the join keys on
+    (table, bucket, salt).  Every pair still appears exactly once (the
+    inherent per-bucket quadratic verify work is *split* across
+    reducers, not changed), so output is identical to the unsalted
+    join.  Bucket-size detection is one aggregate over the persisted
+    signature stage.
+    """
+    b = signature_buckets(df, dim, n_planes, n_tables, vec_col, id_col).persist()
+    # combined (table, bucket) key fits an int64: bucket < 2^n_planes
+    bkey = (F.col("table").cast("long") * (1 << n_planes) + F.col("bucket"))
+    hot = [
+        int(r["bk"]) for r in
+        b.groupBy(bkey.alias("bk")).count()
+        .filter(F.col("count") > hot_threshold).collect()
+    ]
+    is_hot = bkey.isin(hot) if hot else F.lit(False)
+    spark = df.sparkSession
+    left = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "table", "bucket",
+                    F.when(is_hot, F.pmod(F.hash(F.col(id_col)), F.lit(num_salts)))
+                    .otherwise(F.lit(0)).cast("int").alias("_salt"))
     right = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "table", "bucket")
+    salts = spark.range(num_salts).select(F.col("id").cast("int").alias("_salt"))
+    right_salted = right.filter(is_hot).crossJoin(salts).unionByName(
+        right.filter(~is_hot).withColumn("_salt", F.lit(0))
+    )
     pairs = (
-        left.join(right, ["table", "bucket"]).filter(F.col("a") < F.col("b"))
+        left.join(right_salted, ["table", "bucket", "_salt"])
+        .filter(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
     )
 

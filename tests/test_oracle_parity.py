@@ -80,3 +80,49 @@ def test_ann_recall_vs_brute(spark, contract, approx):
     assert len(joined) > 0
     recall = (joined["b"] == joined["l"]).mean()
     assert recall >= 0.5, recall
+
+
+def test_embedding_near_dup_recall_vs_brute(spark):
+    """Ground-truth gate for the near-dup operator: augment the corpus
+    with deterministic perturbed duplicates, brute-force all pairs with
+    cosine >= 0.9 on the driver, and require high recall (and exact
+    precision — the operator verifies candidates exactly)."""
+    from jgdtrans_rs_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    aug = similarity.augment_with_near_dups(emb)
+    rows = aug.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    iu = np.triu_indices(len(ids), k=1)
+    hit = cos[iu] >= 0.9
+    truth = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[0]][hit], ids[iu[1]][hit])
+    }
+    assert len(truth) >= 20, "fixture augmentation must create positive pairs"
+
+    got = {
+        (int(r["a"]), int(r["b"]))
+        for r in similarity.embedding_near_dup(aug, threshold=0.9).collect()
+    }
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_embedding_near_dup_salting_preserves_output(spark):
+    """Forcing every bucket hot (hot_threshold=0) must not change the
+    pair set — salting only splits the reducer work."""
+    from jgdtrans_rs_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    aug = similarity.augment_with_near_dups(emb)
+    plain = {(int(r["a"]), int(r["b"]))
+             for r in similarity.embedding_near_dup(aug).collect()}
+    salted = {(int(r["a"]), int(r["b"]))
+              for r in similarity.embedding_near_dup(
+                  aug, hot_threshold=0, num_salts=4).collect()}
+    assert plain == salted and len(plain) > 0
