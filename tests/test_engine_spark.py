@@ -128,6 +128,28 @@ def test_checkpoint_resume(engine, points, tmp_path):
     assert total == points.count()
 
 
+def test_checkpoint_sink_single_pass(spark, points, tmp_path):
+    """The sink must consume its input exactly once (the partitioned
+    write), not once per bucket group: an accumulator inside a
+    pass-through pandas_udf counts how many input rows flow through
+    the upstream stage."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = points.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.pandas_udf("double")
+    def counted(x: pd.Series) -> pd.Series:
+        acc.add(len(x))
+        return x
+
+    df = points.withColumn("lat", counted(F.col("lat"))).withColumn(
+        "meshcode", (F.col("pkey") % 7).cast("long"))
+    sink.run_checkpointed(df, str(tmp_path / "once"), n_groups=7)
+    assert acc.value == n, f"input scanned {acc.value / n:.1f}x"
+
+
 def test_streaming_events_window(spark, tmp_path):
     """Structured Streaming twin of events_window: one availableNow
     micro-batch over the events parquet, checked against the batch agg."""
