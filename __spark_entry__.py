@@ -45,6 +45,7 @@ POLYGONS = [
 
 _GRID = MeshGrid.from_dict(SEMIDYNA, "SemiDynaEXE")
 _ENGINES: dict[int, Engine] = {}
+_SQL_ENGINES: dict[int, "SqlEngine"] = {}
 
 
 def _engine(spark: SparkSession) -> Engine:
@@ -52,6 +53,15 @@ def _engine(spark: SparkSession) -> Engine:
     if key not in _ENGINES:
         _ENGINES[key] = Engine(spark, _GRID)
     return _ENGINES[key]
+
+
+def _sql_engine(spark: SparkSession):
+    from jgdtrans_rs_spark.plans.spark_sql import SqlEngine
+
+    key = id(spark)
+    if key not in _SQL_ENGINES:
+        _SQL_ENGINES[key] = SqlEngine(spark, _GRID)
+    return _SQL_ENGINES[key]
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,6 +131,24 @@ def _q_backward_newton(spark, sf_dir):
     return _null_unless_ok(
         _engine(spark).backward(_points(spark, sf_dir), "lat", "lon", "alt")
     )
+
+
+def _q_forward_sqlonly(spark, sf_dir):
+    """JVM-only engine variant (plans/spark_sql.py): the same forward
+    semantics with zero Python in the execution path — whole-stage
+    codegen + broadcast grid joins."""
+    return _sql_engine(spark).forward(_points(spark, sf_dir))
+
+
+def _q_backward_newton_sqlonly(spark, sf_dir):
+    """JVM-only Newton inverse: 4 unrolled SQL iterations composed
+    through temp views (bit-identical to the Arrow kernel path,
+    tests/test_sql_engine.py)."""
+    return _sql_engine(spark).backward(_points(spark, sf_dir))
+
+
+def _q_tile_sqlonly(spark, sf_dir):
+    return _sql_engine(spark).assign_tiles(_points(spark, sf_dir))
 
 
 def _q_tile(spark, sf_dir):
@@ -309,6 +337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_corr_semidyna": _q_forward_corr,
         "backward_compat_semidyna": _q_backward_compat,
         "backward_newton_semidyna": _q_backward_newton,
+        "forward_sqlonly": _q_forward_sqlonly,
+        "backward_newton_sqlonly": _q_backward_newton_sqlonly,
+        "tile_sqlonly": _q_tile_sqlonly,
         "tile_assign": _q_tile,
         "cell_position": _q_cellpos,
         "knn_mesh_nodes": _q_knn,
@@ -450,6 +481,9 @@ def oracle_sql() -> dict[str, str]:
         # the Newton solver IS SQL-expressible: 4 unrolled iterations
         # with per-lane freezing (oracle.backward_newton_sql), bit-exact
         "backward_newton_semidyna": oracle.backward_newton_sql(_P, _GV, _UNIT),
+        "forward_sqlonly": oracle.forward_sql(_P, _GV, _UNIT),
+        "backward_newton_sqlonly": oracle.backward_newton_sql(_P, _GV, _UNIT),
+        "tile_sqlonly": oracle.tile_sql(_P, _UNIT),
         "tile_assign": oracle.tile_sql(_P, _UNIT),
         "cell_position": oracle.cell_position_sql(_P, _UNIT),
         "knn_mesh_nodes": oracle.knn_nodes_sql(_P, _UNIT, 3),

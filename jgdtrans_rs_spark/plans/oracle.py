@@ -297,6 +297,32 @@ def backward_compat_sql(input_rel: str, grid_rel: str, unit: int, key: str = "pk
     """
 
 
+def backward_newton_stages(input_rel: str, grid_rel: str, unit: int,
+                           key: str = "pkey", iterations: int = 4) -> list[str]:
+    """The Newton inverse as composable stages: element 0 is the
+    initial state over ``input_rel``; element i is iteration i's SQL
+    with ``__STATE__`` standing for the previous stage's relation; the
+    last element is the output projection over ``__STATE__``.
+
+    backward_newton_sql inlines the chain into ONE statement (the
+    DuckDB oracle path); plans/spark_sql.py materializes each stage as
+    a temp view instead, because the fully inlined 4-iteration tree
+    exceeds Spark's analyzer fixed-point budget.
+    """
+    stages = [_newton_state0(input_rel, key)]
+    for i in range(iterations):
+        stages.append(_newton_iteration("__STATE__", grid_rel, unit, key, i))
+    stages.append(f"""
+      SELECT {key},
+             CASE WHEN st = 0 THEN q_lat + o_dlat END AS out_lat,
+             CASE WHEN st = 0 THEN q_lon + o_dlon END AS out_lon,
+             CASE WHEN st = 0 THEN q_alt + o_dalt END AS out_alt,
+             st AS status, e_code AS err_meshcode, e_corner AS err_corner
+      FROM __STATE__
+    """)
+    return stages
+
+
 def backward_newton_sql(input_rel: str, grid_rel: str, unit: int,
                         key: str = "pkey", iterations: int = 4) -> str:
     """Verified backward transform (trans.rs:556-672) as fully
@@ -309,7 +335,15 @@ def backward_newton_sql(input_rel: str, grid_rel: str, unit: int,
     (trans.rs:624-648) and every float op is pinned to the kernel's
     order, so output is bit-identical to kernel.backward.
     """
-    state = f"""
+    stages = backward_newton_stages(input_rel, grid_rel, unit, key, iterations)
+    state = stages[0]
+    for n, st in enumerate(stages[1:]):
+        state = st.replace("__STATE__", f"({state}) _st{n}")
+    return state
+
+
+def _newton_state0(input_rel: str, key: str) -> str:
+    return f"""
       SELECT {key}, lat AS q_lat, lon AS q_lon, alt AS q_alt,
              lat AS yn, lon AS xn,
              FALSE AS done, CAST(3 AS INTEGER) AS st,
@@ -318,10 +352,15 @@ def backward_newton_sql(input_rel: str, grid_rel: str, unit: int,
              CAST(NULL AS DOUBLE) AS o_dalt
       FROM {input_rel}
     """
-    for i in range(iterations):
-        pre = f"(SELECT *, yn AS lat, xn AS lon FROM ({state}) _s{i}) _sl{i}"
-        c1 = corr_sql(pre, grid_rel, unit, expose_params=True)
-        proj = f"""
+
+
+def _newton_iteration(state_rel: str, grid_rel: str, unit: int, key: str, i: int) -> str:
+    """One Newton iteration (prepare-corr + Jacobian update +
+    verification-corr + per-lane freeze) over the previous state
+    relation."""
+    pre = f"(SELECT *, yn AS lat, xn AS lon FROM {state_rel}) _sl{i}"
+    c1 = corr_sql(pre, grid_rel, unit, expose_params=True)
+    proj = f"""
           SELECT {key}, q_lat, q_lon, q_alt, done, st, e_code, e_corner,
                  o_dlat, o_dlon, o_dalt, yn, xn,
                  dlat_deg AS corr_y, dlon_deg AS corr_x,
@@ -331,8 +370,8 @@ def backward_newton_sql(input_rel: str, grid_rel: str, unit: int,
                  sw_lon_sec AS swlo, se_lon_sec AS selo,
                  nw_lon_sec AS nwlo, ne_lon_sec AS nelo
           FROM ({c1}) _c{i}
-        """
-        jac = f"""
+    """
+    jac = f"""
           SELECT *,
                  q_lon - (xn + corr_x) AS fx,
                  q_lat - (yn + corr_y) AS fy,
@@ -341,8 +380,8 @@ def backward_newton_sql(input_rel: str, grid_rel: str, unit: int,
                  -((sela - swla) * (1.0e0 - yn) + (nela - nwla) * yn) / 3600.0e0 AS fy_x,
                  -1.0e0 - ((nwla - swla) * (1.0e0 - xn) + (nela - sela) * xn) / 3600.0e0 AS fy_y
           FROM ({proj}) _jx{i}
-        """
-        upd = f"""
+    """
+    upd = f"""
           SELECT {key}, q_lat, q_lon, q_alt, done, st, e_code, e_corner,
                  o_dlat, o_dlon, o_dalt, st1, ec1, eco1,
                  CASE WHEN done OR st1 <> 0 THEN yn
@@ -350,10 +389,10 @@ def backward_newton_sql(input_rel: str, grid_rel: str, unit: int,
                  CASE WHEN done OR st1 <> 0 THEN xn
                       ELSE xn - (fy_y * fx - fx_y * fy) / (fx_x * fy_y + (-fx_y) * fy_x) END AS xn
           FROM ({jac}) _u{i}
-        """
-        c2 = corr_sql(f"(SELECT *, yn AS lat, xn AS lon FROM ({upd}) _p{i}) _pl{i}",
-                      grid_rel, unit)
-        state = f"""
+    """
+    c2 = corr_sql(f"(SELECT *, yn AS lat, xn AS lon FROM ({upd}) _p{i}) _pl{i}",
+                  grid_rel, unit)
+    return f"""
           SELECT {key}, q_lat, q_lon, q_alt, yn, xn,
                  (done OR st1 <> 0 OR status <> 0 OR _conv) AS done,
                  CAST(CASE WHEN done THEN st
@@ -374,14 +413,6 @@ def backward_newton_sql(input_rel: str, grid_rel: str, unit: int,
                        AND abs(q_lon - (xn + dlon_deg)) < 5e-14) AS _conv
             FROM ({c2}) _v{i}
           ) _w{i}
-        """
-    return f"""
-      SELECT {key},
-             CASE WHEN st = 0 THEN q_lat + o_dlat END AS out_lat,
-             CASE WHEN st = 0 THEN q_lon + o_dlon END AS out_lon,
-             CASE WHEN st = 0 THEN q_alt + o_dalt END AS out_alt,
-             st AS status, e_code AS err_meshcode, e_corner AS err_corner
-      FROM ({state}) _newton
     """
 
 

@@ -1,0 +1,105 @@
+"""JVM-only engine variant: the dual-dialect SQL builders run directly
+on Spark SQL.
+
+The Arrow-kernel engine (engine.py) is bound by the per-JVM Arrow
+channel (~30 M simple rows/s through a scalar pandas_udf on this
+build — BENCH/BASELINE.md saturation notes).  This variant executes
+the exact same semantics as pure Spark SQL — the generators in
+plans/oracle.py were written dual-dialect from day one — so the whole
+transform stays inside whole-stage codegen: zero Python workers, no
+Arrow serialization, and Catalyst is free to push filters below the
+transform and prune columns through it.  On a 1000-executor cluster
+this is the preferred path for the forward/tile hot loop; the Arrow
+kernels remain the reference implementation and the only path with
+the ulp-parity bump.
+
+Caveat (documented in plans/oracle.py): the SQL digit path omits the
+ulp-parity bump of coord.rs:271-275 (no float bit view in SQL), which
+can differ from the kernel only for inputs within one ulp of a mesh
+node boundary.  tests/test_sql_engine.py proves bit-identity to the
+Arrow kernel path on the fixture inputs.
+
+The parameter grid rides a broadcast-hinted temp view — the SQL twin
+of the engine's ``sc.broadcast`` HashMap probe (par.rs:283-285): four
+broadcast-hash joins, no shuffle.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..grid import MeshGrid
+from . import oracle
+
+_view_ids = itertools.count()
+
+
+class SqlEngine:
+    """Pure-SQL twin of ``engine.Engine`` for the SQL-expressible
+    operators (forward / backward_compat / backward Newton / tiling /
+    cell position)."""
+
+    def __init__(self, spark: SparkSession, grid: MeshGrid, grid_view: str | None = None):
+        self.spark = spark
+        self.grid = grid
+        self.unit = grid.mesh_unit
+        self.grid_view = grid_view or f"_mesh_grid_{next(_view_ids)}"
+        gdf = spark.createDataFrame(
+            grid.to_rows(),
+            schema="meshcode long, dlat_sec double, dlon_sec double, dalt_m double",
+        )
+        # the broadcast hint is part of the view's logical plan, so every
+        # corner join below becomes a BroadcastHashJoin (no shuffle)
+        gdf.hint("broadcast").createOrReplaceTempView(self.grid_view)
+        self.grid_rel = (
+            f"(SELECT meshcode, dlat_sec, dlon_sec, dalt_m FROM {self.grid_view})"
+        )
+
+    def _input_rel(self, df: DataFrame) -> str:
+        name = f"_sql_engine_in_{next(_view_ids)}"
+        df.createOrReplaceTempView(name)
+        return name
+
+    def forward(self, df: DataFrame, key: str = "pkey") -> DataFrame:
+        """``Transformer::forward`` (trans.rs:134-136), JVM-only."""
+        return self.spark.sql(
+            oracle.forward_sql(self._input_rel(df), self.grid_rel, self.unit, key))
+
+    def forward_corr(self, df: DataFrame, key: str = "pkey") -> DataFrame:
+        return self.spark.sql(
+            oracle.forward_corr_only_sql(self._input_rel(df), self.grid_rel, self.unit, key))
+
+    def backward_compat(self, df: DataFrame, key: str = "pkey") -> DataFrame:
+        """``Transformer::backward_compat`` (trans.rs:179-181)."""
+        return self.spark.sql(
+            oracle.backward_compat_sql(self._input_rel(df), self.grid_rel, self.unit, key))
+
+    def backward(self, df: DataFrame, key: str = "pkey") -> DataFrame:
+        """Verified Newton inverse (trans.rs:556-672) as 4 unrolled SQL
+        iterations with per-lane freezing.
+
+        Each iteration is composed through a temp view (logical only —
+        no materialization; the optimizer still sees one end-to-end
+        plan) because the fully inlined 4-iteration tree exceeds
+        Spark's analyzer fixed-point budget."""
+        stages = oracle.backward_newton_stages(
+            self._input_rel(df), self.grid_rel, self.unit, key)
+        state = self.spark.sql(stages[0])
+        for st in stages[1:]:
+            name = f"_newton_state_{next(_view_ids)}"
+            state.createOrReplaceTempView(name)
+            state = self.spark.sql(st.replace("__STATE__", name))
+        return state
+
+    def assign_tiles(self, df: DataFrame, level: int = 15, key: str = "pkey") -> DataFrame:
+        """meshcode + quadkey tile assignment, JVM-only (floor digit
+        path — no ulp bump)."""
+        return self.spark.sql(
+            oracle.tile_sql(self._input_rel(df), self.unit, level, key))
+
+    def cell_position(self, df: DataFrame, key: str = "pkey") -> DataFrame:
+        return self.spark.sql(
+            oracle.cell_position_sql(self._input_rel(df), self.unit, key))

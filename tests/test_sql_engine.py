@@ -1,0 +1,74 @@
+"""The JVM-only SQL engine variant must be bit-identical to the Arrow
+kernel path on fixture inputs, and its plan must be pure codegen:
+broadcast joins for the grid probe, no Python stage."""
+
+import numpy as np
+import pytest
+
+from jgdtrans_rs_spark.engine import Engine
+from jgdtrans_rs_spark.plans import oracle
+from jgdtrans_rs_spark.plans.spark_sql import SqlEngine
+
+from tests.conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def engines(spark, semidyna_grid):
+    return Engine(spark, semidyna_grid), SqlEngine(spark, semidyna_grid)
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    spark.read.parquet(f"{SF_TINY}/orders.parquet").createOrReplaceTempView("orders")
+    return spark.sql(oracle.points_sql("orders")).persist()
+
+
+def _masked(df, cols):
+    """NaN (kernel) vs NULL (SQL) for non-OK lanes -> align on status."""
+    pdf = df.toPandas().sort_values("pkey").reset_index(drop=True)
+    bad = pdf["status"] != 0
+    for c in cols:
+        pdf.loc[bad, c] = np.nan
+    return pdf
+
+
+@pytest.mark.parametrize("op,cols", [
+    ("forward", ("out_lat", "out_lon", "out_alt")),
+    ("backward_compat", ("out_lat", "out_lon", "out_alt")),
+    ("backward", ("out_lat", "out_lon", "out_alt")),
+])
+def test_sql_engine_bit_identical_to_kernel(engines, pts, op, cols):
+    eng, sql_eng = engines
+    a = _masked(getattr(eng, op)(pts, "lat", "lon", "alt")
+                .select("pkey", *cols, "status", "err_meshcode", "err_corner"), cols)
+    b = _masked(getattr(sql_eng, op)(pts), cols)
+    assert len(a) == len(b) and len(a) > 0
+    for c in ["pkey", *cols, "status", "err_meshcode", "err_corner"]:
+        x = a[c].to_numpy()
+        y = b[c].to_numpy()
+        if x.dtype.kind == "f":
+            y = y.astype(np.float64)
+            nx, ny = np.isnan(x), np.isnan(y)
+            assert (nx == ny).all(), (op, c)
+            assert (x[~nx] == y[~ny]).all(), (op, c)  # bit-exact
+        else:
+            assert (x == y.astype(x.dtype)).all(), (op, c)
+
+
+def test_sql_engine_tiles_match_kernel(engines, pts):
+    eng, sql_eng = engines
+    a = eng.assign_tiles(pts).select("pkey", "meshcode", "quadkey") \
+        .toPandas().sort_values("pkey").reset_index(drop=True)
+    b = sql_eng.assign_tiles(pts).toPandas().sort_values("pkey").reset_index(drop=True)
+    assert (a["meshcode"].to_numpy() == b["meshcode"].to_numpy()).all()
+    assert (a["quadkey"].to_numpy() == b["quadkey"].to_numpy()).all()
+
+
+def test_sql_engine_plan_is_jvm_only(engines, pts):
+    """No Python/Arrow stage anywhere; grid probes are broadcast-hash
+    joins (no shuffle exchange in the forward transform)."""
+    _, sql_eng = engines
+    plan = sql_eng.forward(pts)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "PythonUDF" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning" not in plan  # no shuffle exchange
