@@ -28,10 +28,16 @@ def dms_to_degree_np(sign: np.ndarray, degree: np.ndarray, minute: np.ndarray,
 
 
 def parse_dms_str(s: str):
-    """dms.rs:194-299 grammar -> (sign, deg, min, sec, fract) or None.
+    """dms.rs:194-299 FromStr grammar -> (sign, deg, min, sec, fract)
+    or None.
 
     Accepts optional +/-, '_' digit separators, missing integer or
-    fraction part (not both).
+    fraction part (not both).  NOTE: FromStr constructs the struct
+    directly WITHOUT ``DMS::new`` validation (dms.rs:227-236), so e.g.
+    "9099" parses to minute=90, second=99 — only the degree must fit a
+    u8 (``u8::try_from`` -> OutOfBounds otherwise); minute/second are
+    ``rest/100`` / ``rest%100`` and always fit.  This permissiveness is
+    intentional parity (ADVICE r01).
     """
     if s is None or s == "":
         return None
@@ -57,11 +63,9 @@ def parse_dms_str(s: str):
     acc = int(int_part) if int_part else 0
     degree, rest = acc // 10_000, acc % 10_000
     minute, second = rest // 100, rest % 100
-    if degree > 180 or minute > 59 or second > 59:
+    if degree > 255:  # u8::try_from (dms.rs:270-272)
         return None
     fract = float("0." + frac_part) if frac_part else 0.0
-    if degree == 180 and (minute > 0 or second > 0 or fract != 0.0):
-        return None
     return sign, degree, minute, second, fract
 
 
@@ -105,15 +109,27 @@ def _fract_str(fract: float) -> str:
     return s.lstrip("0").rstrip("0")
 
 
-def format_dms_scalar(value: float) -> str | None:
-    """Compact DMS notation (dms.rs:146-159), e.g.
-    36.103774791666666 -> '360613.589249999997719'."""
+def format_dms_scalar(value: float, alternate: bool = False) -> str | None:
+    """DMS notation (dms.rs:115-163).  Compact form, e.g.
+    36.103774791666666 -> '360613.589249999997719'; ``alternate=True``
+    gives the ``{:#}`` human form '36°06′13.589249999997719″'
+    (dms.rs:128-145: degree unpadded, minute 02-padded, second
+    unpadded, '0°00′0″' for zero)."""
     parts = degree_to_dms_parts(value)
     if parts is None:
         return None
     sign, deg, minute, sec, fract = parts
     fs = _fract_str(fract)
-    if deg == 0 and minute == 0 and sec == 0 and fs == "":
+    if alternate:
+        if deg == 0 and minute == 0 and sec == 0 and fs == "":
+            body = "0°00′0″"
+        elif deg == 0 and minute == 0:
+            body = f"0°00′{sec}{fs}″"
+        elif deg == 0:
+            body = f"0°{minute:02d}′{sec}{fs}″"
+        else:
+            body = f"{deg}°{minute:02d}′{sec}{fs}″"
+    elif deg == 0 and minute == 0 and sec == 0 and fs == "":
         body = "0"
     elif deg == 0 and minute == 0:
         body = f"{sec}{fs}"
@@ -126,9 +142,24 @@ def format_dms_scalar(value: float) -> str | None:
 
 @F.pandas_udf(DoubleType())
 def dms_to_degree_udf(s: pd.Series) -> pd.Series:
+    """Reference twin of the parser.  HOT PATHS SHOULD USE the pure
+    Column fast path ``functions.columns.dms_to_degree`` (identical
+    output, zero Python); this UDF remains as the executable spec."""
     return s.map(lambda v: dms_to_degree_scalar(v) if v is not None else None)
 
 
 @F.pandas_udf(StringType())
 def degree_to_dms_udf(v: pd.Series) -> pd.Series:
+    """Compact DMS formatting.  Inherently per-row at the final string
+    assembly: Rust's ``{}`` Display emits the shortest round-trip
+    positional decimal, which no Spark string builtin reproduces
+    (CAST(double AS STRING) switches to scientific notation below
+    1e-3).  Not a hot-path function — formatting is for human output."""
     return v.map(lambda x: format_dms_scalar(x) if x == x else None)
+
+
+@F.pandas_udf(StringType())
+def degree_to_dms_alt_udf(v: pd.Series) -> pd.Series:
+    """The ``{:#}`` alternate human form, e.g. 36°06′13.58925″
+    (dms.rs:128-145)."""
+    return v.map(lambda x: format_dms_scalar(x, alternate=True) if x == x else None)

@@ -82,3 +82,42 @@ def quadkey(lat: Column, lon: Column, level: int = 15) -> Column:
         out = out + F.shiftleft(F.shiftright(ix, b) % 2, 2 * b)
         out = out + F.shiftleft(F.shiftright(iy, b) % 2, 2 * b + 1)
     return out
+
+
+def dms_to_degree(c: Column) -> Column:
+    """Pure-Column DMS-string parser — the zero-Python fast path for
+    ``dms.dms_to_degree_scalar`` (identical output, including NaN on
+    the grammar/bounds errors of dms.rs:194-299 FromStr).
+
+    Grammar: optional +/-, '_' separators allowed anywhere except
+    leading a digit group, integer or fraction part may be absent (not
+    both).  degree = acc/10000 must fit a u8; minute/second are
+    unvalidated (FromStr parity).  Arithmetic is pinned to the
+    reference's non-fma order (dms.rs:513-522):
+    (sec + fract)*(1/3600) + (min*(1/60) + deg).
+    """
+    valid = c.rlike(r"^[+-]?([0-9][0-9_]*(\.([0-9][0-9_]*)?)?|\.[0-9][0-9_]*)$")
+    clean = F.regexp_replace(F.translate(c, "_", ""), r"^[+-]", "")
+    neg = c.startswith("-")
+    int_str = F.regexp_replace(F.substring_index(clean, ".", 1), r"^0+", "")
+    frac_str = F.when(clean.contains("."), F.substring_index(clean, ".", -1)).otherwise(F.lit(""))
+    # 8+ significant integer digits -> degree > 255 -> OutOfBounds
+    # (u8::try_from); also covers u64-overflow-length inputs without a
+    # bigint cast
+    acc = F.when(int_str == "", F.lit(0)).otherwise(int_str.cast("long"))
+    degree = (acc / 10000).cast("long")
+    minute = ((acc % 10000) / 100).cast("long")
+    second = acc % 100
+    fract = (
+        F.when(frac_str == "", F.lit(0.0))
+        .otherwise(F.concat(F.lit("0."), frac_str).cast("double"))
+    )
+    temp = minute.cast("double") * F.lit(1.0 / 60.0) + degree.cast("double")
+    temp = (second.cast("double") + fract) * F.lit(1.0 / 3600.0) + temp
+    value = F.when(neg, -temp).otherwise(temp)
+    ok = valid & (F.length(int_str) <= F.lit(7)) & (degree <= 255)
+    return (
+        F.when(c.isNull(), F.lit(None).cast("double"))
+        .when(ok, value)
+        .otherwise(F.lit(float("nan")))
+    )

@@ -2,37 +2,55 @@
 
 ``load_par`` in grid.py parses driver-side (par files are small and
 the result broadcasts).  This module provides the DataFrame-native
-twin for very large or many par files: ``spark.read.text`` + fixed
-``substring`` Column slicing per the same layout table
-(par.rs:642-653) — fully JVM-side, no Python in the parse.
+twin for very large par files: line read + fixed ``substring`` Column
+slicing per the same layout table (par.rs:642-653) — JVM-side parse,
+with the reference's exact semantics (ADVICE r01):
+
+* exactly the layout's ``header`` line count is skipped (a header line
+  whose first 8 chars happen to parse as an integer is NOT a
+  parameter) — line numbers come from ``zipWithIndex`` (one of the few
+  legitimate RDD uses: a global per-line index);
+* malformed numeric fields in data rows are a parse ERROR
+  (par.rs:744-859 ParseInt/ParseFloat), not a silent zero-fill; only
+  columns absent from the layout fill 0.0 (par.rs:396-466);
+* duplicate meshcodes resolve last-wins (the reference inserts into a
+  HashMap in line order, par.rs:467-479).
+
+``path`` must be a single par file (the reference parses one document;
+line numbering across a glob would be meaningless).
 """
 
 from __future__ import annotations
 
-import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..grid import FORMAT_MESH_UNIT, PAR_LAYOUTS, MeshGrid
+from ..grid import PAR_LAYOUTS, MeshGrid, ParseParError
 
 
-def read_par_df(spark: SparkSession, path: str, format: str) -> DataFrame:
+def read_par_df(spark: SparkSession, path: str, format: str,
+                strict: bool = True) -> DataFrame:
     """Par file -> DataFrame(meshcode long, dlat_sec double,
     dlon_sec double, dalt_m double) via Column slicing.
 
-    Absent component columns fill 0.0 (par.rs:396-466); header lines
-    are dropped by zipWithIndex-free filtering on the meshcode parse
-    (headers never parse as 8-digit ints at columns 0..8).
+    ``strict=True`` (reference parity) raises ``ParseParError`` on the
+    first malformed data line — one extra validation action over the
+    (columnar, already-parsed) projection.  ``strict=False`` keeps the
+    dead-letter behavior: malformed fields null -> zero-filled,
+    documented divergence for pipelines that prefer errors-as-data.
     """
     header, code_rng, lat_rng, lon_rng, alt_rng = PAR_LAYOUTS[format]
-    lines = spark.read.text(path)
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    lines = (
+        spark.createDataFrame(rdd, "value string, lineno long")
+        .filter(F.col("lineno") >= header)  # exact header skip (par.rs:360-366)
+        .withColumn("value", F.regexp_replace(F.col("value"), "\r$", ""))
+    )
 
     def slice_col(rng, name):
         if rng is None:
-            return F.lit(0.0).alias(name)
+            return F.lit(0.0).alias(name)  # absent column -> 0.0 fill
         start, end = rng
-        # try_cast: header/malformed lines yield null instead of an
-        # ANSI cast error
         return (
             F.trim(F.substring(F.col("value"), start + 1, end - start))
             .try_cast("double").alias(name)
@@ -43,13 +61,33 @@ def read_par_df(spark: SparkSession, path: str, format: str) -> DataFrame:
         .try_cast("long").alias("meshcode")
     )
     df = lines.select(
+        "lineno",
         code,
         slice_col(lat_rng, "dlat_sec"),
         slice_col(lon_rng, "dlon_sec"),
         slice_col(alt_rng, "dalt_m"),
     )
-    # header/comment lines fail the integer parse -> null meshcode
-    return df.filter(F.col("meshcode").isNotNull()).na.fill(0.0)
+    if strict:
+        bad = df.filter(
+            F.col("meshcode").isNull() | F.col("dlat_sec").isNull()
+            | F.col("dlon_sec").isNull() | F.col("dalt_m").isNull()
+        ).select("lineno", F.col("meshcode").isNull().alias("int_err")).limit(1).collect()
+        if bad:
+            kind = "ParseInt" if bad[0]["int_err"] else "ParseFloat"
+            lineno = int(bad[0]["lineno"]) + 1  # reference counts 1-based
+            rng = code_rng if bad[0]["int_err"] else (lat_rng or lon_rng or alt_rng)
+            raise ParseParError(kind, lineno, rng[0], rng[1],
+                                "Meshcode" if bad[0]["int_err"] else "Parameter")
+    else:
+        df = df.filter(F.col("meshcode").isNotNull()).na.fill(0.0)
+
+    # duplicate meshcodes: last line wins (HashMap insert order)
+    w = Window.partitionBy("meshcode").orderBy(F.desc("lineno"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("meshcode", "dlat_sec", "dlon_sec", "dalt_m")
+    )
 
 
 def grid_from_par_df(df: DataFrame, format: str) -> MeshGrid:

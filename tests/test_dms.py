@@ -22,8 +22,20 @@ def test_parse_forms():
     assert dms.parse_dms_str("36_06_13.5") == (1, 36, 6, 13, 0.5)
     assert dms.parse_dms_str("") is None
     assert dms.parse_dms_str("_1") is None
+    assert dms.parse_dms_str("1._5") is None
     assert dms.parse_dms_str("abc") is None
-    assert dms.parse_dms_str("366113.0") is None  # minute 61 out of range
+
+
+def test_parse_fromstr_permissive():
+    """FromStr constructs the struct directly WITHOUT DMS::new bounds
+    (dms.rs:227-236): minute/second above 59 and degree above 180
+    parse fine; only the u8 degree bound applies (dms.rs:270-272)."""
+    assert dms.parse_dms_str("9099") == (1, 0, 90, 99, 0.0)    # min=90 sec=99
+    assert dms.parse_dms_str("366113.0") == (1, 36, 61, 13, 0.0)
+    assert dms.parse_dms_str("1810000") == (1, 181, 0, 0, 0.0)  # degree 181 ok
+    assert dms.parse_dms_str("2550000") == (1, 255, 0, 0, 0.0)
+    assert dms.parse_dms_str("2560000") is None                 # u8 overflow
+    assert dms.parse_dms_str("1800001") == (1, 180, 0, 1, 0.0)  # no ==180 rule
 
 
 def test_degree_to_dms_parts():
@@ -43,6 +55,16 @@ def test_format_compact():
     assert dms.format_dms_scalar(36.103774791666666) == "360613.589249999997719"
     assert dms.format_dms_scalar(0.0) == "0"
     assert dms.format_dms_scalar(-36.103774791666666) == "-360613.589249999997719"
+
+
+def test_format_alternate():
+    # dms.rs:106-111 doctest: {:#} human form
+    assert dms.format_dms_scalar(36.103774791666666, alternate=True) \
+        == "36°06′13.589249999997719″"
+    assert dms.format_dms_scalar(0.0, alternate=True) == "0°00′0″"
+    assert dms.format_dms_scalar(-36.103774791666666, alternate=True) \
+        == "-36°06′13.589249999997719″"
+    assert dms.format_dms_scalar(0.5, alternate=True) == "0°30′0″"
 
 
 def test_roundtrip():

@@ -181,3 +181,38 @@ def test_explain_no_shuffle_in_transform(engine, points):
     df = engine.assign_tiles(engine.forward(points, "lat", "lon", "alt"), "lat", "lon")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_dms_column_parser_matches_scalar(spark):
+    """functions.columns.dms_to_degree (pure Column, zero Python) must
+    equal dms.dms_to_degree_scalar on every grammar case, including
+    FromStr's permissive out-of-range minutes/seconds and the NaN
+    error paths."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from jgdtrans_rs_spark import dms
+    from jgdtrans_rs_spark.functions import columns as C
+
+    corpus = [
+        "360613.58925", "-360613.58925", "1400516.27815", "1.2", "1", "+1.",
+        "-.2", ".5", "36_06_13.5", "1_2_.5_", "9099", "366113.0", "1810000",
+        "2550000", "2560000", "1800001", "0", "-0", "000360613.5", "",
+        "_1", "1._5", "abc", "1.2.3", "+", "-", ".", "99999999999999999999999",
+        "180", "0.000001", None,
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], "s string")
+    got = {r["s"]: r["v"] for r in df.select("s", C.dms_to_degree(F.col("s")).alias("v")).collect()}
+    plan = df.select(C.dms_to_degree(F.col("s")).alias("v"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan  # stays in codegen
+    for s in corpus:
+        want = dms.dms_to_degree_scalar(s) if s is not None else None
+        have = got[s]
+        if want is None:
+            assert have is None, s
+        elif math.isnan(want):
+            assert have is not None and math.isnan(have), (s, have)
+        else:
+            assert have == want, (s, have, want)  # bit-exact

@@ -70,3 +70,39 @@ def test_streaming_pages_transform(spark, semidyna_grid, tmp_path):
     exp = eng.forward(eng.validate(batch)[0], "lat", "lon", None)
     assert got.n == exp.count()
     assert got.ok == exp.filter(F.col("status") == 0).count()
+
+
+def test_par_reader_reference_parity_edges(spark, tmp_path):
+    """ADVICE r01: exact header skip, ParseFloat errors, last-wins
+    duplicate meshcodes — all matching par.rs semantics."""
+    import pytest
+
+    from jgdtrans_rs_spark.grid import ParseParError
+
+    # TKY2JGD layout: 2 header lines.  Header line 2 starts with 8
+    # digits — the reference does NOT ingest it (header count rules).
+    text = (
+        "JGD2000\n"
+        "12345678 this header line looks like a parameter\n"
+        "46303582   11.49105   -9.88759\n"
+        "46303582   99.00000   99.00000\n"   # duplicate: last wins
+        "46303592   11.49099   -9.88994\n"
+    )
+    p = tmp_path / "t.par"
+    p.write_text(text)
+    g = grid_from_par_df(read_par_df(spark, str(p), "TKY2JGD"), "TKY2JGD")
+    assert set(g.codes.tolist()) == {46303582, 46303592}
+    i = list(g.codes).index(46303582)
+    assert g.dlat_sec[i] == 99.0  # last occurrence won
+    assert 12345678 not in g.codes
+
+    # malformed float in a data row raises (reference ParseFloat)
+    bad = tmp_path / "bad.par"
+    bad.write_text("JGD2000\nheader\n46303582   xx.49105   -9.88759\n")
+    with pytest.raises(ParseParError):
+        read_par_df(spark, str(bad), "TKY2JGD").collect()
+
+    # strict=False keeps the dead-letter mode (zero-fill)
+    df = read_par_df(spark, str(bad), "TKY2JGD", strict=False)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["dlat_sec"] == 0.0
