@@ -203,6 +203,18 @@ def _q_grid_stats(spark, sf_dir):
     )
 
 
+def _q_grid_stats_spark(spark, sf_dir):
+    """Distributed statistics twin (SURVEY §2.5): Spark aggregates
+    instead of the exact driver-side ksum — for grids too large to
+    collect.  Rounded to 12dp for hash stability (plain double sums
+    are order-dependent)."""
+    df = _engine(spark).statistics_df()
+    return df.select(
+        "component", "n",
+        *[F.round(F.col(c), 12).alias(c) for c in ("mean", "std", "abs_mean", "vmin", "vmax")],
+    )
+
+
 def _q_dms(spark, sf_dir):
     """DMS decomposition parts (dms.rs:329-352) of point latitudes."""
     pts = _points(spark, sf_dir)
@@ -348,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_coverage_anti": _q_coverage,
         "skew_topk": _q_skew_topk,
         "grid_statistics": _q_grid_stats,
+        "grid_statistics_spark": _q_grid_stats_spark,
         "dms_parts": _q_dms,
         "pages_text_invariant": _q_pages_invariant,
         "normalize_angles": _q_normalize,
@@ -382,6 +395,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM (VALUES " + ", ".join(stats_rows)
         + ") AS t(component, n, mean, std, abs_mean, vmin, vmax)"
     )
+    # the distributed-twin oracle mirrors the Spark aggregate formulas
+    # (total-based std per transformer.rs:190-237) over the same rows
+    grid_rows_sql = " UNION ALL ".join(
+        f"SELECT CAST({a!r} AS DOUBLE) AS dlat_sec, CAST({b!r} AS DOUBLE) AS dlon_sec, "
+        f"CAST({h!r} AS DOUBLE) AS dalt_m"
+        for _, a, b, h in _GRID.to_rows()
+    )
+    grid_stats_spark_sql = f"""
+      WITH vals AS ({grid_rows_sql}),
+      m AS (
+        SELECT 'latitude' AS component, dlat_sec AS v FROM vals
+        UNION ALL SELECT 'longitude', dlon_sec FROM vals
+        UNION ALL SELECT 'altitude', dalt_m FROM vals
+        UNION ALL SELECT 'horizontal', sqrt(dlat_sec * dlat_sec + dlon_sec * dlon_sec) FROM vals
+      ),
+      t AS (SELECT component, v, SUM(v) OVER (PARTITION BY component) AS total FROM m)
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS n,
+             round(MAX(total) / COUNT(*), 12) AS mean,
+             round(sqrt(SUM((total - v) * (total - v)) / COUNT(*)), 12) AS std,
+             round(SUM(abs(v)) / COUNT(*), 12) AS abs_mean,
+             round(MIN(v), 12) AS vmin, round(MAX(v), 12) AS vmax
+      FROM t GROUP BY component
+    """
     normalize_sql = """
       SELECT pkey,
              CASE WHEN raw_lat >= -90.0e0 AND raw_lat <= 90.0e0 THEN raw_lat
@@ -492,6 +528,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_coverage_anti": coverage_sql,
         "skew_topk": skew_sql,
         "grid_statistics": grid_stats_sql,
+        "grid_statistics_spark": grid_stats_spark_sql,
         "dms_parts": dms_sql,
         "pages_text_invariant": pages_invariant_sql,
         "normalize_angles": normalize_sql,

@@ -408,3 +408,40 @@ class Engine:
     def statistics(self) -> dict:
         """Exact compensated grid statistics (transformer.rs:504-528)."""
         return self.grid.statistics()
+
+    def statistics_df(self) -> DataFrame:
+        """Distributed statistics twin (SURVEY §2.5) for parameter
+        grids too large to collect: the same four components as
+        ``Transformer::statistics`` computed with Spark aggregates —
+        one shuffle on the 4-way component key.
+
+        Caveats vs the exact path (documented, tested to agree within
+        ~1e-12 relative on the fixture grids): plain double sums are
+        partition-order dependent, unlike the reference's serial
+        compensated ksum (transformer.rs:9-22); ``horizontal`` uses
+        sqrt(a*a + b*b) rather than numpy's ulp-careful hypot.  The
+        std keeps the reference's unusual total-based formula
+        sqrt(ksum((sum - v)^2) / n) (transformer.rs:190-237).
+        """
+        from pyspark.sql import Window
+
+        melted = self.grid_df().selectExpr(
+            "stack(4, 'latitude', dlat_sec, 'longitude', dlon_sec, "
+            "'altitude', dalt_m, "
+            "'horizontal', sqrt(dlat_sec * dlat_sec + dlon_sec * dlon_sec)) "
+            "AS (component, v)"
+        )
+        total = F.sum("v").over(Window.partitionBy("component"))
+        return (
+            melted.withColumn("total", total)
+            .groupBy("component")
+            .agg(
+                F.count("v").cast("long").alias("n"),
+                (F.max("total") / F.count("v")).alias("mean"),
+                F.sqrt(F.sum((F.col("total") - F.col("v")) * (F.col("total") - F.col("v")))
+                       / F.count("v")).alias("std"),
+                (F.sum(F.abs(F.col("v"))) / F.count("v")).alias("abs_mean"),
+                F.min("v").alias("vmin"),
+                F.max("v").alias("vmax"),
+            )
+        )

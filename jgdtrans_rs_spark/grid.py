@@ -158,6 +158,32 @@ class MeshGrid:
         dalt = np.where(found, self.dalt_m[idx_c], 0.0)
         return dlat, dlon, dalt, found
 
+    def lookup_carry(self, codes: np.ndarray, prev_codes: np.ndarray, prev):
+        """``lookup`` that reuses a previous gather where the meshcode
+        is unchanged — bit-identical by construction (same code ->
+        same parameter row).
+
+        The chained kernels (backward_compat's two forward_corr steps,
+        the Newton prepare/verify pair) resolve points that moved by
+        ~the correction magnitude (1e-5 deg) or DELTA (3.3e-3 deg),
+        far below the cell size, so typically >90%% of lanes keep all
+        four corner codes and skip the searchsorted entirely."""
+        prev_dlat, prev_dlon, prev_dalt, prev_found = prev
+        same = codes == prev_codes
+        if same.all():
+            return prev_dlat, prev_dlon, prev_dalt, prev_found
+        miss = ~same
+        d1, d2, d3, f = self.lookup(codes[miss])
+        dlat = prev_dlat.copy()
+        dlon = prev_dlon.copy()
+        dalt = prev_dalt.copy()
+        found = prev_found.copy()
+        dlat[miss] = d1
+        dlon[miss] = d2
+        dalt[miss] = d3
+        found[miss] = f
+        return dlat, dlon, dalt, found
+
     def statistics(self) -> dict[str, dict]:
         """``Transformer::statistics`` (transformer.rs:504-528): exact
         compensated stats per component over meshcode-sorted params."""

@@ -68,12 +68,18 @@ class CorrResult:
     err_corner: np.ndarray    # int8, -1 when n/a
 
 
-def _resolve_cell(lat, lon, grid: MeshGrid):
+def _resolve_cell(lat, lon, grid: MeshGrid, carry: dict | None = None):
     """Cell resolution + 4-corner parameter gather.
 
     Mirrors ``MeshCell::try_from_point`` -> ``Params::new_unchecked``
     (cell.rs:411-414, trans.rs:56-89).  Returns a dict of arrays; lanes
     with status != OK carry undefined math fields.
+
+    ``carry`` is a previous resolve (of the same batch at nearby
+    points): corner lookups are reused via ``grid.lookup_carry`` where
+    the meshcode is unchanged — bit-identical, and typically >90% of
+    lanes skip the searchsorted in the chained kernels (the points
+    move by ~corrections, far below the cell size).
     """
     n = lat.shape[0]
     status = np.zeros(n, dtype=np.int8)
@@ -92,6 +98,8 @@ def _resolve_cell(lat, lon, grid: MeshGrid):
     ne_code = mesh.digits_to_meshcode(north, east)
 
     p = {}
+    codes = {}
+    found_map = {}
     found_all = valid.copy()
     # probe order sw, se, nw, ne — first miss wins (trans.rs:76-87)
     for corner, code, key in (
@@ -100,8 +108,14 @@ def _resolve_cell(lat, lon, grid: MeshGrid):
         (CORNER_SE, se_code, "se"),
         (CORNER_SW, sw_code, "sw"),
     ):
-        dlat, dlon, dalt, found = grid.lookup(code)
+        if carry is not None:
+            dlat, dlon, dalt, found = grid.lookup_carry(
+                code, carry["codes"][key], (*carry["p"][key], carry["found"][key]))
+        else:
+            dlat, dlon, dalt, found = grid.lookup(code)
         p[key] = (dlat, dlon, dalt)
+        codes[key] = code
+        found_map[key] = found
         miss = valid & ~found
         # iterating ne->sw so the earliest corner overwrites last
         status[miss] = STATUS_PARAMETER_NOT_FOUND
@@ -118,19 +132,18 @@ def _resolve_cell(lat, lon, grid: MeshGrid):
         "y": y,
         "x": x,
         "p": p,
+        "codes": codes,
+        "found": found_map,
         "sw_code": sw_code,
     }
 
 
-def forward_corr(lat, lon, grid: MeshGrid) -> CorrResult:
-    """``Transformer::forward_corr`` (trans.rs:428-451), vectorized.
-
-    Correction in degrees (lat/lon) and metres (alt); lanes with
-    status != OK get NaN corrections.
-    """
+def _forward_corr_cell(lat, lon, grid: MeshGrid, carry: dict | None = None):
+    """forward_corr + the resolved cell (for lookup carry-over in the
+    chained kernels)."""
     lat = np.ascontiguousarray(lat, dtype=np.float64)
     lon = np.ascontiguousarray(lon, dtype=np.float64)
-    cell = _resolve_cell(lat, lon, grid)
+    cell = _resolve_cell(lat, lon, grid, carry)
     p, y, x = cell["p"], cell["y"], cell["x"]
 
     dlat = bilinear(p["sw"][0], p["se"][0], p["nw"][0], p["ne"][0], y, x) / SCALE
@@ -141,7 +154,17 @@ def forward_corr(lat, lon, grid: MeshGrid) -> CorrResult:
     dlat[bad] = np.nan
     dlon[bad] = np.nan
     dalt[bad] = np.nan
-    return CorrResult(dlat, dlon, dalt, cell["status"], cell["err_code"], cell["err_corner"])
+    res = CorrResult(dlat, dlon, dalt, cell["status"], cell["err_code"], cell["err_corner"])
+    return res, cell
+
+
+def forward_corr(lat, lon, grid: MeshGrid) -> CorrResult:
+    """``Transformer::forward_corr`` (trans.rs:428-451), vectorized.
+
+    Correction in degrees (lat/lon) and metres (alt); lanes with
+    status != OK get NaN corrections.
+    """
+    return _forward_corr_cell(lat, lon, grid)[0]
 
 
 def _add_normalized(lat, lon, dlat, dlon):
@@ -168,10 +191,12 @@ def backward_compat_corr(lat, lon, grid: MeshGrid) -> CorrResult:
     lon = np.ascontiguousarray(lon, dtype=np.float64)
 
     t_lat, t_lon = _add_normalized(lat, lon, -DELTA, DELTA)
-    c1 = forward_corr(t_lat, t_lon, grid)
+    c1, cell1 = _forward_corr_cell(t_lat, t_lon, grid)
 
+    # step 2 sits ~DELTA away from step 1 (corrections are ~1e-5 deg),
+    # so most lanes keep the same cell -> corner lookups carried over
     r_lat, r_lon = _add_normalized(lat, lon, -c1.dlat, -c1.dlon)
-    c2 = forward_corr(r_lat, r_lon, grid)
+    c2, _ = _forward_corr_cell(r_lat, r_lon, grid, carry=cell1)
 
     # first failure wins (reference short-circuits on c1's error)
     status = np.where(c1.status != STATUS_OK, c1.status, c2.status).astype(np.int8)
@@ -257,9 +282,21 @@ def backward_corr(lat, lon, grid: MeshGrid) -> CorrResult:
         xn = np.where(active, new_xn, xn)
         yn = np.where(active, new_yn, yn)
 
-        # verification step: fresh forward_corr at the updated iterate
+        # verification step: forward_corr at the updated iterate
         # (trans.rs:657-668) — errors there also terminate the lane.
-        vcell = _resolve_cell(yn, xn, grid)
+        # DOCUMENTED DIVERGENCE (ADVICE r01): the reference verifies
+        # with forward_corr_unchecked (trans.rs:658, no mesh-domain
+        # bounds check), so an iterate that stepped outside the domain
+        # mid-iteration proceeds unchecked there (typically ending in
+        # ParameterNotFound with a digit-wrapped meshcode); this
+        # checked resolve reports OUT_OF_BOUNDS instead.  Reachable
+        # only when Newton diverges out of the domain — never on
+        # fixture/test inputs; the error-kind difference on that edge
+        # is accepted in exchange for one shared resolve path.
+        # The Newton step moved each lane by ~the residual, so the cell
+        # rarely changes: corner lookups are carried from the prepare
+        # resolve (bit-identical; only changed codes re-probe).
+        vcell = _resolve_cell(yn, xn, grid, carry=cell)
         vfail = active & ~vcell["ok"]
         status[vfail] = vcell["status"][vfail]
         err_code[vfail] = vcell["err_code"][vfail]

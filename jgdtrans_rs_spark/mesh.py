@@ -82,6 +82,15 @@ def point_to_digits(lat: np.ndarray, lon: np.ndarray, unit: int):
     """
     latv = lat_mesh_value(lat)
     lonv = _as_f64(lon)
+    # DOCUMENTED DIVERGENCE (ADVICE r01): strict upper bounds here,
+    # while try_from_latitude accepts value <= 100.0 inclusive
+    # (coord.rs:278-280).  A mesh value landing EXACTLY on 100.0 (lat
+    # = 200/3 deg, one double) or a longitude of exactly 180.0 is
+    # OUT_OF_BOUNDS here, where the reference builds a first-digit-
+    # wrapped cell and then fails with ParameterNotFound.  Same
+    # rejection, different error kind, on a 1-double boundary far
+    # outside Japan; the strict bound keeps every downstream digit
+    # array in range by construction.
     valid = (
         np.isfinite(latv)
         & (latv >= 0.0)

@@ -121,13 +121,23 @@ def ann_lsh_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
 
 def train_ivf_centroids(df: DataFrame, n_lists: int = 8, dim: int = 64,
                         sample_rows: int = 2000, iters: int = 10,
-                        vec_col: str = "embedding", seed: int = 42) -> np.ndarray:
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        seed: int = 42) -> np.ndarray:
     """Deterministic k-means coarse quantizer for IVF.
 
-    Trains on a bounded sample collected to the driver (at corpus
-    scale: `df.sample(...)` keeps this O(sample), not O(n)); numpy
-    Lloyd iterations with fixed seed — reproducible across runs."""
-    sample = df.select(vec_col).limit(sample_rows).collect()
+    Trains on a bounded UNBIASED sample collected to the driver: a
+    hash filter ``xxhash64(id, seed) % m == 0`` with m sized from one
+    count — deterministic regardless of partitioning/parallelism
+    (unlike ``limit``, which takes one partition's head and biases the
+    quantizer at scale, and unlike ``sample``, whose per-partition RNG
+    changes with the split).  numpy Lloyd iterations with fixed seed —
+    reproducible across runs."""
+    n = df.count()
+    m = max(1, n // sample_rows)
+    sample = (
+        df.filter(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m)) == 0)
+        .select(vec_col).limit(sample_rows).collect()
+    )
     mat = np.array([np.asarray(r[0], dtype=np.float64) for r in sample])
     rs = np.random.RandomState(seed)
     centroids = mat[rs.choice(len(mat), n_lists, replace=False)]
@@ -152,7 +162,7 @@ def ann_ivf_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
     nprobe/n_lists of the corpus.  Centroids are trained once on a
     driver-side sample and broadcast via closure.
     """
-    centroids = train_ivf_centroids(df, n_lists, dim, vec_col=vec_col)
+    centroids = train_ivf_centroids(df, n_lists, dim, vec_col=vec_col, id_col=id_col)
 
     @F.pandas_udf(IntegerType())
     def assign_list(vecs: pd.Series) -> pd.Series:

@@ -141,7 +141,10 @@ def bucketed_spatial_join(points: DataFrame, polygons: Sequence[Polygon], unit: 
     spark = points.sparkSession
     cover = polygon_mesh_cover(polygons, unit)
     if not cover:
-        return spark.createDataFrame([], schema=f"{key} long, poly_id string")
+        # schema derived from the points frame so the empty result
+        # unions cleanly with the non-empty path whatever the key type
+        return points.select(key).limit(0).withColumn(
+            "poly_id", F.lit(None).cast("string"))
     # integer poly indices through the Python hop (object strings in
     # pandas are ~10x slower to group/serialize at tens of millions of
     # candidate rows); names re-attached JVM-side at the end

@@ -142,3 +142,21 @@ def test_statistics_empty_and_nan():
     assert s["latitude"]["count"] == 1
     assert math.isnan(s["latitude"]["mean"]) and math.isnan(s["latitude"]["std"])
     assert s["longitude"]["mean"] == 1.0
+
+
+def test_statistics_df_matches_exact(spark, semidyna_grid):
+    """The distributed statistics twin agrees with the exact ksum path
+    within documented tolerance (plain sums vs compensated sums)."""
+    from jgdtrans_rs_spark.engine import Engine
+
+    eng = Engine(spark, semidyna_grid)
+    got = {r["component"]: r for r in eng.statistics_df().collect()}
+    exact = semidyna_grid.statistics()
+    assert set(got) == set(exact)
+    for comp, e in exact.items():
+        g = got[comp]
+        assert g["n"] == e["count"]
+        for spark_key, exact_key in [("mean", "mean"), ("std", "std"),
+                                     ("abs_mean", "abs"), ("vmin", "min"), ("vmax", "max")]:
+            assert abs(g[spark_key] - e[exact_key]) <= 1e-12 + 1e-9 * abs(e[exact_key]), \
+                (comp, spark_key, g[spark_key], e[exact_key])
