@@ -94,12 +94,16 @@ def run_pipeline(spark, sf_dir: str, multiplier: int = 1) -> tuple[dict, int]:
     timed("q2_backward", eng.backward(pts, "lat", "lon", "alt"))
     # q3: tile assignment (meshcode + quadkey)
     timed("q3_tile", eng.assign_tiles(pts))
-    # q1s/q2s/q3s: the JVM-only SQL engine variant (plans/spark_sql.py)
-    # — zero Python workers, whole-stage codegen end to end; the path
+    # q1s/q3s: the JVM-only SQL engine variant (plans/spark_sql.py) —
+    # zero Python workers, whole-stage codegen end to end; the path
     # past the per-JVM Arrow channel ceiling (BENCH/BASELINE.md).
+    # The SQL Newton inverse is NOT benched: its 32-join unrolled plan
+    # is Catalyst-planning-bound (~6s vs 1s for the Arrow kernel at
+    # sf0.1) — it exists for JVM-only deployments and as the oracle
+    # (backward_newton_sqlonly), the Arrow kernel is the production
+    # backward path.
     sql_eng = entry_mod._sql_engine(spark)
     timed("q1s_forward_sql", sql_eng.forward(pts))
-    timed("q2s_backward_sql", sql_eng.backward(pts))
     timed("q3s_tile_sql", sql_eng.assign_tiles(pts))
     # q4: the north-star chain, fully fused (transform + tile +
     # point-in-polygon in one Arrow hop — the broadcast-dims plan)

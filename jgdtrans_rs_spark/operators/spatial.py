@@ -58,6 +58,31 @@ def _crossings(lat: np.ndarray, lon: np.ndarray, ring: list[tuple[float, float]]
     return inside % 2
 
 
+def _containment_col(rings: list[list[tuple[float, float]]],
+                     lat, lon, pidx) -> "F.Column":
+    """Crossing-number containment as a pure Column expression: per
+    polygon the edge-parity sum (same edge formula as _crossings and
+    the SQL oracle, bit-identical float64 ops), dispatched on the
+    candidate's poly_idx.  Stays entirely inside whole-stage codegen."""
+    out = None
+    for i, ring in enumerate(rings):
+        crossings = None
+        n = len(ring)
+        for j in range(n):
+            y1, x1 = ring[j]
+            y2, x2 = ring[(j + 1) % n]
+            if y1 == y2:
+                continue  # horizontal edge never crosses the test ray
+            hit = ((F.lit(y1) > lat) != (F.lit(y2) > lat)) & (
+                lon < (x2 - x1) * (lat - F.lit(y1)) / (y2 - y1) + x1
+            )
+            term = F.when(hit, 1).otherwise(0)
+            crossings = term if crossings is None else crossings + term
+        inside = (crossings % 2 == 1) if crossings is not None else F.lit(False)
+        out = F.when(pidx == i, inside) if out is None else out.when(pidx == i, inside)
+    return F.lit(False) if out is None else out.otherwise(F.lit(False))
+
+
 def point_in_polygon(df: DataFrame, polygons: Sequence[Polygon],
                      key: str = "pkey", lat: str = "lat", lon: str = "lon") -> DataFrame:
     """Broadcast point-in-polygon join -> (key, poly_id) pairs.
@@ -175,27 +200,33 @@ def bucketed_spatial_join(points: DataFrame, polygons: Sequence[Polygon], unit: 
 
     joined = pts.join(F.broadcast(cand_salted), [mesh_col, "_salt"])
 
-    # exact containment test on the surviving candidates: boolean
-    # pandas_udf + JVM-side filter (same cardinality through the fast
-    # scalar-UDF channel; the row reduction happens in codegen)
+    # exact containment test on the surviving candidates.  The rings
+    # are driver-side constants, so for normal-size polygon sets the
+    # crossing-number parity compiles to a pure Column expression —
+    # the whole refine step stays in codegen (no second Python stage
+    # after the transform UDF).  Very large rings fall back to the
+    # vectorized pandas_udf to keep the expression tree bounded.
     rings = [[(float(a), float(b)) for a, b in ring] for _, ring in polygons]
+    n_edges = sum(len(r) for r in rings)
+    if n_edges <= 512:
+        contains_col = _containment_col(
+            rings, F.col(lat), F.col(lon), F.col("poly_idx"))
+    else:
+        @F.pandas_udf(BooleanType())
+        def contains(lat_s: pd.Series, lon_s: pd.Series, pidx_s: pd.Series) -> pd.Series:
+            la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            pidx = pidx_s.to_numpy(dtype=np.int32)
+            keep = np.zeros(la.shape[0], dtype=bool)
+            for i, ring in enumerate(rings):
+                mask = pidx == i
+                if mask.any():
+                    keep[mask] = _crossings(la[mask], lo[mask], ring) == 1
+            return pd.Series(keep)
 
-    @F.pandas_udf(BooleanType())
-    def contains(lat_s: pd.Series, lon_s: pd.Series, pidx_s: pd.Series) -> pd.Series:
-        la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
-        lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
-        pidx = pidx_s.to_numpy(dtype=np.int32)
-        keep = np.zeros(la.shape[0], dtype=bool)
-        for i, ring in enumerate(rings):
-            mask = pidx == i
-            if mask.any():
-                keep[mask] = _crossings(la[mask], lo[mask], ring) == 1
-        return pd.Series(keep)
+        contains_col = contains(F.col(lat), F.col(lon), F.col("poly_idx"))
 
-    refined = (
-        joined.select(key, lat, lon, "poly_idx")
-        .filter(contains(F.col(lat), F.col(lon), F.col("poly_idx")))
-    )
+    refined = joined.select(key, lat, lon, "poly_idx").filter(contains_col)
     names = spark.createDataFrame(
         [(i, pid) for pid, i in pid_to_idx.items()], schema="poly_idx int, poly_id string"
     )
