@@ -216,3 +216,45 @@ def test_dms_column_parser_matches_scalar(spark):
             assert have is not None and math.isnan(have), (s, have)
         else:
             assert have == want, (s, have, want)  # bit-exact
+
+
+def test_streaming_stateful_cell_lineage(spark, tmp_path):
+    """applyInPandasWithState keeps per-meshcode running counters
+    across micro-batches: two files forced into separate batches via
+    maxFilesPerTrigger=1; the second emission for a shared cell must
+    carry the accumulated total, and final totals must equal the batch
+    aggregation."""
+    import pandas as pd
+
+    from jgdtrans_rs_spark.streaming.stateful import stream_cell_lineage
+
+    d = str(tmp_path / "tstream")
+    os.makedirs(d)
+    rows1 = pd.DataFrame({"meshcode": [54401005] * 3 + [54401100] * 2,
+                          "status": [0, 0, 1, 0, 0]})
+    rows2 = pd.DataFrame({"meshcode": [54401005] * 4, "status": [0, 2, 0, 0]})
+    schema = "meshcode long, status int"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(d + "/f1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(d + "/f2")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/f*")
+    )
+    q = (
+        stream_cell_lineage(src)
+        .writeStream.format("memory").queryName("cell_lineage")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM cell_lineage").toPandas()
+    assert out["batch_rows"].max() < 7  # really ran as multiple batches
+    # last emission per cell = running totals = batch aggregation
+    last = out.groupby("meshcode").last()
+    assert int(last.loc[54401005, "n_rows"]) == 7
+    assert int(last.loc[54401005, "n_ok"]) == 5
+    assert int(last.loc[54401100, "n_rows"]) == 2
+    # the shared cell emitted twice, second time with accumulated state
+    emissions = out[out["meshcode"] == 54401005]
+    assert len(emissions) == 2
+    assert emissions["n_rows"].max() > emissions["batch_rows"].max()
