@@ -47,6 +47,37 @@ def text_stats_sql(d: str, docs: str = "documents") -> str:
     """
 
 
+def quality_score_sql(d: str, docs: str = "documents") -> str:
+    """Per-doc quality scoring: char length, whitespace token count,
+    BPE-ish regex token count (letter runs | single digits | other
+    symbols — the GPT-2-style pre-tokenizer shape), punctuation count
+    and ratio, and an integer quality bucket (0 = punct-heavy,
+    1 = too short, 2 = symbol-heavy, 3 = clean).  All comparisons are
+    integer arithmetic -> hash-stable; the one double is a single
+    division of exact integers."""
+    bpe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    if d == SPARK:
+        n_bpe = f"size(regexp_extract_all(text, '{bpe}', 0))"
+    else:
+        n_bpe = f"len(regexp_extract_all(text, '{bpe}'))"
+    n_ws = T.size(T.toks("text", d), d)
+    n_punct = f"(length(text) - length({_regexp_strip('text', '[^A-Za-z0-9 ]', d)}))"
+    return f"""
+      SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             CAST({n_ws} AS INTEGER) AS n_ws_tokens,
+             CAST({n_bpe} AS INTEGER) AS n_bpe_tokens,
+             CAST({n_punct} AS INTEGER) AS n_punct,
+             CAST({n_punct} AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+             CAST(CASE WHEN {n_punct} * 10 > length(text) THEN 0
+                       WHEN {n_ws} < 5 THEN 1
+                       WHEN {n_bpe} > {n_ws} * 3 THEN 2
+                       ELSE 3 END AS INTEGER) AS quality_bucket
+      FROM {docs}
+      WHERE length(text) > 0
+    """
+
+
 def lang_id_sql(d: str, docs: str = "documents") -> str:
     """n-gram-free language heuristic (integer comparisons only):
     non-printable-ASCII share -> 'ja', else stopword presence -> 'en',

@@ -126,3 +126,28 @@ def test_embedding_near_dup_salting_preserves_output(spark):
               for r in similarity.embedding_near_dup(
                   aug, hot_threshold=0, num_salts=4).collect()}
     assert plain == salted and len(plain) > 0
+
+
+def test_quality_score_buckets(spark, duck):
+    """All four quality buckets are reachable and agree across engines
+    on a crafted corpus (the synthetic fixture is uniformly clean)."""
+    from jgdtrans_rs_spark.plans import webops
+    from jgdtrans_rs_spark.plans.textsql import DUCK, SPARK
+
+    docs = [
+        (1, "!!! ??? ,,, ... ;;; :::"),               # punct-heavy -> 0
+        (2, "too short"),                             # < 5 tokens -> 1
+        (3, "a1b2c3 d4e5f6 g7h8i9 j0k1l2 m3n4o5 p6q7r8"),  # digit-heavy -> 2
+        (4, "this is a perfectly ordinary clean sentence of words"),  # -> 3
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .createOrReplaceTempView("qdocs")
+    got = {r["doc_id"]: r["quality_bucket"]
+           for r in spark.sql(webops.quality_score_sql(SPARK, "qdocs")).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    con = duck
+    con.sql("CREATE OR REPLACE TABLE qdocs AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in docs)
+            + ") AS t(doc_id, text)")
+    want = {r[0]: r[6] for r in con.sql(webops.quality_score_sql(DUCK, "qdocs")).fetchall()}
+    assert want == got
