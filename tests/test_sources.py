@@ -106,3 +106,21 @@ def test_par_reader_reference_parity_edges(spark, tmp_path):
     df = read_par_df(spark, str(bad), "TKY2JGD", strict=False)
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["dlat_sec"] == 0.0
+
+
+def test_tables_reader_parquet_fallback(spark):
+    """Capability-gated table reader: no Iceberg runtime here, so
+    parquet paths read directly, catalog identifiers raise with a
+    clear message, and time travel is refused on plain parquet."""
+    import pytest
+
+    from jgdtrans_rs_spark.sources import tables
+
+    assert not tables.iceberg_available(spark)
+    df = tables.read_table(spark, "/root/testdata/sf0.001/orders.parquet")
+    assert df.count() > 0
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        tables.read_table(spark, "warehouse.pages")
+    with pytest.raises(ValueError, match="time travel"):
+        tables.read_table(spark, "/root/testdata/sf0.001/orders.parquet",
+                          snapshot_version=3)
