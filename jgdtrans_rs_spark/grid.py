@@ -241,11 +241,14 @@ def _parse_field(line: str, rng, lineno: int, column: str, caster):
         raise ParseParError(kind, lineno, start, end, column) from None
 
 
-def parse_par(text: str, format: str) -> MeshGrid:
+def parse_par(text: str, format: str, description: str | None = None) -> MeshGrid:
     """Deserialize par-formatted text (par.rs:335-481, 641-671).
 
     Lines split as Rust ``str::lines`` (\\n, tolerating trailing \\r).
     Header lines become the description (joined + trailing newline);
+    an explicit ``description`` overrides it
+    (``ParParser::parse_with_description`` /
+    ``Transformer::from_str_with_description``, par.rs:368-394);
     absent component columns fill 0.0.
     """
     header, code_rng, lat_rng, lon_rng, alt_rng = PAR_LAYOUTS[format]
@@ -257,7 +260,8 @@ def parse_par(text: str, format: str) -> MeshGrid:
         last_len = len(lines[-1]) if lines else 0
         raise ParseParError("Header", len(lines), 0, last_len, None)
 
-    description = "\n".join(lines[:header]) + "\n"
+    if description is None:
+        description = "\n".join(lines[:header]) + "\n"
     parameters: dict[int, tuple] = {}
     for off, line in enumerate(lines[header:]):
         lineno = header + off + 1

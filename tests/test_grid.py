@@ -160,3 +160,12 @@ def test_statistics_df_matches_exact(spark, semidyna_grid):
                                      ("abs_mean", "abs"), ("vmin", "min"), ("vmax", "max")]:
             assert abs(g[spark_key] - e[exact_key]) <= 1e-12 + 1e-9 * abs(e[exact_key]), \
                 (comp, spark_key, g[spark_key], e[exact_key])
+
+
+def test_parse_with_description_override():
+    """parse_with_description / from_str_with_description parity
+    (par.rs:368-394): an explicit description replaces the header."""
+    text = "header line 1\nheader line 2\n46303582   11.49105   -9.88759\n"
+    g = parse_par(text, "TKY2JGD", description="my dataset")
+    assert g.description == "my dataset"
+    assert 46303582 in g.codes
