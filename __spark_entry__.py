@@ -231,6 +231,38 @@ def _q_dms(spark, sf_dir):
     )
 
 
+def _q_dms_roundtrip(spark, sf_dir):
+    """Contract-level proof of the pure-Column DMS parser
+    (functions/columns.dms_to_degree): build the compact numeric DMS
+    string from the latitude decomposition entirely in Column ops,
+    parse it back, emit both.  The oracle mirrors the string build and
+    the parser arithmetic in SQL — bit-exact by pinned op order.
+    Fixture latitudes are all positive, so no sign branch is needed
+    in the string build."""
+    from jgdtrans_rs_spark.functions import columns as C
+
+    pts = _points(spark, sf_dir)
+    lat = F.col("lat")
+    deg = lat.cast("long")
+    mm = (lat - deg.cast("double")) * 60.0
+    mi = mm.cast("long")
+    ss = (mm - mi.cast("double")) * 60.0
+    sec = ss.cast("long")
+    fract6 = F.floor((ss - sec.cast("double")) * 1000000.0).cast("long")
+    dms_str = F.concat(
+        deg.cast("string"),
+        F.lpad(mi.cast("string"), 2, "0"),
+        F.lpad(sec.cast("string"), 2, "0"),
+        F.lit("."),
+        F.lpad(fract6.cast("string"), 6, "0"),
+    )
+    return pts.select(
+        "pkey",
+        dms_str.alias("dms_str"),
+        C.dms_to_degree(dms_str).alias("parsed_deg"),
+    )
+
+
 def _q_pages_invariant(spark, sf_dir):
     """Per-row invariant: byte-identical extracted text per url."""
     pages = pages_src.synth_pages(spark, sf_dir)
@@ -362,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_statistics": _q_grid_stats,
         "grid_statistics_spark": _q_grid_stats_spark,
         "dms_parts": _q_dms,
+        "dms_roundtrip": _q_dms_roundtrip,
         "pages_text_invariant": _q_pages_invariant,
         "normalize_angles": _q_normalize,
         "multimodal_binary_meta": _q_multimodal,
@@ -449,6 +482,39 @@ def oracle_sql() -> dict[str, str]:
         FROM __PTS__
       ) _d
     """.replace("__PTS__", _P)
+    # mirror of _q_dms_roundtrip: identical string build, then the
+    # parser arithmetic re-derived from the string (pinned op order)
+    dms_roundtrip_sql = """
+      SELECT pkey, dms_str,
+             (CAST(acc % 100 AS DOUBLE) + fract) * (1.0e0 / 3600.0e0)
+               + (CAST((acc % 10000) // 100 AS DOUBLE) * (1.0e0 / 60.0e0)
+                  + CAST(acc // 10000 AS DOUBLE)) AS parsed_deg
+      FROM (
+        SELECT pkey, dms_str,
+               CAST(substring(dms_str, 1, position('.' IN dms_str) - 1) AS BIGINT) AS acc,
+               CAST(concat('0.', substring(dms_str, position('.' IN dms_str) + 1)) AS DOUBLE) AS fract
+        FROM (
+          SELECT pkey,
+                 concat(CAST(deg AS VARCHAR),
+                        lpad(CAST(mi AS VARCHAR), 2, '0'),
+                        lpad(CAST(sec AS VARCHAR), 2, '0'),
+                        '.',
+                        lpad(CAST(CAST(floor((ss - trunc(ss)) * 1000000.0e0) AS BIGINT) AS VARCHAR), 6, '0')) AS dms_str
+          FROM (
+            SELECT pkey, deg, mi, ss, CAST(trunc(ss) AS BIGINT) AS sec
+            FROM (
+              SELECT pkey, deg, CAST(trunc(mm) AS BIGINT) AS mi,
+                     (mm - trunc(mm)) * 60.0e0 AS ss
+              FROM (
+                SELECT pkey, CAST(trunc(lat) AS BIGINT) AS deg,
+                       (lat - trunc(lat)) * 60.0e0 AS mm
+                FROM __PTS__
+              ) _a
+            ) _b
+          ) _c
+        ) _d
+      ) _e
+    """.replace("__PTS__", _P)
     coverage_sql = f"""
       SELECT meshcode, CAST(COUNT(*) AS BIGINT) AS n_points
       FROM ({oracle.tile_sql(_P, _UNIT)}) _t
@@ -531,6 +597,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_statistics": grid_stats_sql,
         "grid_statistics_spark": grid_stats_spark_sql,
         "dms_parts": dms_sql,
+        "dms_roundtrip": dms_roundtrip_sql,
         "pages_text_invariant": pages_invariant_sql,
         "normalize_angles": normalize_sql,
         "multimodal_binary_meta": multimodal_sql,
