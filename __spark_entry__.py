@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash,
         "dedup_ngram_jaccard": _sql_q(webops.ngram_jaccard_sql),
         "simhash": _sql_q(webops.simhash_sql),
+        "winnowing_fingerprint": _sql_q(webops.winnowing_sql),
         "events_window": _sql_q(webops.events_window_sql),
         "ann_cosine_topk": _sql_q(webops.ann_topk_sql),
         "ann_lsh_topk": _q_ann_lsh,
@@ -611,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": webops.minhash_pairs_sql(DUCK),
         "dedup_ngram_jaccard": webops.ngram_jaccard_sql(DUCK),
         "simhash": webops.simhash_sql(DUCK),
+        "winnowing_fingerprint": webops.winnowing_sql(DUCK),
         "events_window": webops.events_window_sql(DUCK),
         "ann_cosine_topk": webops.ann_topk_sql(DUCK),
         # ann_lsh_topk / embedding_near_dup: approximate operators —

@@ -130,3 +130,12 @@ def simhash_expr(tids: str, d: str, bits: int = 16) -> str:
         )
         terms.append(f"(CASE WHEN {s} > 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def slice_list(l: str, start: str, length: str, d: str) -> str:
+    """length-bounded sublist from 1-based start (dialects differ:
+    Spark slice(l, start, len); DuckDB list_slice(l, begin, end)
+    inclusive)."""
+    if d == SPARK:
+        return f"slice({l}, {start}, {length})"
+    return f"list_slice({l}, {start}, ({start}) + ({length}) - 1)"

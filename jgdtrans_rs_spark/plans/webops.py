@@ -342,3 +342,27 @@ def ann_topk_sql(d: str, embeddings: str = "embeddings",
       ) _r
       WHERE rnk <= {k}
     """
+
+
+def winnowing_sql(d: str, docs: str = "documents", window: int = 4) -> str:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003
+    — the MOSS local fingerprinting algorithm): rolling 3-gram shingle
+    hashes (textsql.shingle_ints, a Rabin-Karp-style rolling hash over
+    token ids), then the minimum of each sliding window of ``window``
+    hashes, deduplicated per document.  Guarantees any shared substring
+    of >= window+2 tokens contributes at least one common fingerprint
+    — the rolling-hash fingerprint primitive of a corpus pipeline.
+
+    Output: (doc_id, fp) exploded rows, integers only -> hash-stable.
+    """
+    tids = T.tok_ids("text", d)
+    sints = T.shingle_ints(tids, d)
+    base = f"SELECT doc_id, {sints} AS sints FROM {docs}"
+    n = T.size("sints", d)
+    rng = T.range_list("1", f"{n} - {window} + 2", d)
+    win_min = T.list_min(T.slice_list("sints", "i", str(window), d), d)
+    mins = T.distinct(T.transform(rng, f"i -> {win_min}", d), d)
+    fps = f"SELECT doc_id, {mins} AS fps FROM ({base}) _b WHERE {n} >= {window}"
+    if d == SPARK:
+        return f"SELECT doc_id, fp FROM ({fps}) _f LATERAL VIEW explode(fps) _e AS fp"
+    return f"SELECT doc_id, unnest(fps) AS fp FROM ({fps}) _f"

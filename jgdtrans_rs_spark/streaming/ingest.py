@@ -42,3 +42,20 @@ def stream_pages_transform(engine: Engine, pages_stream: DataFrame,
     identical plan shape to batch)."""
     valid, _ = engine.validate(pages_stream, lat, lon)
     return engine.forward(valid, lat, lon, None)
+
+
+def stream_dedup_exact(pages_stream: DataFrame, text_col: str = "text",
+                       ts_col: str = "warc_ts",
+                       watermark: str = "24 hours") -> DataFrame:
+    """Streaming dedup-on-arrival: the streaming twin of
+    plans/webops.dedup_exact_sql.  ``dropDuplicatesWithinWatermark`` on
+    the content digest keeps state only for the watermark horizon —
+    bounded state at corpus scale (a plain dropDuplicates would grow
+    state forever on an unbounded crawl)."""
+    return (
+        pages_stream
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withColumn("digest", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )

@@ -258,3 +258,33 @@ def test_streaming_stateful_cell_lineage(spark, tmp_path):
     emissions = out[out["meshcode"] == 54401005]
     assert len(emissions) == 2
     assert emissions["n_rows"].max() > emissions["batch_rows"].max()
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Dedup-on-arrival drops repeated content across micro-batches
+    (two files, forced into separate batches)."""
+    import datetime
+
+    from jgdtrans_rs_spark.streaming.ingest import stream_dedup_exact
+
+    d = str(tmp_path / "dstream")
+    os.makedirs(d)
+    schema = "url string, warc_ts timestamp, text string"
+    t0 = datetime.datetime(2023, 1, 1)
+    f1 = [("u1", t0, "alpha beta"), ("u2", t0, "gamma delta"), ("u3", t0, "alpha beta")]
+    f2 = [("u4", t0, "alpha beta"), ("u5", t0, "epsilon zeta")]
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(d + "/f1")
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(d + "/f2")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(d + "/f*")
+    )
+    q = (
+        stream_dedup_exact(src)
+        .writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT text FROM dedup_stream").toPandas()
+    texts = sorted(out["text"])
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
