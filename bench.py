@@ -97,9 +97,9 @@ def run_pipeline(spark, sf_dir: str, multiplier: int = 1) -> tuple[dict, int]:
     # q1s/q3s: the JVM-only SQL engine variant (plans/spark_sql.py) —
     # zero Python workers, whole-stage codegen end to end; the path
     # past the per-JVM Arrow channel ceiling (BENCH/BASELINE.md).
-    # The SQL Newton inverse is NOT benched: its 32-join unrolled plan
-    # is Catalyst-planning-bound (~6s vs 1s for the Arrow kernel at
-    # sf0.1) — it exists for JVM-only deployments and as the oracle
+    # The SQL Newton inverse is NOT benched: its 20-join unrolled plan
+    # is Catalyst-planning-bound (~3s vs 1s for the Arrow kernel) — it
+    # exists for JVM-only deployments and as the oracle
     # (backward_newton_sqlonly), the Arrow kernel is the production
     # backward path.
     sql_eng = entry_mod._sql_engine(spark)

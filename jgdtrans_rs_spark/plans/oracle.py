@@ -297,21 +297,40 @@ def backward_compat_sql(input_rel: str, grid_rel: str, unit: int, key: str = "pk
     """
 
 
+STATE_COLS = ("q_lat, q_lon, q_alt, done, st, e_code, e_corner, "
+              "o_dlat, o_dlon, o_dalt, yn, xn")
+# prepare-corr columns carried in the state: the correction, its
+# status, and the 4-corner parameters for the Jacobian — renamed from
+# a corr_sql(expose_params=True) output
+PREP_COLS = """dlat_deg AS corr_y, dlon_deg AS corr_x,
+             status AS st1, err_meshcode AS ec1, err_corner AS eco1,
+             sw_lat_sec AS swla, se_lat_sec AS sela,
+             nw_lat_sec AS nwla, ne_lat_sec AS nela,
+             sw_lon_sec AS swlo, se_lon_sec AS selo,
+             nw_lon_sec AS nwlo, ne_lon_sec AS nelo"""
+
+
 def backward_newton_stages(input_rel: str, grid_rel: str, unit: int,
                            key: str = "pkey", iterations: int = 4) -> list[str]:
     """The Newton inverse as composable stages: element 0 is the
-    initial state over ``input_rel``; element i is iteration i's SQL
-    with ``__STATE__`` standing for the previous stage's relation; the
-    last element is the output projection over ``__STATE__``.
+    initial state + prepare-corr over ``input_rel``; element i is
+    iteration i's SQL with ``__STATE__`` standing for the previous
+    stage's relation; the last element is the output projection.
+
+    Each iteration runs ONE corr (at the updated iterate) and carries
+    it as the next iteration's prepare values — the verification
+    resolve of iteration i is at the same point as the preparation
+    resolve of iteration i+1, exactly the carry the numpy kernel uses
+    (kernel.backward_corr).  20 grid joins total instead of 32.
 
     backward_newton_sql inlines the chain into ONE statement (the
     DuckDB oracle path); plans/spark_sql.py materializes each stage as
-    a temp view instead, because the fully inlined 4-iteration tree
-    exceeds Spark's analyzer fixed-point budget.
+    a temp view instead, because the fully inlined tree exceeds
+    Spark's analyzer fixed-point budget.
     """
-    stages = [_newton_state0(input_rel, key)]
+    stages = [_newton_state0(input_rel, key), _newton_prep0(grid_rel, unit, key)]
     for i in range(iterations):
-        stages.append(_newton_iteration("__STATE__", grid_rel, unit, key, i))
+        stages.append(_newton_iteration(grid_rel, unit, key, i))
     stages.append(f"""
       SELECT {key},
              CASE WHEN st = 0 THEN q_lat + o_dlat END AS out_lat,
@@ -326,10 +345,11 @@ def backward_newton_stages(input_rel: str, grid_rel: str, unit: int,
 def backward_newton_sql(input_rel: str, grid_rel: str, unit: int,
                         key: str = "pkey", iterations: int = 4) -> str:
     """Verified backward transform (trans.rs:556-672) as fully
-    unrolled SQL: per iteration, corr at the iterate (with corner
-    params exposed for the Jacobian), Newton update, verification corr
-    at the updated iterate, per-lane freeze on convergence
-    (|residual| < 5e-14 on both axes) or error.
+    unrolled SQL: per iteration, Jacobian from the carried
+    prepare-corr, Newton update, one corr at the updated iterate
+    (doubling as verification AND the next iteration's prepare),
+    per-lane freeze on convergence (|residual| < 5e-14 on both axes)
+    or error.
 
     The Jacobian uses the reference's absolute-coordinate quirk
     (trans.rs:624-648) and every float op is pinned to the kernel's
@@ -354,65 +374,60 @@ def _newton_state0(input_rel: str, key: str) -> str:
     """
 
 
-def _newton_iteration(state_rel: str, grid_rel: str, unit: int, key: str, i: int) -> str:
-    """One Newton iteration (prepare-corr + Jacobian update +
-    verification-corr + per-lane freeze) over the previous state
-    relation."""
-    pre = f"(SELECT *, yn AS lat, xn AS lon FROM {state_rel}) _sl{i}"
-    c1 = corr_sql(pre, grid_rel, unit, expose_params=True)
-    proj = f"""
-          SELECT {key}, q_lat, q_lon, q_alt, done, st, e_code, e_corner,
-                 o_dlat, o_dlon, o_dalt, yn, xn,
-                 dlat_deg AS corr_y, dlon_deg AS corr_x,
-                 status AS st1, err_meshcode AS ec1, err_corner AS eco1,
-                 sw_lat_sec AS swla, se_lat_sec AS sela,
-                 nw_lat_sec AS nwla, ne_lat_sec AS nela,
-                 sw_lon_sec AS swlo, se_lon_sec AS selo,
-                 nw_lon_sec AS nwlo, ne_lon_sec AS nelo
-          FROM ({c1}) _c{i}
-    """
+def _newton_prep0(grid_rel: str, unit: int, key: str) -> str:
+    """Initial prepare-corr at the query point itself."""
+    pre = "(SELECT *, yn AS lat, xn AS lon FROM __STATE__) _p0"
+    c = corr_sql(pre, grid_rel, unit, expose_params=True)
+    return f"SELECT {key}, {STATE_COLS}, {PREP_COLS} FROM ({c}) _c0"
+
+
+def _newton_iteration(grid_rel: str, unit: int, key: str, i: int) -> str:
+    """One Newton iteration over a state carrying prepare-corr columns:
+    Jacobian + update, one corr at the updated iterate (verification +
+    next prepare), per-lane freeze."""
     jac = f"""
-          SELECT *,
-                 q_lon - (xn + corr_x) AS fx,
-                 q_lat - (yn + corr_y) AS fy,
-                 -1.0e0 - ((selo - swlo) * (1.0e0 - yn) + (nelo - nwlo) * yn) / 3600.0e0 AS fx_x,
-                 -((nwlo - swlo) * (1.0e0 - xn) + (nelo - selo) * xn) / 3600.0e0 AS fx_y,
-                 -((sela - swla) * (1.0e0 - yn) + (nela - nwla) * yn) / 3600.0e0 AS fy_x,
-                 -1.0e0 - ((nwla - swla) * (1.0e0 - xn) + (nela - sela) * xn) / 3600.0e0 AS fy_y
-          FROM ({proj}) _jx{i}
+      SELECT *,
+             q_lon - (xn + corr_x) AS fx,
+             q_lat - (yn + corr_y) AS fy,
+             -1.0e0 - ((selo - swlo) * (1.0e0 - yn) + (nelo - nwlo) * yn) / 3600.0e0 AS fx_x,
+             -((nwlo - swlo) * (1.0e0 - xn) + (nelo - selo) * xn) / 3600.0e0 AS fx_y,
+             -((sela - swla) * (1.0e0 - yn) + (nela - nwla) * yn) / 3600.0e0 AS fy_x,
+             -1.0e0 - ((nwla - swla) * (1.0e0 - xn) + (nela - sela) * xn) / 3600.0e0 AS fy_y
+      FROM __STATE__
     """
     upd = f"""
-          SELECT {key}, q_lat, q_lon, q_alt, done, st, e_code, e_corner,
-                 o_dlat, o_dlon, o_dalt, st1, ec1, eco1,
-                 CASE WHEN done OR st1 <> 0 THEN yn
-                      ELSE yn - (fx_x * fy - fy_x * fx) / (fx_x * fy_y + (-fx_y) * fy_x) END AS yn,
-                 CASE WHEN done OR st1 <> 0 THEN xn
-                      ELSE xn - (fy_y * fx - fx_y * fy) / (fx_x * fy_y + (-fx_y) * fy_x) END AS xn
-          FROM ({jac}) _u{i}
+      SELECT {key}, q_lat, q_lon, q_alt, done, st, e_code, e_corner,
+             o_dlat, o_dlon, o_dalt, st1, ec1, eco1,
+             CASE WHEN done OR st1 <> 0 THEN yn
+                  ELSE yn - (fx_x * fy - fy_x * fx) / (fx_x * fy_y + (-fx_y) * fy_x) END AS yn,
+             CASE WHEN done OR st1 <> 0 THEN xn
+                  ELSE xn - (fy_y * fx - fx_y * fy) / (fx_x * fy_y + (-fx_y) * fy_x) END AS xn
+      FROM ({jac}) _u{i}
     """
     c2 = corr_sql(f"(SELECT *, yn AS lat, xn AS lon FROM ({upd}) _p{i}) _pl{i}",
-                  grid_rel, unit)
+                  grid_rel, unit, expose_params=True)
     return f"""
-          SELECT {key}, q_lat, q_lon, q_alt, yn, xn,
-                 (done OR st1 <> 0 OR status <> 0 OR _conv) AS done,
-                 CAST(CASE WHEN done THEN st
-                      WHEN st1 <> 0 THEN st1
-                      WHEN status <> 0 THEN status
-                      WHEN _conv THEN 0
-                      ELSE st END AS INTEGER) AS st,
-                 CAST(CASE WHEN done THEN e_code WHEN st1 <> 0 THEN ec1
-                      WHEN status <> 0 THEN err_meshcode ELSE e_code END AS BIGINT) AS e_code,
-                 CAST(CASE WHEN done THEN e_corner WHEN st1 <> 0 THEN eco1
-                      WHEN status <> 0 THEN err_corner ELSE e_corner END AS INTEGER) AS e_corner,
-                 CASE WHEN _conv THEN -dlat_deg ELSE o_dlat END AS o_dlat,
-                 CASE WHEN _conv THEN -dlon_deg ELSE o_dlon END AS o_dlon,
-                 CASE WHEN _conv THEN -dalt_m ELSE o_dalt END AS o_dalt
-          FROM (
-            SELECT *, (NOT done AND st1 = 0 AND status = 0
-                       AND abs(q_lat - (yn + dlat_deg)) < 5e-14
-                       AND abs(q_lon - (xn + dlon_deg)) < 5e-14) AS _conv
-            FROM ({c2}) _v{i}
-          ) _w{i}
+      SELECT {key}, q_lat, q_lon, q_alt, yn, xn,
+             (done OR st1 <> 0 OR status <> 0 OR _conv) AS done,
+             CAST(CASE WHEN done THEN st
+                  WHEN st1 <> 0 THEN st1
+                  WHEN status <> 0 THEN status
+                  WHEN _conv THEN 0
+                  ELSE st END AS INTEGER) AS st,
+             CAST(CASE WHEN done THEN e_code WHEN st1 <> 0 THEN ec1
+                  WHEN status <> 0 THEN err_meshcode ELSE e_code END AS BIGINT) AS e_code,
+             CAST(CASE WHEN done THEN e_corner WHEN st1 <> 0 THEN eco1
+                  WHEN status <> 0 THEN err_corner ELSE e_corner END AS INTEGER) AS e_corner,
+             CASE WHEN _conv THEN -dlat_deg ELSE o_dlat END AS o_dlat,
+             CASE WHEN _conv THEN -dlon_deg ELSE o_dlon END AS o_dlon,
+             CASE WHEN _conv THEN -dalt_m ELSE o_dalt END AS o_dalt,
+             {PREP_COLS}
+      FROM (
+        SELECT *, (NOT done AND st1 = 0 AND status = 0
+                   AND abs(q_lat - (yn + dlat_deg)) < 5e-14
+                   AND abs(q_lon - (xn + dlon_deg)) < 5e-14) AS _conv
+        FROM ({c2}) _v{i}
+      ) _w{i}
     """
 
 
