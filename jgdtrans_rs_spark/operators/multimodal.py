@@ -102,3 +102,32 @@ def decode_image(df: DataFrame, col: str = "html", out: str = "pixels") -> DataF
             "use byte_histogram_features for the deterministic stand-in"
         ) from exc
     raise NotImplementedError("wire PIL decode kernel here")
+
+
+def resize_bytes(df: DataFrame, col: str = "html", k: int = 32,
+                 out: str = "resized") -> DataFrame:
+    """Deterministic "resize" to a fixed-size representation: the
+    payload's bytes are block-averaged into exactly ``k`` values
+    (area-interpolation shape — the image-resize batch plumbing with a
+    byte-stream kernel; swap in a real interpolation kernel when an
+    imaging library is available).  Empty/NULL payloads resize to
+    zeros, so the output column is always a length-``k`` float array.
+    """
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def resize(data: pd.Series) -> pd.Series:
+        outs = []
+        edges = None
+        for payload in data:
+            if payload is None or len(payload) == 0:
+                outs.append(np.zeros(k))
+                continue
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+            # block boundaries: pixel i covers [i*n/k, (i+1)*n/k)
+            bounds = (np.arange(k + 1, dtype=np.int64) * arr.size) // k
+            sums = np.add.reduceat(arr, bounds[:-1])
+            widths = np.maximum(np.diff(bounds), 1)
+            outs.append(sums / widths)
+        return pd.Series(outs)
+
+    return df.withColumn(out, resize(F.col(col)))

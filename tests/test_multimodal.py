@@ -90,3 +90,25 @@ def test_raster_roundtrip(spark, semidyna_grid):
     ).count()
     assert outside == 0
     assert r.count() > 0
+
+
+def test_resize_bytes_shape_and_values(spark):
+    """resize plumbing: always exactly k values; block means match a
+    hand computation; empty/NULL payloads give zeros."""
+    import numpy as np
+
+    from jgdtrans_rs_spark.operators.multimodal import resize_bytes
+
+    rows = [
+        (1, bytes(range(8))),       # 8 bytes -> k=4 blocks of 2
+        (2, b"\xff" * 3),           # shorter than k
+        (3, b""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "pkey long, html binary")
+    out = {r["pkey"]: r["resized"]
+           for r in resize_bytes(df, k=4).select("pkey", "resized").collect()}
+    assert all(len(v) == 4 for v in out.values())
+    assert out[1] == [0.5, 2.5, 4.5, 6.5]
+    assert out[2][:3] != [0.0, 0.0, 0.0]  # data present
+    assert out[3] == [0.0] * 4 and out[4] == [0.0] * 4
