@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash,
         "dedup_ngram_jaccard": _sql_q(webops.ngram_jaccard_sql),
         "simhash": _sql_q(webops.simhash_sql),
+        "simhash_near_dup": _sql_q(webops.simhash_pairs_sql),
         "winnowing_fingerprint": _sql_q(webops.winnowing_sql),
         "events_window": _sql_q(webops.events_window_sql),
         "ann_cosine_topk": _sql_q(webops.ann_topk_sql),
@@ -612,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": webops.minhash_pairs_sql(DUCK),
         "dedup_ngram_jaccard": webops.ngram_jaccard_sql(DUCK),
         "simhash": webops.simhash_sql(DUCK),
+        "simhash_near_dup": webops.simhash_pairs_sql(DUCK),
         "winnowing_fingerprint": webops.winnowing_sql(DUCK),
         "events_window": webops.events_window_sql(DUCK),
         "ann_cosine_topk": webops.ann_topk_sql(DUCK),

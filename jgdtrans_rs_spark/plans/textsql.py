@@ -120,13 +120,23 @@ def minhash_exprs(sints: str, d: str) -> list[str]:
 
 
 def simhash_expr(tids: str, d: str, bits: int = 16) -> str:
-    """bits-bit simhash over token ids: bit j set iff
-    sum over tokens of (((tid * A_j) % 65536) % 2 * 2 - 1) > 0."""
+    """bits-bit simhash over token ids: bit j set iff the signed sum
+    over tokens of h_j(tid) is positive, where h_j is the HIGH bit of
+    the multiplicative hash (tid * A_j) mod 2^16 — Knuth multiplicative
+    hashing.  (The low bit would factor through parity(tid) and make
+    every bit identical — degenerate.)"""
     terms = []
     for j in range(bits):
         a_j = 2654435761 % (10_000_019 + j * 64 + 1)
+        if a_j % 2 == 0:
+            a_j += 1  # odd multiplier -> bijection on Z_2^16
         s = list_sum_int(
-            transform(tids, f"x -> ((x * {a_j}) % 65536) % 2 * 2 - 1", d), d
+            transform(
+                tids,
+                f"x -> (CASE WHEN ((x * {a_j}) % 65536) >= 32768 THEN 1 ELSE -1 END)",
+                d,
+            ),
+            d,
         )
         terms.append(f"(CASE WHEN {s} > 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"

@@ -366,3 +366,51 @@ def winnowing_sql(d: str, docs: str = "documents", window: int = 4) -> str:
     if d == SPARK:
         return f"SELECT doc_id, fp FROM ({fps}) _f LATERAL VIEW explode(fps) _e AS fp"
     return f"SELECT doc_id, unnest(fps) AS fp FROM ({fps}) _f"
+
+
+def _hamming(a: str, b: str, d: str) -> str:
+    if d == SPARK:
+        return f"bit_count({a} ^ {b})"
+    return f"bit_count(xor({a}, {b}))"
+
+
+def simhash_pairs_sql(d: str, docs: str = "documents", tau: int = 1) -> str:
+    """SimHash near-duplicate pairs: Hamming distance <= ``tau`` on the
+    16-bit fingerprint, candidates via banded equi-join.
+
+    The 16 bits split into 4 nibbles; by pigeonhole any pair within
+    Hamming distance 3 agrees on at least one nibble, so the self-join
+    keys on (band, nibble) — bucketed, never all-pairs — and the exact
+    bit_count verify runs only on candidates (sound for tau <= 3).
+    Runs over the dup-test corpus (exact copies + prefixed
+    near-copies) so positives exist; exact copies land at distance 0
+    with recall 1.0.
+    """
+    assert tau <= 3, "4-band pigeonhole guarantee only holds for tau <= 3"
+    corpus = _dup_corpus(docs, d)
+    tids = T.tok_ids("text", d)
+    sh = T.simhash_expr("_tids", d)
+    sigs = f"""
+      SELECT doc_id, CAST({sh} AS BIGINT) AS simhash
+      FROM (SELECT doc_id, {tids} AS _tids FROM ({corpus}) _c) _t
+      WHERE {T.size('_tids', d)} > 0
+    """
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"CAST(floor(simhash / {1 << (4 * b)}.0e0) AS BIGINT) % 16 AS nib FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+      WITH sigs AS ({sigs}),
+      bands AS ({bands}),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS ha,
+                        y.doc_id AS doc_b, y.simhash AS hb
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id
+      )
+      SELECT doc_a, doc_b,
+             CAST({_hamming('ha', 'hb', d)} AS INTEGER) AS hamming
+      FROM cand
+      WHERE {_hamming('ha', 'hb', d)} <= {tau}
+    """

@@ -151,3 +151,25 @@ def test_quality_score_buckets(spark, duck):
             + ") AS t(doc_id, text)")
     want = {r[0]: r[6] for r in con.sql(webops.quality_score_sql(DUCK, "qdocs")).fetchall()}
     assert want == got
+
+
+def test_simhash_pairs_recall_exact_copies(spark):
+    """The banded simhash join must recover every exact-copy pair at
+    Hamming distance 0, and the fingerprint must not be degenerate
+    (>100 distinct values over 500 docs — guards against the
+    parity-collapse bug where every bit factored through parity(tid))."""
+    from jgdtrans_rs_spark.plans import webops
+    from jgdtrans_rs_spark.plans.textsql import SPARK as SP
+
+    spark.read.parquet(f"{SF_SMALL}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    sigs = spark.sql(webops.simhash_sql(SP)).toPandas()
+    assert sigs["simhash"].nunique() > 100, sigs["simhash"].nunique()
+    pairs = spark.sql(webops.simhash_pairs_sql(SP)).toPandas()
+    got0 = {
+        (int(a), int(b))
+        for a, b, h in pairs[["doc_a", "doc_b", "hamming"]].itertuples(index=False)
+        if h == 0
+    }
+    exact = {(i, i + 1000000) for i in range(0, 500, 5)}
+    assert exact <= got0
