@@ -79,7 +79,9 @@ def test_ann_recall_vs_brute(spark, contract, approx):
     joined = b1.to_frame("b").join(l1.to_frame("l"), how="inner")
     assert len(joined) > 0
     recall = (joined["b"] == joined["l"]).mean()
-    assert recall >= 0.5, recall
+    # fully deterministic (seeded planes/centroids, fixed fixture):
+    # measured 0.8 (LSH) / 0.9 (IVF) — gate below with margin
+    assert recall >= 0.7, recall
 
 
 def test_embedding_near_dup_recall_vs_brute(spark):
