@@ -121,3 +121,19 @@ def dms_to_degree(c: Column) -> Column:
         .when(ok, value)
         .otherwise(F.lit(float("nan")))
     )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns as a pure
+    Column expression (F.zip_with product + F.aggregate fold) — the
+    zero-Python dot product.  Elements are cast to double before
+    multiplying so float32 inputs don't lose precision in the products.
+    """
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))

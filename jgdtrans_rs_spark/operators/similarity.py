@@ -17,14 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ArrayType,
-    BooleanType,
-    IntegerType,
-    LongType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import ArrayType, BooleanType, IntegerType, LongType
 
 from ..plans import webops
 from ..plans.textsql import SPARK
@@ -77,6 +70,25 @@ def signature_buckets(df: DataFrame, dim: int = 64, n_planes: int = 12,
     )
 
 
+def _rank_topk(joined: DataFrame, k: int, vec_col: str, id_col: str) -> DataFrame:
+    """Exact cosine re-rank of (query_id, q_vec, candidate) rows as a
+    pure Column cosine (F.zip_with/F.aggregate dot product) + window
+    row_number — zero Python in the re-rank; the window shuffle keys
+    on query_id like the grouped alternative would."""
+    from pyspark.sql import Window
+
+    from ..functions.columns import cosine_similarity
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc(F.col(id_col)))
+    return (
+        joined.withColumn("cos", cosine_similarity(F.col("q_vec"), F.col(vec_col)))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("neighbor_id"))
+    )
+
+
 def ann_lsh_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
                  dim: int = 64, n_planes: int = 4, n_tables: int = 8,
                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
@@ -101,27 +113,7 @@ def ann_lsh_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
         .dropDuplicates(["query_id", id_col])
     )
 
-    schema = StructType([
-        StructField("query_id", LongType(), False),
-        StructField("rank", IntegerType(), False),
-        StructField("neighbor_id", LongType(), False),
-    ])
-
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        qv = np.array([np.asarray(v, dtype=np.float64) for v in pdf["q_vec"]])
-        nv = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        dot = (qv * nv).sum(axis=1)
-        cos = dot / (np.sqrt((qv * qv).sum(axis=1)) * np.sqrt((nv * nv).sum(axis=1)))
-        out = pd.DataFrame({
-            "query_id": pdf["query_id"].to_numpy(),
-            "neighbor_id": pdf[id_col].to_numpy(),
-            "cos": cos,
-        })
-        out = out.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
-        return out[["query_id", "rank", "neighbor_id"]]
-
-    return joined.groupBy("query_id").applyInPandas(score, schema=schema)
+    return _rank_topk(joined, k, vec_col, id_col)
 
 
 def train_ivf_centroids(df: DataFrame, n_lists: int = 8, dim: int = 64,
@@ -194,27 +186,7 @@ def ann_ivf_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
     )
     joined = queries.join(corpus, "list_id").filter(F.col(id_col) != F.col("query_id"))
 
-    schema = StructType([
-        StructField("query_id", LongType(), False),
-        StructField("rank", IntegerType(), False),
-        StructField("neighbor_id", LongType(), False),
-    ])
-
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        qv = np.array([np.asarray(v, dtype=np.float64) for v in pdf["q_vec"]])
-        nv = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        dot = (qv * nv).sum(axis=1)
-        cos = dot / (np.sqrt((qv * qv).sum(axis=1)) * np.sqrt((nv * nv).sum(axis=1)))
-        out = pd.DataFrame({
-            "query_id": pdf["query_id"].to_numpy(),
-            "neighbor_id": pdf[id_col].to_numpy(),
-            "cos": cos,
-        }).drop_duplicates(["query_id", "neighbor_id"])
-        out = out.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
-        return out[["query_id", "rank", "neighbor_id"]]
-
-    return joined.groupBy("query_id").applyInPandas(score, schema=schema)
+    return _rank_topk(joined.dropDuplicates(["query_id", id_col]), k, vec_col, id_col)
 
 
 def augment_with_near_dups(df: DataFrame, every: int = 17, id_offset: int = 1_000_000,
