@@ -124,3 +124,30 @@ def test_tables_reader_parquet_fallback(spark):
     with pytest.raises(ValueError, match="time travel"):
         tables.read_table(spark, "/root/testdata/sf0.001/orders.parquet",
                           snapshot_version=3)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on meshcode join with zero Exchange in the
+    physical plan (the pay-once co-location layout)."""
+    from pyspark.sql import functions as F
+
+    from jgdtrans_rs_spark.sources.sink import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.range(1000).select(
+            F.col("id").alias("pkey"),
+            (F.col("id") % 97).alias("meshcode"),
+            (F.col("id") * 2).alias("payload"),
+        )
+        write_bucketed_table(df, "pts_a", n_buckets=8)
+        write_bucketed_table(df.withColumnRenamed("payload", "other"), "pts_b",
+                             n_buckets=8)
+        j = spark.table("pts_a").join(spark.table("pts_b"), "meshcode")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS pts_a")
+        spark.sql("DROP TABLE IF EXISTS pts_b")
