@@ -119,7 +119,10 @@ def minhash_exprs(sints: str, d: str) -> list[str]:
     return out
 
 
-def simhash_expr(tids: str, d: str, bits: int = 16) -> str:
+SIMHASH_BITS = 32  # 16-bit fingerprints birthday-collide at ~300 docs
+
+
+def simhash_expr(tids: str, d: str, bits: int = SIMHASH_BITS) -> str:
     """bits-bit simhash over token ids: bit j set iff the signed sum
     over tokens of h_j(tid) is positive, where h_j is the HIGH bit of
     the multiplicative hash (tid * A_j) mod 2^16 — Knuth multiplicative

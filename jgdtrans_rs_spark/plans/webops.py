@@ -248,7 +248,8 @@ def minhash_pairs_sql(d: str, docs: str = "documents", tau_pct: int = 60) -> str
 
 
 def simhash_sql(d: str, docs: str = "documents") -> str:
-    """16-bit simhash fingerprint per document (integer output)."""
+    """SIMHASH_BITS-bit simhash fingerprint per document (integer
+    output)."""
     tids = T.tok_ids("text", d)
     sh = T.simhash_expr("_tids", d)
     return f"""
@@ -376,17 +377,18 @@ def _hamming(a: str, b: str, d: str) -> str:
 
 def simhash_pairs_sql(d: str, docs: str = "documents", tau: int = 1) -> str:
     """SimHash near-duplicate pairs: Hamming distance <= ``tau`` on the
-    16-bit fingerprint, candidates via banded equi-join.
+    SIMHASH_BITS-bit fingerprint, candidates via banded equi-join.
 
-    The 16 bits split into 4 nibbles; by pigeonhole any pair within
-    Hamming distance 3 agrees on at least one nibble, so the self-join
-    keys on (band, nibble) — bucketed, never all-pairs — and the exact
-    bit_count verify runs only on candidates (sound for tau <= 3).
-    Runs over the dup-test corpus (exact copies + prefixed
+    The bits split into 4 equal bands; by pigeonhole any pair within
+    Hamming distance 3 agrees on at least one band, so the self-join
+    keys on (band, band_value) — bucketed, never all-pairs — and the
+    exact bit_count verify runs only on candidates (sound for
+    tau <= 3).  Runs over the dup-test corpus (exact copies + prefixed
     near-copies) so positives exist; exact copies land at distance 0
     with recall 1.0.
     """
     assert tau <= 3, "4-band pigeonhole guarantee only holds for tau <= 3"
+    band_bits = T.SIMHASH_BITS // 4
     corpus = _dup_corpus(docs, d)
     tids = T.tok_ids("text", d)
     sh = T.simhash_expr("_tids", d)
@@ -397,7 +399,8 @@ def simhash_pairs_sql(d: str, docs: str = "documents", tau: int = 1) -> str:
     """
     bands = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, "
-        f"CAST(floor(simhash / {1 << (4 * b)}.0e0) AS BIGINT) % 16 AS nib FROM sigs"
+        f"CAST(floor(simhash / {1 << (band_bits * b)}.0e0) AS BIGINT) % {1 << band_bits} "
+        f"AS nib FROM sigs"
         for b in range(4)
     )
     return f"""
