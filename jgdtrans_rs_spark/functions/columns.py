@@ -136,4 +136,6 @@ def cosine_similarity(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
 
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    # try_divide: a zero-norm vector yields NULL (ANSI division by
+    # zero would throw); callers must treat NULL as "no similarity"
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))

@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, BooleanType, IntegerType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from ..plans import webops
 from ..plans.textsql import SPARK
@@ -83,6 +83,10 @@ def _rank_topk(joined: DataFrame, k: int, vec_col: str, id_col: str) -> DataFram
         F.desc("cos"), F.asc(F.col(id_col)))
     return (
         joined.withColumn("cos", cosine_similarity(F.col("q_vec"), F.col(vec_col)))
+        # zero-norm vectors give NULL cosine (try_divide), NaN inputs
+        # give NaN — neither may enter the ranking (Spark sorts NaN
+        # above every double, so an unguarded DESC would rank it first)
+        .filter(F.col("cos").isNotNull() & ~F.isnan(F.col("cos")))
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col(id_col).alias("neighbor_id"))
@@ -131,11 +135,18 @@ def train_ivf_centroids(df: DataFrame, n_lists: int = 8, dim: int = 64,
     reproducible across runs."""
     n = df.count()
     m = max(1, n // sample_rows)
+    # no limit() after the filter: the hash predicate alone decides
+    # membership, so the sample is identical under any partitioning
+    # (limit would truncate the ~sample_rows survivors scan-order-first)
     sample = (
         df.filter(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m)) == 0)
-        .select(vec_col).limit(sample_rows).collect()
+        .select(vec_col).collect()
     )
     mat = np.array([np.asarray(r[0], dtype=np.float64) for r in sample])
+    if len(mat) < n_lists:
+        raise ValueError(
+            f"IVF training sample has {len(mat)} rows < n_lists={n_lists}; "
+            "lower n_lists or raise sample_rows")
     rs = np.random.RandomState(seed)
     centroids = mat[rs.choice(len(mat), n_lists, replace=False)]
     for _ in range(iters):
@@ -256,19 +267,13 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
         .dropDuplicates(["a", "b"])
     )
 
-    # exact verify: boolean pandas_udf + JVM filter (row reduction in
-    # codegen; only the two vector columns ship through Python)
-    @F.pandas_udf(BooleanType())
-    def above_threshold(va_s: pd.Series, vb_s: pd.Series) -> pd.Series:
-        if len(va_s) == 0:
-            return pd.Series([], dtype=bool)
-        va = np.array([np.asarray(v, dtype=np.float64) for v in va_s])
-        vb = np.array([np.asarray(v, dtype=np.float64) for v in vb_s])
-        dot = (va * vb).sum(axis=1)
-        cos = dot / (np.sqrt((va * va).sum(axis=1)) * np.sqrt((vb * vb).sum(axis=1)))
-        return pd.Series(cos >= threshold)
+    # exact verify wholly in codegen: the Column cosine (no bit-parity
+    # contract here — this is an approximate operator with a recall
+    # gate, not an oracle); NaN >= threshold is false, so zero-norm
+    # pairs drop out.  pairs is already unique on (a, b).
+    from ..functions.columns import cosine_similarity
 
     return (
-        pairs.filter(above_threshold(F.col("va"), F.col("vb")))
-        .select("a", "b").distinct()
+        pairs.filter(cosine_similarity(F.col("va"), F.col("vb")) >= threshold)
+        .select("a", "b")
     )

@@ -527,6 +527,8 @@ def knn_nodes_sql(input_rel: str, unit: int, k: int = 3, key: str = "pkey") -> s
     squared degree distance, ties broken by meshcode.
     Output (key, rank, node_code) — all integers.
     """
+    if k > 4:
+        raise ValueError("knn_nodes_sql supports k <= 4 (candidate window proof)")
     cells = digits_select("lat", "lon", unit).replace("__IN__", input_rel)
     lat0 = ("lat1", "lat2", "lat3")
     lon0 = ("lon1", "lon2", "lon3")

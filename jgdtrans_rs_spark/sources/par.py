@@ -62,22 +62,43 @@ def read_par_df(spark: SparkSession, path: str, format: str,
     )
     df = lines.select(
         "lineno",
+        F.length(F.col("value")).alias("_len"),
         code,
         slice_col(lat_rng, "dlat_sec"),
         slice_col(lon_rng, "dlon_sec"),
         slice_col(alt_rng, "dalt_m"),
     )
     if strict:
-        bad = df.filter(
-            F.col("meshcode").isNull() | F.col("dlat_sec").isNull()
-            | F.col("dlon_sec").isNull() | F.col("dalt_m").isNull()
-        ).select("lineno", F.col("meshcode").isNull().alias("int_err")).limit(1).collect()
+        # reference field order (grid.parse_par): Meshcode, then the
+        # present parameter columns
+        checks = [("Meshcode", code_rng, "meshcode")]
+        for name, rng, field in (("Latitude", lat_rng, "dlat_sec"),
+                                 ("Longitude", lon_rng, "dlon_sec"),
+                                 ("Altitude", alt_rng, "dalt_m")):
+            if rng is not None:
+                checks.append((name, rng, field))
+        # a line shorter than a field's end is ColumnNotFound even when
+        # try_cast happens to parse the truncated text -> include the
+        # length condition in the bad-line predicate
+        max_end = max(rng[1] for _, rng, _ in checks)
+        bad_pred = F.col("_len") < max_end
+        for _, _, field in checks:
+            bad_pred = bad_pred | F.col(field).isNull()
+        bad = (
+            df.filter(bad_pred).orderBy("lineno")  # earliest line first
+            .select("lineno", "_len",
+                    *[F.col(f).isNull().alias(f"_bad_{f}") for _, _, f in checks])
+            .limit(1).collect()
+        )
         if bad:
-            kind = "ParseInt" if bad[0]["int_err"] else "ParseFloat"
-            lineno = int(bad[0]["lineno"]) + 1  # reference counts 1-based
-            rng = code_rng if bad[0]["int_err"] else (lat_rng or lon_rng or alt_rng)
-            raise ParseParError(kind, lineno, rng[0], rng[1],
-                                "Meshcode" if bad[0]["int_err"] else "Parameter")
+            r = bad[0]
+            lineno = int(r["lineno"]) + 1  # reference counts 1-based
+            for name, rng, field in checks:
+                if int(r["_len"]) < rng[1]:
+                    raise ParseParError("ColumnNotFound", lineno, rng[0], rng[1], name)
+                if r[f"_bad_{field}"]:
+                    kind = "ParseInt" if field == "meshcode" else "ParseFloat"
+                    raise ParseParError(kind, lineno, rng[0], rng[1], name)
     else:
         df = df.filter(F.col("meshcode").isNotNull()).na.fill(0.0)
 

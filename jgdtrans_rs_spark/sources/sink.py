@@ -103,8 +103,11 @@ def run_checkpointed(df: DataFrame, out_dir: str, mesh_col: str = "meshcode",
     # metrics pass over the written output (2-column columnar scan)
     has_status = status_col in df.columns
     group_cols = ["bucket_group"] + ([status_col] if has_status else [])
+    # explicit schema: an all-empty pending write leaves only _SUCCESS
+    # in data_dir, where schema inference would fail — with the schema
+    # given, the read yields an empty frame and zero-row manifests
     counts = (
-        spark.read.parquet(data_dir)
+        spark.read.schema(part.schema).parquet(data_dir)
         .filter(F.col("bucket_group").isin(pending))
         .groupBy(*group_cols).count().collect()
     )

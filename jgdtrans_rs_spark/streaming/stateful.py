@@ -38,27 +38,28 @@ OUTPUT_SCHEMA = StructType([
     StructField("n_rows", LongType(), False),
     StructField("n_ok", LongType(), False),
     StructField("batch_rows", LongType(), False),
-    StructField("last_status", IntegerType(), False),
+    StructField("max_status", IntegerType(), False),
 ])
 
 
 def _update_cell(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
     n_rows, n_ok = state.get if state.exists else (0, 0)
     batch_rows = 0
-    last_status = -1
+    max_status = -1  # worst status this batch: deterministic, unlike
+    # "last" (chunk/row order is not guaranteed by the runtime)
     for pdf in pdfs:
         batch_rows += len(pdf)
         n_rows += len(pdf)
         n_ok += int((pdf["status"] == 0).sum())
         if len(pdf):
-            last_status = int(pdf["status"].iloc[-1])
+            max_status = max(max_status, int(pdf["status"].max()))
     state.update((n_rows, n_ok))
     yield pd.DataFrame({
         "meshcode": [key[0]],
         "n_rows": [n_rows],
         "n_ok": [n_ok],
         "batch_rows": [batch_rows],
-        "last_status": [last_status],
+        "max_status": [max_status],
     })
 
 

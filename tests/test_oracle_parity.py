@@ -175,3 +175,18 @@ def test_simhash_pairs_recall_exact_copies(spark):
     }
     exact = {(i, i + 1000000) for i in range(0, 500, 5)}
     assert exact <= got0
+
+
+def test_ann_zero_norm_vector_never_ranks(spark):
+    """A zero-norm embedding produces NaN cosines; it must never enter
+    the top-k (Spark sorts NaN above every double, so an unguarded
+    DESC window would rank it first)."""
+    from jgdtrans_rs_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * dim, 0)], "vec_id long, embedding array<float>, label int")
+    got = similarity.ann_lsh_topk(emb.unionByName(zero), n_queries=5, k=5).toPandas()
+    assert 999_999 not in set(got["neighbor_id"])
+    assert (got.groupby("query_id")["rank"].max() <= 5).all() and len(got) > 0

@@ -151,3 +151,41 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS pts_a")
         spark.sql("DROP TABLE IF EXISTS pts_b")
+
+
+def test_par_reader_column_not_found_and_attribution(spark, tmp_path):
+    """Truncated lines raise ColumnNotFound (not a silently-parsed
+    truncated float); malformed fields are attributed to the actual
+    column; the earliest bad line wins."""
+    import pytest
+
+    from jgdtrans_rs_spark.grid import ParseParError
+
+    short = tmp_path / "short.par"
+    short.write_text("h1\nh2\n46303582   11.4\n")  # line ends mid-latitude
+    with pytest.raises(ParseParError) as ei:
+        read_par_df(spark, str(short), "TKY2JGD").collect()
+    assert ei.value.kind == "ColumnNotFound"
+
+    lonbad = tmp_path / "lonbad.par"
+    lonbad.write_text(
+        "h1\nh2\n"
+        "46303582   11.49105   xx.88759\n"   # line 3: longitude malformed
+        "46303592   yy.49099   -9.88994\n"   # line 4: latitude malformed
+    )
+    with pytest.raises(ParseParError) as ei:
+        read_par_df(spark, str(lonbad), "TKY2JGD").collect()
+    assert ei.value.kind == "ParseFloat"
+    assert ei.value.column == "Longitude"  # earliest line, actual column
+    assert ei.value.lineno == 3
+
+
+def test_sink_all_empty_pending_write(spark, tmp_path):
+    """A fresh checkpoint run over an empty input must write zero-row
+    manifests, not crash on schema inference of an empty directory."""
+    from jgdtrans_rs_spark.sources import sink
+
+    df = spark.createDataFrame([], "pkey long, meshcode long, status int")
+    m = sink.run_checkpointed(df, str(tmp_path / "empty_out"), n_groups=4)
+    assert [x["bucket_group"] for x in m] == [0, 1, 2, 3]
+    assert all(x["n_rows"] == 0 for x in m)
