@@ -14,7 +14,7 @@ Layout:
     grid.py      par parser + broadcastable MeshGrid + exact statistics
     kernel.py    forward/backward transform kernels (numpy)
     dms.py       degree-minute-second scalar functions
-    engine.py    the Spark layer (broadcast grid, mapInPandas transforms)
+    engine.py    the Spark layer (broadcast grid, pandas_udf transforms)
     functions/   pure Column expression helpers (JVM-side, codegen-friendly)
     operators/   spatial joins, kNN, dedup, similarity
     sources/     synthetic pages source, par reader, checkpointed sink

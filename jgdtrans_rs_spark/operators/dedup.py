@@ -10,7 +10,7 @@ physical strategy:
                    keys and shingle ids; at 100 TB the band join is the
                    scalable candidate generator (pair count stays near
                    linear instead of quadratic).
-* simhash        — 16-bit fingerprint per doc (near-dup by Hamming
+* simhash        — 32-bit fingerprint per doc (near-dup by Hamming
                    distance on the int).
 * ngram_jaccard  — exact blocked self-join (the small-corpus verifier
                    for minhash_lsh's recall).
@@ -46,7 +46,7 @@ def minhash_lsh_pairs(spark: SparkSession, docs: str = "documents",
 
 
 def simhash(spark: SparkSession, docs: str = "documents") -> DataFrame:
-    """(doc_id, simhash) 16-bit fingerprints."""
+    """(doc_id, simhash) SIMHASH_BITS-bit fingerprints."""
     return spark.sql(webops.simhash_sql(SPARK, docs))
 
 
