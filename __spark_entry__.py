@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- training-data pipeline (declarative Spark SQL) --
         "text_stats": _sql_q(webops.text_stats_sql),
         "quality_score": _sql_q(webops.quality_score_sql),
+        "source_stats": _sql_q(webops.source_stats_sql),
         "lang_id": _sql_q(webops.lang_id_sql),
         "dedup_exact": _sql_q(webops.dedup_exact_sql),
         "dedup_minhash_lsh": _q_minhash,
@@ -608,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_vectorize": raster_vec_sql,
         "text_stats": webops.text_stats_sql(DUCK),
         "quality_score": webops.quality_score_sql(DUCK),
+        "source_stats": webops.source_stats_sql(DUCK),
         "lang_id": webops.lang_id_sql(DUCK),
         "dedup_exact": webops.dedup_exact_sql(DUCK),
         "dedup_minhash_lsh": webops.minhash_pairs_sql(DUCK),

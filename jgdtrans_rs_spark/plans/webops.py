@@ -417,3 +417,19 @@ def simhash_pairs_sql(d: str, docs: str = "documents", tau: int = 1) -> str:
       FROM cand
       WHERE {_hamming('ha', 'hb', d)} <= {tau}
     """
+
+
+def source_stats_sql(d: str, docs: str = "documents") -> str:
+    """Per-source (per-domain) corpus monitor: doc count, language
+    spread, volume, and within-source exact-duplicate count — the
+    aggregation a crawl pipeline runs to rank domains for inclusion /
+    dedup pressure.  One shuffle on source; integer outputs."""
+    return f"""
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+      FROM {docs}
+      GROUP BY source
+    """
