@@ -206,8 +206,10 @@ def _q_grid_stats(spark, sf_dir):
 def _q_grid_stats_spark(spark, sf_dir):
     """Distributed statistics twin (SURVEY §2.5): Spark aggregates
     instead of the exact driver-side ksum — for grids too large to
-    collect.  Rounded to 12dp for hash stability (plain double sums
-    are order-dependent)."""
+    collect.  statistics_df computes in a single meshcode-ordered
+    partition (deterministic, same serial order as the oracle); the
+    12dp rounding only absorbs the hypot-vs-sqrt style last-ulp
+    differences."""
     df = _engine(spark).statistics_df()
     return df.select(
         "component", "n",

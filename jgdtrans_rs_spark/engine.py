@@ -416,16 +416,24 @@ class Engine:
         one shuffle on the 4-way component key.
 
         Caveats vs the exact path (documented, tested to agree within
-        ~1e-12 relative on the fixture grids): plain double sums are
-        partition-order dependent, unlike the reference's serial
-        compensated ksum (transformer.rs:9-22); ``horizontal`` uses
-        sqrt(a*a + b*b) rather than numpy's ulp-careful hypot.  The
-        std keeps the reference's unusual total-based formula
-        sqrt(ksum((sum - v)^2) / n) (transformer.rs:190-237).
+        ~1e-12 relative on the fixture grids): plain double sums (not
+        the reference's compensated ksum, transformer.rs:9-22);
+        ``horizontal`` uses sqrt(a*a + b*b) rather than numpy's
+        ulp-careful hypot.  The std keeps the reference's unusual
+        total-based formula sqrt(ksum((sum - v)^2) / n)
+        (transformer.rs:190-237).
+
+        Determinism: the grid is coalesced to ONE partition so the
+        sums accumulate in meshcode order — the same serial order the
+        DuckDB oracle uses — making the output run-to-run stable.
+        That is sound because parameter grids are small relative to
+        the cluster by design (they broadcast; <= ~1M rows): a
+        multi-partition window sum would be shuffle-fetch-order
+        dependent and no rounding granularity truly fixes that.
         """
         from pyspark.sql import Window
 
-        melted = self.grid_df().selectExpr(
+        melted = self.grid_df().coalesce(1).selectExpr(
             "stack(4, 'latitude', dlat_sec, 'longitude', dlon_sec, "
             "'altitude', dalt_m, "
             "'horizontal', sqrt(dlat_sec * dlat_sec + dlon_sec * dlon_sec)) "

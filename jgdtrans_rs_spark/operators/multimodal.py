@@ -117,7 +117,6 @@ def resize_bytes(df: DataFrame, col: str = "html", k: int = 32,
     @F.pandas_udf(ArrayType(DoubleType()))
     def resize(data: pd.Series) -> pd.Series:
         outs = []
-        edges = None
         for payload in data:
             if payload is None or len(payload) == 0:
                 outs.append(np.zeros(k))

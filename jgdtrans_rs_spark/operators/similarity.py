@@ -137,12 +137,15 @@ def train_ivf_centroids(df: DataFrame, n_lists: int = 8, dim: int = 64,
     m = max(1, n // sample_rows)
     # no limit() after the filter: the hash predicate alone decides
     # membership, so the sample is identical under any partitioning
-    # (limit would truncate the ~sample_rows survivors scan-order-first)
+    # (limit would truncate the ~sample_rows survivors scan-order-first);
+    # sorting by id fixes the ROW ORDER too — the seeded init pick and
+    # the Lloyd means are order-sensitive
     sample = (
         df.filter(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m)) == 0)
-        .select(vec_col).collect()
+        .select(id_col, vec_col).collect()
     )
-    mat = np.array([np.asarray(r[0], dtype=np.float64) for r in sample])
+    sample.sort(key=lambda r: r[0])
+    mat = np.array([np.asarray(r[1], dtype=np.float64) for r in sample])
     if len(mat) < n_lists:
         raise ValueError(
             f"IVF training sample has {len(mat)} rows < n_lists={n_lists}; "
@@ -243,6 +246,11 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
     join.  Bucket-size detection is one aggregate over the persisted
     signature stage.
     """
+    # persisted: b feeds the hot-bucket aggregate AND both join sides
+    # (a self-join re-executes shared lineage), so caching saves two
+    # recomputes.  The cache is MEMORY_AND_DISK and LRU-evicted; callers
+    # issuing many near-dup runs in one session can reclaim it earlier
+    # with sparkSession.catalog.clearCache() once results are written.
     b = signature_buckets(df, dim, n_planes, n_tables, vec_col, id_col).persist()
     # combined (table, bucket) key fits an int64: bucket < 2^n_planes
     bkey = (F.col("table").cast("long") * (1 << n_planes) + F.col("bucket"))

@@ -59,7 +59,11 @@ class SqlEngine:
         )
 
     def _input_rel(self, df: DataFrame) -> str:
-        name = f"_sql_engine_in_{next(_view_ids)}"
+        # fixed per-engine name, replaced per call: spark.sql analyzes
+        # (and resolves the view) eagerly, so later replacement cannot
+        # disturb previously built DataFrames — and the session catalog
+        # stays bounded instead of accreting one view per call
+        name = f"{self.grid_view}_in"
         df.createOrReplaceTempView(name)
         return name
 
@@ -88,8 +92,8 @@ class SqlEngine:
         stages = oracle.backward_newton_stages(
             self._input_rel(df), self.grid_rel, self.unit, key)
         state = self.spark.sql(stages[0])
-        for st in stages[1:]:
-            name = f"_newton_state_{next(_view_ids)}"
+        for i, st in enumerate(stages[1:]):
+            name = f"{self.grid_view}_newton_{i}"  # fixed names, see _input_rel
             state.createOrReplaceTempView(name)
             state = self.spark.sql(st.replace("__STATE__", name))
         return state

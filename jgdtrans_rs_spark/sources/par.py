@@ -41,8 +41,15 @@ def read_par_df(spark: SparkSession, path: str, format: str,
     """
     header, code_rng, lat_rng, lon_rng, alt_rng = PAR_LAYOUTS[format]
     rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    all_lines = spark.createDataFrame(rdd, "value string, lineno long")
+    if strict:
+        # a file shorter than the header block is a Header error
+        # (par.rs:360-366), not an empty grid
+        n_lines = all_lines.count()
+        if n_lines < header:
+            raise ParseParError("Header", n_lines, 0, 0, None)
     lines = (
-        spark.createDataFrame(rdd, "value string, lineno long")
+        all_lines
         .filter(F.col("lineno") >= header)  # exact header skip (par.rs:360-366)
         .withColumn("value", F.regexp_replace(F.col("value"), "\r$", ""))
     )

@@ -189,3 +189,17 @@ def test_sink_all_empty_pending_write(spark, tmp_path):
     m = sink.run_checkpointed(df, str(tmp_path / "empty_out"), n_groups=4)
     assert [x["bucket_group"] for x in m] == [0, 1, 2, 3]
     assert all(x["n_rows"] == 0 for x in m)
+
+
+def test_par_reader_header_error(spark, tmp_path):
+    """A file shorter than the layout's header block raises the
+    reference's Header error instead of yielding an empty grid."""
+    import pytest
+
+    from jgdtrans_rs_spark.grid import ParseParError
+
+    p = tmp_path / "trunc.par"
+    p.write_text("only one line\n")  # TKY2JGD expects 2 header lines
+    with pytest.raises(ParseParError) as ei:
+        read_par_df(spark, str(p), "TKY2JGD")
+    assert ei.value.kind == "Header"
