@@ -349,6 +349,20 @@ def _q_multimodal(spark, sf_dir):
     )
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    from jgdtrans_rs_spark.operators import dedup as dedup_ops
+
+    _view(spark, sf_dir, "documents")
+    return dedup_ops.simhash_pairs(spark)
+
+
+def _q_winnowing(spark, sf_dir):
+    from jgdtrans_rs_spark.operators import dedup as dedup_ops
+
+    _view(spark, sf_dir, "documents")
+    return dedup_ops.winnowing_fingerprints(spark)
+
+
 def _q_minhash(spark, sf_dir):
     from jgdtrans_rs_spark.operators import dedup as dedup_ops
 
@@ -412,8 +426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash,
         "dedup_ngram_jaccard": _sql_q(webops.ngram_jaccard_sql),
         "simhash": _sql_q(webops.simhash_sql),
-        "simhash_near_dup": _sql_q(webops.simhash_pairs_sql),
-        "winnowing_fingerprint": _sql_q(webops.winnowing_sql),
+        "simhash_near_dup": _q_simhash_pairs,
+        "winnowing_fingerprint": _q_winnowing,
         "events_window": _sql_q(webops.events_window_sql),
         "ann_cosine_topk": _sql_q(webops.ann_topk_sql),
         "ann_lsh_topk": _q_ann_lsh,

@@ -54,3 +54,41 @@ def ngram_jaccard_pairs(spark: SparkSession, docs: str = "documents",
                         tau_pct: int = 50) -> DataFrame:
     """Exact shingle-Jaccard pairs (doc_a, doc_b, inter_n, union_n)."""
     return spark.sql(webops.ngram_jaccard_sql(SPARK, docs, tau_pct))
+
+
+def winnowing_fingerprints(spark: SparkSession, docs: str = "documents",
+                           window: int = 4) -> DataFrame:
+    """Winnowing fingerprints, relational formulation: shingle stage
+    materialized (persist + temp view — CollapseProject would inline
+    the shingle pipeline into every window slice: measured minutes at
+    5k docs), then the sliding minimum as a ROWS window frame over the
+    exploded (doc_id, i, shingle) rows — one shuffle on doc_id, no
+    per-window array slicing.  Output set identical to the
+    single-statement array form (webops.winnowing_from — the DuckDB
+    oracle)."""
+    base = spark.sql(webops.winnowing_base_sql(SPARK, docs)).persist()
+    base.createOrReplaceTempView("_win_base")
+    return spark.sql(f"""
+      SELECT DISTINCT doc_id, fp
+      FROM (
+        SELECT doc_id, i, n,
+               MIN(s) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp
+        FROM (
+          SELECT doc_id, i, element_at(sints, i) AS s, size(sints) AS n
+          FROM _win_base LATERAL VIEW explode(sequence(1, size(sints))) _e AS i
+          WHERE size(sints) >= {window}
+        ) _rows
+      ) _mins
+      WHERE i <= n - {window} + 1
+    """)
+
+
+def simhash_pairs(spark: SparkSession, docs: str = "documents",
+                  tau: int = 1) -> DataFrame:
+    """Banded-Hamming simhash pairs with the signature stage
+    materialized (the 32-term signature would otherwise be recomputed
+    per band reference through CTE inlining; 26 s -> ~2 s at 5k docs)."""
+    sigs = spark.sql(webops.simhash_sigs_sql(SPARK, docs)).persist()
+    sigs.createOrReplaceTempView("_sh_sigs")
+    return spark.sql(webops.simhash_pairs_from(SPARK, "_sh_sigs", tau))

@@ -345,6 +345,40 @@ def ann_topk_sql(d: str, embeddings: str = "embeddings",
     """
 
 
+def winnowing_base_sql(d: str, docs: str = "documents") -> str:
+    """Winnowing stage 1: doc_id + ORDERED shingle-int list (rolling
+    windows need sequence order — no distinct here).
+
+    ``_tids`` is staged through a subquery column so each element is
+    computed once per row: inlining the tok_ids transform into the
+    shingle lambda's three element accesses makes the stage O(n^2)
+    per document (measured 22.5 s vs 0.6 s at 5k docs — the same
+    shape minhash_sints_sql uses)."""
+    tids = T.tok_ids("text", d)
+    sints = T.shingle_ints("_tids", d)
+    return (
+        f"SELECT doc_id, {sints} AS sints "
+        f"FROM (SELECT doc_id, {tids} AS _tids FROM {docs}) _t"
+    )
+
+
+def winnowing_from(d: str, base_rel: str, window: int = 4) -> str:
+    """Winnowing stage 2 over a MATERIALIZED (doc_id, sints) relation:
+    per-window minimum, distinct, exploded.  The Spark operator must
+    materialize stage 1 (persist + temp view): Catalyst's
+    CollapseProject otherwise inlines the whole shingle pipeline into
+    every windowed slice — measured minutes instead of seconds at 5k
+    docs (same pathology the minhash pipeline stages around)."""
+    n = T.size("sints", d)
+    rng = T.range_list("1", f"{n} - {window} + 2", d)
+    win_min = T.list_min(T.slice_list("sints", "i", str(window), d), d)
+    mins = T.distinct(T.transform(rng, f"i -> {win_min}", d), d)
+    fps = f"SELECT doc_id, {mins} AS fps FROM {base_rel} WHERE {n} >= {window}"
+    if d == SPARK:
+        return f"SELECT doc_id, fp FROM ({fps}) _f LATERAL VIEW explode(fps) _e AS fp"
+    return f"SELECT doc_id, unnest(fps) AS fp FROM ({fps}) _f"
+
+
 def winnowing_sql(d: str, docs: str = "documents", window: int = 4) -> str:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003
     — the MOSS local fingerprinting algorithm): rolling 3-gram shingle
@@ -355,18 +389,10 @@ def winnowing_sql(d: str, docs: str = "documents", window: int = 4) -> str:
     — the rolling-hash fingerprint primitive of a corpus pipeline.
 
     Output: (doc_id, fp) exploded rows, integers only -> hash-stable.
+    Single-statement form (the DuckDB oracle path); Spark should use
+    operators.dedup.winnowing_fingerprints (staged).
     """
-    tids = T.tok_ids("text", d)
-    sints = T.shingle_ints(tids, d)
-    base = f"SELECT doc_id, {sints} AS sints FROM {docs}"
-    n = T.size("sints", d)
-    rng = T.range_list("1", f"{n} - {window} + 2", d)
-    win_min = T.list_min(T.slice_list("sints", "i", str(window), d), d)
-    mins = T.distinct(T.transform(rng, f"i -> {win_min}", d), d)
-    fps = f"SELECT doc_id, {mins} AS fps FROM ({base}) _b WHERE {n} >= {window}"
-    if d == SPARK:
-        return f"SELECT doc_id, fp FROM ({fps}) _f LATERAL VIEW explode(fps) _e AS fp"
-    return f"SELECT doc_id, unnest(fps) AS fp FROM ({fps}) _f"
+    return winnowing_from(d, f"({winnowing_base_sql(d, docs)}) _b", window)
 
 
 def _hamming(a: str, b: str, d: str) -> str:
@@ -387,16 +413,29 @@ def simhash_pairs_sql(d: str, docs: str = "documents", tau: int = 1) -> str:
     near-copies) so positives exist; exact copies land at distance 0
     with recall 1.0.
     """
-    assert tau <= 3, "4-band pigeonhole guarantee only holds for tau <= 3"
-    band_bits = T.SIMHASH_BITS // 4
+    return simhash_pairs_from(
+        d, f"({simhash_sigs_sql(d, docs)}) _sg", tau)
+
+
+def simhash_sigs_sql(d: str, docs: str = "documents") -> str:
+    """SimHash stage 1: (doc_id, simhash) over the dup-test corpus."""
     corpus = _dup_corpus(docs, d)
     tids = T.tok_ids("text", d)
     sh = T.simhash_expr("_tids", d)
-    sigs = f"""
+    return f"""
       SELECT doc_id, CAST({sh} AS BIGINT) AS simhash
       FROM (SELECT doc_id, {tids} AS _tids FROM ({corpus}) _c) _t
       WHERE {T.size('_tids', d)} > 0
     """
+
+
+def simhash_pairs_from(d: str, sigs_rel: str, tau: int = 1) -> str:
+    """SimHash stage 2 over a MATERIALIZED (doc_id, simhash) relation
+    (Spark: persist + temp view — the 32-term signature expression
+    would otherwise be recomputed per band reference by CTE inlining;
+    measured 26 s -> ~2 s at 5k docs)."""
+    assert tau <= 3, "4-band pigeonhole guarantee only holds for tau <= 3"
+    band_bits = T.SIMHASH_BITS // 4
     bands = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, "
         f"CAST(floor(simhash / {1 << (band_bits * b)}.0e0) AS BIGINT) % {1 << band_bits} "
@@ -404,7 +443,7 @@ def simhash_pairs_sql(d: str, docs: str = "documents", tau: int = 1) -> str:
         for b in range(4)
     )
     return f"""
-      WITH sigs AS ({sigs}),
+      WITH sigs AS (SELECT * FROM {sigs_rel}),
       bands AS ({bands}),
       cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS ha,
