@@ -349,6 +349,13 @@ def _q_multimodal(spark, sf_dir):
     )
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    from jgdtrans_rs_spark.operators import dedup as dedup_ops
+
+    _view(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(spark)
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from jgdtrans_rs_spark.operators import dedup as dedup_ops
 
@@ -424,7 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _sql_q(webops.lang_id_sql),
         "dedup_exact": _sql_q(webops.dedup_exact_sql),
         "dedup_minhash_lsh": _q_minhash,
-        "dedup_ngram_jaccard": _sql_q(webops.ngram_jaccard_sql),
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
         "simhash": _sql_q(webops.simhash_sql),
         "simhash_near_dup": _q_simhash_pairs,
         "winnowing_fingerprint": _q_winnowing,

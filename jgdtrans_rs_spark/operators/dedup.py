@@ -52,8 +52,12 @@ def simhash(spark: SparkSession, docs: str = "documents") -> DataFrame:
 
 def ngram_jaccard_pairs(spark: SparkSession, docs: str = "documents",
                         tau_pct: int = 50) -> DataFrame:
-    """Exact shingle-Jaccard pairs (doc_a, doc_b, inter_n, union_n)."""
-    return spark.sql(webops.ngram_jaccard_sql(SPARK, docs, tau_pct))
+    """Exact shingle-Jaccard pairs (doc_a, doc_b, inter_n, union_n),
+    with the shingle stage materialized (it feeds both sides of the
+    blocked self-join)."""
+    base = spark.sql(webops.ngram_base_sql(SPARK, docs)).persist()
+    base.createOrReplaceTempView("_ng_base")
+    return spark.sql(webops.ngram_pairs_from(SPARK, "_ng_base", tau_pct))
 
 
 def winnowing_fingerprints(spark: SparkSession, docs: str = "documents",
