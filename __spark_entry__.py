@@ -176,6 +176,32 @@ def _q_pip_salted(spark, sf_dir):
                                          hot_threshold=1000, num_salts=8)
 
 
+def _q_fused_chain(spark, sf_dir):
+    """The headline bench chain (q4) under the correctness gate:
+    forward transform + tile assignment + point-in-polygon containment
+    fused in ONE Arrow hop, exploded to (point, polygon-hit) rows
+    (poly_id NULL for points with no hit).  The oracle composes
+    forward_sql + tile_sql + point_in_polygon_sql over the same
+    builders."""
+    eng = _engine(spark)
+    fused = eng.transform_tile_pip(_points(spark, sf_dir), POLYGONS, "lat", "lon", "alt")
+    names = spark.createDataFrame(
+        [(i, pid) for i, (pid, _) in enumerate(POLYGONS)],
+        schema="poly_idx int, poly_id string",
+    )
+    return (
+        fused.select(
+            "pkey",
+            *[F.when(F.col("status") == 0, F.col(c)).alias(c)
+              for c in ("out_lat", "out_lon")],
+            "status", "meshcode", "quadkey",
+            F.explode_outer("poly_idxs").alias("poly_idx"),
+        )
+        .join(F.broadcast(names), "poly_idx", "left")
+        .select("pkey", "out_lat", "out_lon", "status", "meshcode", "quadkey", "poly_id")
+    )
+
+
 def _q_coverage(spark, sf_dir):
     """Cells with points but no grid parameter (ParameterNotFound as a
     relational anti-join)."""
@@ -410,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": _q_tile,
         "cell_position": _q_cellpos,
         "knn_mesh_nodes": _q_knn,
+        "fused_transform_tile_pip": _q_fused_chain,
         "pip_broadcast": _q_pip,
         "pip_salted_bucketed": _q_pip_salted,
         "grid_coverage_anti": _q_coverage,
@@ -593,6 +620,19 @@ def oracle_sql() -> dict[str, str]:
       FROM ({dig}) _d
     """
     fwd = oracle.forward_sql(_P, _GV, _UNIT)
+    ok_pts = f"(SELECT pkey, out_lat AS lat, out_lon AS lon FROM _f WHERE status = 0)"
+    fused_sql = f"""
+      WITH _f AS ({fwd}),
+      _t AS ({oracle.tile_sql(f"{ok_pts} _okt", _UNIT)}),
+      _p AS ({oracle.point_in_polygon_sql(f"{ok_pts} _okp", _EDGES)})
+      SELECT _f.pkey, _f.out_lat, _f.out_lon, _f.status,
+             CAST(CASE WHEN _f.status = 0 THEN _t.meshcode ELSE -1 END AS BIGINT) AS meshcode,
+             CAST(CASE WHEN _f.status = 0 THEN _t.quadkey ELSE 0 END AS BIGINT) AS quadkey,
+             _p.poly_id
+      FROM _f
+      LEFT JOIN _t ON _f.pkey = _t.pkey
+      LEFT JOIN _p ON _f.pkey = _p.pkey
+    """
     tile_of_fwd = oracle.tile_sql(
         f"(SELECT pkey, out_lat AS lat, out_lon AS lon FROM ({fwd}) _f) _tm", _UNIT
     )
@@ -616,6 +656,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign": oracle.tile_sql(_P, _UNIT),
         "cell_position": oracle.cell_position_sql(_P, _UNIT),
         "knn_mesh_nodes": oracle.knn_nodes_sql(_P, _UNIT, 3),
+        "fused_transform_tile_pip": fused_sql,
         "pip_broadcast": oracle.point_in_polygon_sql(_P, _EDGES),
         "pip_salted_bucketed": oracle.point_in_polygon_sql(_P, _EDGES),
         "grid_coverage_anti": coverage_sql,
