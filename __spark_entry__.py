@@ -202,6 +202,20 @@ def _q_fused_chain(spark, sf_dir):
     )
 
 
+def _q_roundtrip_verify(spark, sf_dir):
+    """The scaling-headline chain (bench q8) under the correctness
+    gate: fused forward + Newton inverse + bit-identity check in one
+    Arrow hop.  Oracle: forward_sql composed with backward_newton_sql
+    and an exact equality against the original coordinates."""
+    df = _engine(spark).roundtrip_verify(_points(spark, sf_dir), "lat", "lon", "alt")
+    return df.select(
+        "pkey",
+        *[F.when(F.col("status") == 0, F.col(c)).alias(c)
+          for c in ("out_lat", "out_lon", "out_alt")],
+        "status", "roundtrip_exact",
+    )
+
+
 def _q_coverage(spark, sf_dir):
     """Cells with points but no grid parameter (ParameterNotFound as a
     relational anti-join)."""
@@ -437,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_position": _q_cellpos,
         "knn_mesh_nodes": _q_knn,
         "fused_transform_tile_pip": _q_fused_chain,
+        "roundtrip_verify": _q_roundtrip_verify,
         "pip_broadcast": _q_pip,
         "pip_salted_bucketed": _q_pip_salted,
         "grid_coverage_anti": _q_coverage,
@@ -633,6 +648,24 @@ def oracle_sql() -> dict[str, str]:
       LEFT JOIN _t ON _f.pkey = _t.pkey
       LEFT JOIN _p ON _f.pkey = _p.pkey
     """
+    back = oracle.backward_newton_sql(
+        "(SELECT pkey, out_lat AS lat, out_lon AS lon, out_alt AS alt "
+        "FROM _f WHERE status = 0) _okb", _GV, _UNIT)
+    roundtrip_sql = f"""
+      WITH _f AS ({fwd}),
+      _b AS ({back})
+      SELECT _f.pkey,
+             CASE WHEN _f.status = 0 AND _b.status = 0 THEN _f.out_lat END AS out_lat,
+             CASE WHEN _f.status = 0 AND _b.status = 0 THEN _f.out_lon END AS out_lon,
+             CASE WHEN _f.status = 0 AND _b.status = 0 THEN _f.out_alt END AS out_alt,
+             CAST(CASE WHEN _f.status <> 0 THEN _f.status ELSE _b.status END AS INTEGER) AS status,
+             (CASE WHEN _f.status = 0 AND _b.status = 0
+                    AND _b.out_lat = _p.lat AND _b.out_lon = _p.lon
+                   THEN TRUE ELSE FALSE END) AS roundtrip_exact
+      FROM _f
+      JOIN ({oracle.points_sql("orders")}) _p ON _f.pkey = _p.pkey
+      LEFT JOIN _b ON _f.pkey = _b.pkey
+    """
     tile_of_fwd = oracle.tile_sql(
         f"(SELECT pkey, out_lat AS lat, out_lon AS lon FROM ({fwd}) _f) _tm", _UNIT
     )
@@ -657,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_position": oracle.cell_position_sql(_P, _UNIT),
         "knn_mesh_nodes": oracle.knn_nodes_sql(_P, _UNIT, 3),
         "fused_transform_tile_pip": fused_sql,
+        "roundtrip_verify": roundtrip_sql,
         "pip_broadcast": oracle.point_in_polygon_sql(_P, _EDGES),
         "pip_salted_bucketed": oracle.point_in_polygon_sql(_P, _EDGES),
         "grid_coverage_anti": coverage_sql,
