@@ -44,13 +44,20 @@ POLYGONS = [
 ]
 
 _GRID = MeshGrid.from_dict(SEMIDYNA, "SemiDynaEXE")
-_ENGINES: dict[int, Engine] = {}
-_SQL_ENGINES: dict[int, "SqlEngine"] = {}
+_ENGINES: dict[str, Engine] = {}
+_SQL_ENGINES: dict[str, "SqlEngine"] = {}
 
 
 def _engine(spark: SparkSession) -> Engine:
-    key = id(spark)
+    # keyed by applicationId: id(spark) can be reused by a NEW session
+    # after the old one stops, which would serve an Engine whose
+    # broadcast belongs to a destroyed SparkContext.  The contract also
+    # pins the session timezone here so every query computes in UTC
+    # regardless of execution order.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = spark.sparkContext.applicationId
     if key not in _ENGINES:
+        _ENGINES.clear()  # drop engines of stopped sessions
         _ENGINES[key] = Engine(spark, _GRID)
     return _ENGINES[key]
 
@@ -58,8 +65,9 @@ def _engine(spark: SparkSession) -> Engine:
 def _sql_engine(spark: SparkSession):
     from jgdtrans_rs_spark.plans.spark_sql import SqlEngine
 
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     if key not in _SQL_ENGINES:
+        _SQL_ENGINES.clear()
         _SQL_ENGINES[key] = SqlEngine(spark, _GRID)
     return _SQL_ENGINES[key]
 
@@ -251,9 +259,12 @@ def _q_grid_stats_spark(spark, sf_dir):
     12dp rounding only absorbs the hypot-vs-sqrt style last-ulp
     differences."""
     df = _engine(spark).statistics_df()
+    # same shared floor formula as dms_parts (engine round() algorithms
+    # differ on boundary doubles)
     return df.select(
         "component", "n",
-        *[F.round(F.col(c), 12).alias(c) for c in ("mean", "std", "abs_mean", "vmin", "vmax")],
+        *[(F.floor(F.col(c) * 1e12 + 0.5) / 1e12).alias(c)
+          for c in ("mean", "std", "abs_mean", "vmin", "vmax")],
     )
 
 
@@ -264,12 +275,17 @@ def _q_dms(spark, sf_dir):
     mm = (lat - lat.cast("long").cast("double")) * 60.0
     trunc_mm = mm.cast("long").cast("double")
     ss = (mm - trunc_mm) * 60.0
+    # half-up rounding via the shared floor formula: Spark's round()
+    # (BigDecimal over the shortest string repr) and DuckDB's round()
+    # (scale-then-round) disagree on boundary doubles; floor(x*1e6+0.5)
+    # is the same float ops in both engines -> bit-identical always
+    fract = F.abs(ss - ss.cast("long").cast("double"))
     return pts.select(
         "pkey",
         lat.cast("long").cast("int").alias("deg"),
         F.abs(mm.cast("long")).cast("int").alias("minute"),
         F.abs(ss.cast("long")).cast("int").alias("second"),
-        F.round(F.abs(ss - ss.cast("long").cast("double")), 6).alias("fract6"),
+        (F.floor(fract * 1000000.0 + 0.5) / 1000000.0).alias("fract6"),
     )
 
 
@@ -317,14 +333,19 @@ def _q_pages_invariant(spark, sf_dir):
     )
 
 
+# wild-angle generator shared verbatim by the Spark query and the
+# DuckDB oracle (editing one side must not silently break parity)
+_WILD_ANGLES_SQL = (
+    "SELECT o_orderkey AS pkey, "
+    "(o_orderkey % 1441) * 1.0e0 - 720.5e0 AS raw_lat, "
+    "(o_orderkey % 1441) * 1.25e0 - 900.25e0 AS raw_lon FROM orders"
+)
+
+
 def _q_normalize(spark, sf_dir):
     """Angle normalization (point.rs:9-32) on synthetic wild angles."""
     spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
-    raw = spark.sql(
-        "SELECT o_orderkey AS pkey, "
-        "(o_orderkey % 1441) * 1.0e0 - 720.5e0 AS raw_lat, "
-        "(o_orderkey % 1441) * 1.25e0 - 900.25e0 AS raw_lon FROM orders"
-    )
+    raw = spark.sql(_WILD_ANGLES_SQL)
     from jgdtrans_rs_spark.functions import columns as C
     return raw.select(
         "pkey",
@@ -514,10 +535,11 @@ def oracle_sql() -> dict[str, str]:
       ),
       t AS (SELECT component, v, SUM(v) OVER (PARTITION BY component) AS total FROM m)
       SELECT component, CAST(COUNT(*) AS BIGINT) AS n,
-             round(MAX(total) / COUNT(*), 12) AS mean,
-             round(sqrt(SUM((total - v) * (total - v)) / COUNT(*)), 12) AS std,
-             round(SUM(abs(v)) / COUNT(*), 12) AS abs_mean,
-             round(MIN(v), 12) AS vmin, round(MAX(v), 12) AS vmax
+             floor((MAX(total) / COUNT(*)) * 1e12 + 0.5e0) / 1e12 AS mean,
+             floor(sqrt(SUM((total - v) * (total - v)) / COUNT(*)) * 1e12 + 0.5e0) / 1e12 AS std,
+             floor((SUM(abs(v)) / COUNT(*)) * 1e12 + 0.5e0) / 1e12 AS abs_mean,
+             floor(MIN(v) * 1e12 + 0.5e0) / 1e12 AS vmin,
+             floor(MAX(v) * 1e12 + 0.5e0) / 1e12 AS vmax
       FROM t GROUP BY component
     """
     normalize_sql = """
@@ -532,10 +554,8 @@ def oracle_sql() -> dict[str, str]:
                   WHEN NOT (fmod(raw_lon, 360.0e0) >= -180.0e0 AND fmod(raw_lon, 360.0e0) < 180.0e0)
                     THEN fmod(raw_lon, 360.0e0) - (CASE WHEN fmod(raw_lon, 360.0e0) >= 0 THEN 360.0e0 ELSE -360.0e0 END)
                   ELSE fmod(raw_lon, 360.0e0) END AS norm_lon
-      FROM (SELECT o_orderkey AS pkey,
-                   (o_orderkey % 1441) * 1.0e0 - 720.5e0 AS raw_lat,
-                   (o_orderkey % 1441) * 1.25e0 - 900.25e0 AS raw_lon FROM orders) _r
-    """
+      FROM (__WILD__) _r
+    """.replace("__WILD__", _WILD_ANGLES_SQL)
     # NB: DuckDB CAST(double AS BIGINT) rounds; Spark's cast truncates —
     # so the oracle uses trunc() explicitly.
     dms_sql = """
@@ -543,7 +563,7 @@ def oracle_sql() -> dict[str, str]:
              CAST(trunc(lat) AS INTEGER) AS deg,
              CAST(abs(trunc((lat - trunc(lat)) * 60.0e0)) AS INTEGER) AS minute,
              CAST(abs(trunc(_ss)) AS INTEGER) AS second,
-             round(abs(_ss - trunc(_ss)), 6) AS fract6
+             floor(abs(_ss - trunc(_ss)) * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS fract6
       FROM (
         SELECT pkey, lat,
                ((lat - trunc(lat)) * 60.0e0 - trunc((lat - trunc(lat)) * 60.0e0)) * 60.0e0 AS _ss

@@ -379,10 +379,18 @@ class Engine:
     @staticmethod
     def valid_point(lat_col, lon_col):
         """``Point::new`` bounds predicate (point.rs:212-223) as a pure
-        Column — pushes down to the scan."""
+        Column — pushes down to the scan.
+
+        NULL-safe: the leading isNotNull conjuncts force the predicate
+        to FALSE (not NULL) for missing coordinates, so a
+        failed-extraction row lands in the quarantine split instead of
+        silently vanishing from both filter halves (filter(NULL) and
+        filter(NOT NULL) each drop the row)."""
         lat_col, lon_col = F.col(lat_col), F.col(lon_col)
         return (
-            lat_col.between(-90.0, 90.0)
+            lat_col.isNotNull()
+            & lon_col.isNotNull()
+            & lat_col.between(-90.0, 90.0)
             & lon_col.between(-180.0, 180.0)
             & ~F.isnan(lat_col)
             & ~F.isnan(lon_col)

@@ -39,8 +39,12 @@ def normalize_longitude(c: Column) -> Column:
 
 
 def valid_point(lat: Column, lon: Column) -> Column:
-    """Point::new bounds (point.rs:212-223) — pushes to the scan."""
-    return lat.between(-90.0, 90.0) & lon.between(-180.0, 180.0) & ~F.isnan(lat) & ~F.isnan(lon)
+    """Point::new bounds (point.rs:212-223) — pushes to the scan.
+    NULL-safe: FALSE (not NULL) for missing coordinates, so the
+    negated filter keeps them in the quarantine split."""
+    return (lat.isNotNull() & lon.isNotNull()
+            & lat.between(-90.0, 90.0) & lon.between(-180.0, 180.0)
+            & ~F.isnan(lat) & ~F.isnan(lon))
 
 
 def mesh_digits(v: Column):

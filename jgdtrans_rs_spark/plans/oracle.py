@@ -474,10 +474,12 @@ def cell_position_sql(input_rel: str, unit: int, key: str = "pkey") -> str:
 # ---------------------------------------------------------------------------
 
 def polygon_edges_values(polygons: list[tuple[str, list[tuple[float, float]]]],
-                         alias: str = "edges") -> str:
+                         alias: str = "e") -> str:
     """Closed rings -> inline edge relation (poly_id, y1, x1, y2, x2).
 
-    Coordinates are (lat, lon) pairs; ring closure is implicit."""
+    Coordinates are (lat, lon) pairs; ring closure is implicit.
+    Default alias "e" matches the references point_in_polygon_sql
+    emits."""
     rows = []
     for pid, ring in polygons:
         for i in range(len(ring)):

@@ -76,6 +76,19 @@ def test_validate_split(engine, points):
     assert v2.count() == 0
 
 
+def test_validate_null_coordinates_quarantined(engine, spark):
+    """A failed geotag extraction yields NULL coordinates; those rows
+    must land in quarantine — a NULL predicate would drop them from
+    BOTH filter halves (silent data loss)."""
+    df = spark.createDataFrame(
+        [(1, 36.1, 140.1), (2, None, 140.1), (3, 36.1, None), (4, None, None)],
+        "pkey long, lat double, lon double")
+    valid, quarantine = engine.validate(df, "lat", "lon")
+    assert valid.count() == 1
+    assert quarantine.count() == 3  # nothing vanishes
+    assert {r["pkey"] for r in quarantine.collect()} == {2, 3, 4}
+
+
 def test_salted_join_equals_broadcast(engine, points):
     polys = [
         ("p0", [(36.0833, 140.0625), (36.0833, 140.125), (36.125, 140.125), (36.125, 140.0625)]),
