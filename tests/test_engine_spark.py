@@ -301,3 +301,60 @@ def test_streaming_dedup_exact(spark, tmp_path):
     out = spark.sql("SELECT text FROM dedup_stream").toPandas()
     texts = sorted(out["text"])
     assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+
+
+def test_streaming_watermark_finalizes_windows(spark, tmp_path):
+    """Watermark semantics that Spark actually guarantees: in append
+    mode, exactly the windows whose END the watermark has passed are
+    finalized/emitted; younger windows stay in state.  (Dropping of
+    late input rows is explicitly best-effort in Spark — verified on
+    this build: a 05:00 event arriving after the watermark reached
+    09:30 is still accepted — so this test pins finalization, not
+    dropping.)"""
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+
+    def write_file(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                          "event_type", "value", "props"])
+        pq.write_table(pa.Table.from_pandas(pdf), f"{d}/{name}",
+                       coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(f"{d}/{name}", (mtime, mtime))
+
+    def ev(i, hour, minute=0):
+        return (i, datetime.datetime(2023, 1, 1, hour, minute), 1, "click", 1.0, "{}")
+
+    # deterministic single files with spaced mtimes -> f1 before f2
+    write_file("f1.parquet", [ev(1, 5), ev(2, 10), ev(3, 11, 30)], 1_600_000_000)
+    write_file("f2.parquet", [ev(4, 12)], 1_600_000_100)
+    src_schema = spark.read.parquet(d + "/f1.parquet").schema
+    src = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1).parquet(d + "/f*.parquet")
+    )
+    stream = (
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("late_win")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # final watermark = 12:00 - 2h = 10:00; finalized windows are
+    # exactly those ending at or before 10:00 -> only 05:00-06:00
+    final_wm = max(p["eventTime"].get("watermark", "")
+                   for p in q.recentProgress if p.get("eventTime"))
+    assert final_wm.startswith("2023-01-01T10:00")
+    out = spark.sql("SELECT window.start AS ws FROM late_win").toPandas()
+    hours = sorted(int(ts.hour) for ts in out["ws"])
+    assert hours == [5], hours  # 10/11/12 windows not yet finalized
