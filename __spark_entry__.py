@@ -48,6 +48,22 @@ _ENGINES: dict[str, Engine] = {}
 _SQL_ENGINES: dict[str, "SqlEngine"] = {}
 
 
+def _evict_stopped(cache: dict) -> None:
+    """Drop cache entries whose SparkContext has stopped (their
+    broadcasts/views are gone).  Entries keyed by OTHER applicationIds
+    that are still alive survive — clearing the whole dict forced
+    alternating calls across two concurrently-live sessions to rebuild
+    the Engine and re-broadcast the grid every call (ADVICE r02)."""
+    for k in list(cache):
+        eng = cache[k]
+        try:
+            stopped = eng.spark.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            del cache[k]
+
+
 def _engine(spark: SparkSession) -> Engine:
     # keyed by applicationId: id(spark) can be reused by a NEW session
     # after the old one stops, which would serve an Engine whose
@@ -57,7 +73,7 @@ def _engine(spark: SparkSession) -> Engine:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = spark.sparkContext.applicationId
     if key not in _ENGINES:
-        _ENGINES.clear()  # drop engines of stopped sessions
+        _evict_stopped(_ENGINES)
         _ENGINES[key] = Engine(spark, _GRID)
     return _ENGINES[key]
 
@@ -67,7 +83,7 @@ def _sql_engine(spark: SparkSession):
 
     key = spark.sparkContext.applicationId
     if key not in _SQL_ENGINES:
-        _SQL_ENGINES.clear()
+        _evict_stopped(_SQL_ENGINES)
         _SQL_ENGINES[key] = SqlEngine(spark, _GRID)
     return _SQL_ENGINES[key]
 

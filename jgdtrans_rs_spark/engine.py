@@ -438,6 +438,14 @@ class Engine:
         the cluster by design (they broadcast; <= ~1M rows): a
         multi-partition window sum would be shuffle-fetch-order
         dependent and no rounding granularity truly fixes that.
+
+        NaN grids: ``StatisticData::from_array`` early-returns all-NaN
+        when the compensated total is NaN (transformer.rs:200-207).
+        Spark's F.min/F.max sort NaN above every double, so without
+        the explicit override below ``vmin`` would report the smallest
+        *real* value of a NaN-containing component; the final select
+        pins every stat of such a component to NaN for reference
+        parity (ADVICE r02).
         """
         from pyspark.sql import Window
 
@@ -448,7 +456,7 @@ class Engine:
             "AS (component, v)"
         )
         total = F.sum("v").over(Window.partitionBy("component"))
-        return (
+        agged = (
             melted.withColumn("total", total)
             .groupBy("component")
             .agg(
@@ -460,4 +468,10 @@ class Engine:
                 F.min("v").alias("vmin"),
                 F.max("v").alias("vmax"),
             )
+        )
+        nan = F.lit(float("nan"))
+        return agged.select(
+            "component", "n",
+            *[F.when(F.isnan(F.col("mean")), nan).otherwise(F.col(c)).alias(c)
+              for c in ("mean", "std", "abs_mean", "vmin", "vmax")],
         )

@@ -18,10 +18,33 @@ physical strategy:
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans import webops
 from ..plans.textsql import SPARK
+
+# Staged operators below persist their stage boundary and expose it to
+# the follow-up SQL through a temp view.  View names are unique per
+# call (counter suffix, like plans/spark_sql.py) so concurrent or
+# repeated calls in one session never clobber each other's plans.
+# CACHE CONTRACT (applies to every persist() here and to
+# similarity.embedding_near_dup): the staged frame is MEMORY_AND_DISK
+# and LRU-evicted; callers running many dedup passes in a long-lived
+# session should reclaim explicitly once the returned DataFrame has
+# been consumed — either ``spark.catalog.clearCache()`` or
+# ``spark.table(<returned-plan's view>).unpersist()``; results stay
+# correct either way (Spark recomputes evicted stages).
+_view_ids = itertools.count()
+
+
+def _stage(spark: SparkSession, sql: str, base_name: str) -> str:
+    """Persist a stage and register it under a unique view name."""
+    df = spark.sql(sql).persist()
+    name = f"{base_name}_{next(_view_ids)}"
+    df.createOrReplaceTempView(name)
+    return name
 
 
 def exact_duplicates(spark: SparkSession, docs: str = "documents") -> DataFrame:
@@ -38,11 +61,9 @@ def minhash_lsh_pairs(spark: SparkSession, docs: str = "documents",
     CollapseProject), then signatures once, then the band join — at
     corpus scale each stage is a clean shuffle boundary.
     """
-    sints = spark.sql(webops.minhash_sints_sql(SPARK, docs)).persist()
-    sints.createOrReplaceTempView("_mh_sints")
-    sigs = spark.sql(webops.minhash_sigs_from(SPARK, "_mh_sints")).persist()
-    sigs.createOrReplaceTempView("_mh_sigs")
-    return spark.sql(webops.minhash_pairs_from(SPARK, "_mh_sigs", tau_pct))
+    sints = _stage(spark, webops.minhash_sints_sql(SPARK, docs), "_mh_sints")
+    sigs = _stage(spark, webops.minhash_sigs_from(SPARK, sints), "_mh_sigs")
+    return spark.sql(webops.minhash_pairs_from(SPARK, sigs, tau_pct))
 
 
 def simhash(spark: SparkSession, docs: str = "documents") -> DataFrame:
@@ -55,9 +76,8 @@ def ngram_jaccard_pairs(spark: SparkSession, docs: str = "documents",
     """Exact shingle-Jaccard pairs (doc_a, doc_b, inter_n, union_n),
     with the shingle stage materialized (it feeds both sides of the
     blocked self-join)."""
-    base = spark.sql(webops.ngram_base_sql(SPARK, docs)).persist()
-    base.createOrReplaceTempView("_ng_base")
-    return spark.sql(webops.ngram_pairs_from(SPARK, "_ng_base", tau_pct))
+    base = _stage(spark, webops.ngram_base_sql(SPARK, docs), "_ng_base")
+    return spark.sql(webops.ngram_pairs_from(SPARK, base, tau_pct))
 
 
 def winnowing_fingerprints(spark: SparkSession, docs: str = "documents",
@@ -70,8 +90,7 @@ def winnowing_fingerprints(spark: SparkSession, docs: str = "documents",
     per-window array slicing.  Output set identical to the
     single-statement array form (webops.winnowing_from — the DuckDB
     oracle)."""
-    base = spark.sql(webops.winnowing_base_sql(SPARK, docs)).persist()
-    base.createOrReplaceTempView("_win_base")
+    base = _stage(spark, webops.winnowing_base_sql(SPARK, docs), "_win_base")
     return spark.sql(f"""
       SELECT DISTINCT doc_id, fp
       FROM (
@@ -80,7 +99,7 @@ def winnowing_fingerprints(spark: SparkSession, docs: str = "documents",
                             ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp
         FROM (
           SELECT doc_id, i, element_at(sints, i) AS s, size(sints) AS n
-          FROM _win_base LATERAL VIEW explode(sequence(1, size(sints))) _e AS i
+          FROM {base} LATERAL VIEW explode(sequence(1, size(sints))) _e AS i
           WHERE size(sints) >= {window}
         ) _rows
       ) _mins
@@ -93,6 +112,5 @@ def simhash_pairs(spark: SparkSession, docs: str = "documents",
     """Banded-Hamming simhash pairs with the signature stage
     materialized (the 32-term signature would otherwise be recomputed
     per band reference through CTE inlining; 26 s -> ~2 s at 5k docs)."""
-    sigs = spark.sql(webops.simhash_sigs_sql(SPARK, docs)).persist()
-    sigs.createOrReplaceTempView("_sh_sigs")
-    return spark.sql(webops.simhash_pairs_from(SPARK, "_sh_sigs", tau))
+    sigs = _stage(spark, webops.simhash_sigs_sql(SPARK, docs), "_sh_sigs")
+    return spark.sql(webops.simhash_pairs_from(SPARK, sigs, tau))

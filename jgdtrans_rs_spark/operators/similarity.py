@@ -46,21 +46,32 @@ def signature_buckets(df: DataFrame, dim: int = 64, n_planes: int = 12,
     On this Spark build the mapInPandas input writer costs ~9 us/row
     JVM-side; the scalar-UDF writer is ~8x cheaper, and only
     ``vec_col`` ships through Python (passthrough columns stay
-    JVM-side)."""
+    JVM-side).
+
+    NULL / wrong-length vectors get the sentinel bucket -1 in every
+    table (they only ever join among themselves, and the cosine
+    re-rank drops them anyway) instead of crashing the batch or — the
+    subtler failure — tripping the result-length check when a whole
+    batch is degenerate."""
     all_planes = [_planes(dim, n_planes, seed=42 + 101 * t) for t in range(n_tables)]
 
     @F.pandas_udf(ArrayType(LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        if mat.size == 0:
+        n_rows = len(vecs)
+        if n_rows == 0:  # empty BATCH (mat.size==0 also fired on all-degenerate rows)
             return pd.Series([])
-        out = np.zeros((mat.shape[0], len(all_planes)), dtype=np.int64)
+        ok = np.array([v is not None and len(v) == dim for v in vecs], dtype=bool)
+        mat = np.array(
+            [np.asarray(v, dtype=np.float64) if good else np.zeros(dim)
+             for v, good in zip(vecs, ok)])
+        out = np.zeros((n_rows, len(all_planes)), dtype=np.int64)
         for t, planes in enumerate(all_planes):
             signs = (mat @ planes.T) > 0  # same op order as ever: bit-identical buckets
-            bucket = np.zeros(mat.shape[0], dtype=np.int64)
+            bucket = np.zeros(n_rows, dtype=np.int64)
             for j in range(n_planes):
                 bucket |= signs[:, j].astype(np.int64) << j
             out[:, t] = bucket
+        out[~ok, :] = -1
         return pd.Series(list(out))
 
     return (

@@ -44,10 +44,19 @@ def read_par_df(spark: SparkSession, path: str, format: str,
     all_lines = spark.createDataFrame(rdd, "value string, lineno long")
     if strict:
         # a file shorter than the header block is a Header error
-        # (par.rs:360-366), not an empty grid
+        # (par.rs:360-366), not an empty grid.  Error payload matches
+        # the driver-side twin grid.parse_par exactly: end = length of
+        # the LAST line (ADVICE r02) — one extra bounded action, only
+        # on the error path.
         n_lines = all_lines.count()
         if n_lines < header:
-            raise ParseParError("Header", n_lines, 0, 0, None)
+            last = (
+                all_lines.orderBy(F.desc("lineno"))
+                .select(F.regexp_replace(F.col("value"), "\r$", "").alias("v"))
+                .first()
+            )
+            last_len = len(last["v"]) if last is not None else 0
+            raise ParseParError("Header", n_lines, 0, last_len, None)
     lines = (
         all_lines
         .filter(F.col("lineno") >= header)  # exact header skip (par.rs:360-366)

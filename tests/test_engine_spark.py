@@ -37,6 +37,33 @@ def test_entry_runs(spark):
     assert set(df.columns) >= {"url", "out_lat", "out_lon", "status", "meshcode", "quadkey"}
 
 
+def test_engine_cache_evicts_only_stopped_sessions(spark):
+    """The contract's engine cache must keep entries of OTHER
+    still-live sessions (clearing the whole dict made alternating
+    calls across two live sessions re-broadcast the grid every call —
+    ADVICE r02) while dropping entries whose context stopped."""
+    from types import SimpleNamespace
+
+    import __spark_entry__ as entry_mod
+
+    live = entry_mod._engine(spark)
+    key = spark.sparkContext.applicationId
+    dead = SimpleNamespace(
+        spark=SimpleNamespace(sparkContext=SimpleNamespace(_jsc=None)))
+    other_live = SimpleNamespace(spark=spark)  # another live session's engine
+    entry_mod._ENGINES["dead-app"] = dead
+    entry_mod._ENGINES["other-live-app"] = other_live
+    del entry_mod._ENGINES[key]  # force the rebuild path (which evicts)
+    try:
+        rebuilt = entry_mod._engine(spark)
+        assert "dead-app" not in entry_mod._ENGINES
+        assert entry_mod._ENGINES.get("other-live-app") is other_live
+        assert rebuilt is not live  # rebuilt for this session
+        assert entry_mod._engine(spark) is rebuilt  # and now cached
+    finally:
+        entry_mod._ENGINES.pop("other-live-app", None)
+
+
 def test_pages_text_invariant(spark):
     """Byte-identical extracted text per url (BASELINE input_hint)."""
     pages = pages_src.synth_pages(spark, SF_TINY)

@@ -162,6 +162,29 @@ def test_statistics_df_matches_exact(spark, semidyna_grid):
                 (comp, spark_key, g[spark_key], e[exact_key])
 
 
+def test_statistics_df_nan_grid_matches_reference(spark):
+    """NaN-containing component: StatisticData::from_array early-returns
+    all-NaN (transformer.rs:200-207).  Spark's F.min would otherwise
+    report the smallest REAL value (NaN sorts above every double);
+    statistics_df must pin every stat of that component to NaN."""
+    from jgdtrans_rs_spark.engine import Engine
+
+    g = MeshGrid.from_dict(
+        {54401005: (float("nan"), 1.0, 2.0), 54401055: (0.5, 3.0, 4.0)},
+        "SemiDynaEXE")
+    eng = Engine(spark, g)
+    got = {r["component"]: r for r in eng.statistics_df().collect()}
+    exact = g.statistics()
+    # latitude (and horizontal, which derives from it) are NaN-poisoned
+    for comp in ("latitude", "horizontal"):
+        assert got[comp]["n"] == exact[comp]["count"]
+        for k in ("mean", "std", "abs_mean", "vmin", "vmax"):
+            assert math.isnan(got[comp][k]), (comp, k, got[comp][k])
+    # clean components still report real stats
+    assert got["longitude"]["vmin"] == 1.0
+    assert got["altitude"]["vmax"] == 4.0
+
+
 def test_parse_with_description_override():
     """parse_with_description / from_str_with_description parity
     (par.rs:368-394): an explicit description replaces the header."""

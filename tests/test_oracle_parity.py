@@ -130,6 +130,32 @@ def test_embedding_near_dup_salting_preserves_output(spark):
     assert plain == salted and len(plain) > 0
 
 
+def test_lsh_buckets_null_and_short_vectors(spark):
+    """NULL / wrong-length embeddings must map to the sentinel bucket
+    (-1), not crash the Arrow batch — and a batch made ENTIRELY of
+    degenerate rows must still return one bucket row per input (the old
+    mat.size==0 guard returned an empty Series there: opaque UDF
+    length-mismatch crash)."""
+    from jgdtrans_rs_spark.operators import similarity
+
+    dim = 64
+    degenerate = spark.createDataFrame(
+        [(1, None, 0), (2, [1.0, 2.0], 0)],
+        "vec_id long, embedding array<float>, label int")
+    got = similarity.signature_buckets(degenerate, dim=dim, n_tables=2).toPandas()
+    assert len(got) == 4  # 2 rows x 2 tables
+    assert (got["bucket"] == -1).all()
+
+    # mixed batch: good rows bucket normally, bad rows get -1 and never
+    # enter the top-k (their cosine is NULL/NaN)
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(50)
+    mixed = emb.unionByName(degenerate.withColumn(
+        "vec_id", degenerate["vec_id"] + 900_000))
+    topk = similarity.ann_lsh_topk(mixed, n_queries=5, k=5).toPandas()
+    assert len(topk) > 0
+    assert not set(topk["neighbor_id"]) & {900_001, 900_002}
+
+
 def test_quality_score_buckets(spark, duck):
     """All four quality buckets are reachable and agree across engines
     on a crafted corpus (the synthetic fixture is uniformly clean)."""

@@ -198,8 +198,16 @@ def test_par_reader_header_error(spark, tmp_path):
 
     from jgdtrans_rs_spark.grid import ParseParError
 
+    from jgdtrans_rs_spark.grid import parse_par
+
     p = tmp_path / "trunc.par"
     p.write_text("only one line\n")  # TKY2JGD expects 2 header lines
     with pytest.raises(ParseParError) as ei:
         read_par_df(spark, str(p), "TKY2JGD")
     assert ei.value.kind == "Header"
+    # payload parity with the driver-side twin: same lineno AND the
+    # same end position (= length of the last line)
+    with pytest.raises(ParseParError) as ei2:
+        parse_par("only one line\n", "TKY2JGD")
+    for attr in ("kind", "lineno", "start", "end", "column"):
+        assert getattr(ei.value, attr) == getattr(ei2.value, attr), attr
