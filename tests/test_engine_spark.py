@@ -168,6 +168,29 @@ def test_checkpoint_resume(engine, points, tmp_path):
     assert total == points.count()
 
 
+def test_checkpoint_resume_hadoop_fs_uri(engine, points, tmp_path):
+    """The manifest layer must work against a Hadoop FileSystem URI
+    (here ``file:``) — on the 100 TB target out_dir is object storage
+    (s3a://...), where driver-local os.listdir/open silently diverged
+    from the data location (VERDICT r02).  Exercises completed_groups
+    + _write_manifest end-to-end through the Hadoop FS API, including
+    the killed-job resume path."""
+    out_dir = f"file://{tmp_path}/ckpt_uri"
+    df = engine.assign_tiles(engine.forward(points, "lat", "lon", "alt"), "lat", "lon")
+    m1 = sink.run_checkpointed(df, out_dir, n_groups=4)
+    assert len(m1) == 4
+    assert sink.completed_groups(out_dir, engine.spark) == {0, 1, 2, 3}
+    # simulate a killed job through the FS API itself (no POSIX escape
+    # hatch): drop one manifest, rerun -> only that group is redone
+    jvm, fs, mdir = sink._hadoop(engine.spark, f"{out_dir}/{sink.MANIFEST_DIR}")
+    assert fs.delete(jvm.org.apache.hadoop.fs.Path(mdir, "part-1.json"), False)
+    assert sink.completed_groups(out_dir, engine.spark) == {0, 2, 3}
+    m2 = sink.run_checkpointed(df, out_dir, n_groups=4)
+    assert [m["bucket_group"] for m in m2] == [1]
+    assert sink.run_checkpointed(df, out_dir, n_groups=4) == []
+    assert sink.read_resumed(engine.spark, out_dir).count() == points.count()
+
+
 def test_checkpoint_sink_single_pass(spark, points, tmp_path):
     """The sink must consume its input exactly once (the partitioned
     write), not once per bucket group: an accumulator inside a
