@@ -30,8 +30,10 @@ def ann_brute_topk(spark: SparkSession, embeddings: str = "embeddings",
 
 
 def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    rs = np.random.RandomState(seed)
-    return rs.standard_normal((n_planes, dim))
+    # single source of truth with the DuckDB oracle's hyperplane
+    # literals (webops._lsh_planes_values) — one generator, two
+    # executions, so the full-replication oracles stay bit-honest
+    return webops.lsh_planes(dim, n_planes, seed)
 
 
 def signature_buckets(df: DataFrame, dim: int = 64, n_planes: int = 12,

@@ -49,10 +49,9 @@ def _compare(a: pd.DataFrame, b: pd.DataFrame, name: str):
 def test_all_oracle_queries(spark, duck, contract):
     queries, oracles = contract
     assert set(oracles) <= set(queries)
-    missing_oracle = set(queries) - set(oracles)
-    # only the genuinely non-SQL-expressible (approximate) ops may omit
-    # the oracle
-    assert missing_oracle <= {"ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup"}
+    # every contract query carries a full oracle (round 3: the three
+    # formerly rows-only approximate ANN entries are oracle-gated too)
+    assert set(queries) == set(oracles)
     for name, sql in oracles.items():
         a = queries[name](spark, SF_SMALL).toPandas()
         b = duck.sql(sql).df()
@@ -67,21 +66,43 @@ def test_rows_only_queries(spark, contract):
         assert len(df.schema.fields) > 0
 
 
-@pytest.mark.parametrize("approx", ["ann_lsh_topk", "ann_ivf_topk"])
-def test_ann_recall_vs_brute(spark, contract, approx):
-    """Approximate ANN variants must agree with the exact top-1 for
-    most queries (quality gate)."""
+def test_ann_lsh_recall_vs_brute(spark, contract):
+    """LSH top-k must agree with the exact top-1 for most queries
+    (quality gate, independent of the replication oracle)."""
     queries, _ = contract
     brute = queries["ann_cosine_topk"](spark, SF_SMALL).toPandas()
-    got = queries[approx](spark, SF_SMALL).toPandas()
+    got = queries["ann_lsh_topk"](spark, SF_SMALL).toPandas()
     b1 = brute[brute["rank"] == 1].set_index("query_id")["neighbor_id"]
     l1 = got[got["rank"] == 1].set_index("query_id")["neighbor_id"]
     joined = b1.to_frame("b").join(l1.to_frame("l"), how="inner")
     assert len(joined) > 0
     recall = (joined["b"] == joined["l"]).mean()
-    # fully deterministic (seeded planes/centroids, fixed fixture):
-    # measured 0.8 (LSH) / 0.9 (IVF) — gate below with margin
+    # fully deterministic (seeded planes, fixed fixture): measured 0.8
     assert recall >= 0.7, recall
+
+
+def test_ann_ivf_recall_vs_brute(spark, contract):
+    """IVF quality gate on the raw operator output (the contract query
+    now returns the derived recall row; the rank rows remain the
+    operator API), plus consistency: the operator-measured recall@k
+    must equal the contract query's recall column."""
+    from jgdtrans_rs_spark.operators import similarity
+
+    queries, _ = contract
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = similarity.ann_ivf_topk(emb, n_queries=10, k=5).toPandas()
+    brute = queries["ann_cosine_topk"](spark, SF_SMALL).toPandas()
+    sa = set(zip(got["query_id"], got["neighbor_id"]))
+    sb = set(zip(brute["query_id"], brute["neighbor_id"]))
+    recall_at_k = len(sa & sb) / len(sb)
+    assert recall_at_k >= 0.5, recall_at_k  # measured 0.58 (29/50)
+    b1 = brute[brute["rank"] == 1].set_index("query_id")["neighbor_id"]
+    l1 = got[got["rank"] == 1].set_index("query_id")["neighbor_id"]
+    joined = b1.to_frame("b").join(l1.to_frame("l"), how="inner")
+    assert (joined["b"] == joined["l"]).mean() >= 0.7  # measured 0.9
+    row = queries["ann_ivf_topk"](spark, SF_SMALL).collect()[0]
+    assert row["n_hits"] == len(sa & sb)
+    assert row["recall"] == recall_at_k
 
 
 def test_embedding_near_dup_recall_vs_brute(spark):
