@@ -61,9 +61,13 @@ class Engine:
     vectorized gather inside the kernels.
     """
 
-    def __init__(self, spark: SparkSession, grid: MeshGrid):
+    def __init__(self, spark: SparkSession, grid: MeshGrid,
+                 strict_bounds: bool = True):
         self.spark = spark
         self.grid = grid
+        # strict_bounds=False opts the kernels into exact reference
+        # checked-path boundary error-kind parity (kernel._bounds_mode)
+        self.strict_bounds = strict_bounds
         self._bc = spark.sparkContext.broadcast(grid)
 
     # -- constructors -----------------------------------------------------
@@ -86,6 +90,7 @@ class Engine:
 
     def _struct_udf(self, fn_name: str, prefix: str):
         bc = self._bc
+        sb = self.strict_bounds
         schema = StructType([
             StructField(f"{prefix}lat", DoubleType(), True),
             StructField(f"{prefix}lon", DoubleType(), True),
@@ -99,7 +104,7 @@ class Engine:
             la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
             lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
             al = alt_s.to_numpy(dtype=np.float64, na_value=np.nan)
-            out_la, out_lo, out_al, c = fn(la, lo, al, grid)
+            out_la, out_lo, out_al, c = fn(la, lo, al, grid, strict_bounds=sb)
             return pd.DataFrame({
                 f"{prefix}lat": out_la,
                 f"{prefix}lon": out_lo,
@@ -143,6 +148,7 @@ class Engine:
 
     def _corr(self, df: DataFrame, lat: str, lon: str, fn_name: str) -> DataFrame:
         bc = self._bc
+        sb = self.strict_bounds
         schema = StructType([
             StructField("dlat_deg", DoubleType(), True),
             StructField("dlon_deg", DoubleType(), True),
@@ -155,7 +161,7 @@ class Engine:
             fn = getattr(kernel, fn_name)
             la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
             lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
-            c = fn(la, lo, grid)
+            c = fn(la, lo, grid, strict_bounds=sb)
             return pd.DataFrame({
                 "dlat_deg": c.dlat, "dlon_deg": c.dlon, "dalt_m": c.dalt,
                 "status": c.status.astype(np.int32),
@@ -229,6 +235,7 @@ class Engine:
         serialization dominates, so the hot pipeline fuses them.
         """
         bc = self._bc
+        sb = self.strict_bounds
         unit = self.grid.mesh_unit
         out_fields = [
             StructField(f"{prefix}lat", DoubleType(), True),
@@ -246,7 +253,7 @@ class Engine:
             la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
             lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
             al = alt_s.to_numpy(dtype=np.float64, na_value=np.nan)
-            out_la, out_lo, out_al, c = kernel.forward(la, lo, al, grid)
+            out_la, out_lo, out_al, c = kernel.forward(la, lo, al, grid, strict_bounds=sb)
             lat_d, lon_d, valid = mesh.point_to_digits(out_la, out_lo, unit)
             code = mesh.digits_to_meshcode(lat_d, lon_d)
             return pd.DataFrame({
@@ -283,6 +290,7 @@ class Engine:
         from .operators.spatial import _crossings  # avoid cycle at import time
 
         bc = self._bc
+        sb = self.strict_bounds
         unit = self.grid.mesh_unit
         polys = [[(float(a), float(b)) for a, b in ring] for _, ring in polygons]
         bboxes = [
@@ -307,7 +315,7 @@ class Engine:
             la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
             lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
             al = alt_s.to_numpy(dtype=np.float64, na_value=np.nan)
-            out_la, out_lo, out_al, c = kernel.forward(la, lo, al, grid)
+            out_la, out_lo, out_al, c = kernel.forward(la, lo, al, grid, strict_bounds=sb)
             lat_d, lon_d, valid = mesh.point_to_digits(out_la, out_lo, unit)
             code = mesh.digits_to_meshcode(lat_d, lon_d)
             hits = np.zeros((la.shape[0], len(polys)), dtype=bool)
@@ -346,6 +354,7 @@ class Engine:
         column instead of a test suite).
         """
         bc = self._bc
+        sb = self.strict_bounds
         schema = StructType([
             StructField("out_lat", DoubleType(), True),
             StructField("out_lon", DoubleType(), True),
@@ -360,8 +369,8 @@ class Engine:
             la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
             lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
             al = alt_s.to_numpy(dtype=np.float64, na_value=np.nan)
-            f_la, f_lo, f_al, fc = kernel.forward(la, lo, al, grid)
-            b_la, b_lo, _, bc_res = kernel.backward(f_la, f_lo, f_al, grid)
+            f_la, f_lo, f_al, fc = kernel.forward(la, lo, al, grid, strict_bounds=sb)
+            b_la, b_lo, _, bc_res = kernel.backward(f_la, f_lo, f_al, grid, strict_bounds=sb)
             status = np.where(fc.status != 0, fc.status, bc_res.status).astype(np.int32)
             exact = (b_la == la) & (b_lo == lo) & (status == 0)
             return pd.DataFrame({

@@ -68,12 +68,20 @@ class CorrResult:
     err_corner: np.ndarray    # int8, -1 when n/a
 
 
-def _resolve_cell(lat, lon, grid: MeshGrid, carry: dict | None = None):
+def _resolve_cell(lat, lon, grid: MeshGrid, carry: dict | None = None,
+                  bounds: str = mesh.BOUNDS_STRICT):
     """Cell resolution + 4-corner parameter gather.
 
     Mirrors ``MeshCell::try_from_point`` -> ``Params::new_unchecked``
     (cell.rs:411-414, trans.rs:56-89).  Returns a dict of arrays; lanes
     with status != OK carry undefined math fields.
+
+    ``bounds`` selects the validity contract (mesh.py header):
+    ``strict`` (engine default), ``inclusive`` (reference checked-path
+    parity — the ``strict_bounds=False`` flag), or ``unchecked``
+    (``forward_corr_unchecked``'s MeshCode fast path, code.rs:16-57 —
+    no OOB lane ever; wrapped digits fail as ParameterNotFound exactly
+    like the reference's Params::new_unchecked probe).
 
     ``carry`` is a previous resolve (of the same batch at nearby
     points): corner lookups are reused via ``grid.lookup_carry`` where
@@ -86,7 +94,7 @@ def _resolve_cell(lat, lon, grid: MeshGrid, carry: dict | None = None):
     err_code = np.full(n, -1, dtype=np.int64)
     err_corner = np.full(n, CORNER_NONE, dtype=np.int8)
 
-    lat_d, lon_d, valid = mesh.point_to_digits(lat, lon, grid.mesh_unit)
+    lat_d, lon_d, valid = mesh.point_to_digits(lat, lon, grid.mesh_unit, bounds)
     status[~valid] = STATUS_OUT_OF_BOUNDS
 
     east = mesh.next_east(lon_d, grid.mesh_unit)
@@ -100,7 +108,7 @@ def _resolve_cell(lat, lon, grid: MeshGrid, carry: dict | None = None):
     p = {}
     codes = {}
     found_map = {}
-    found_all = valid.copy()
+    found_all = np.ones(n, dtype=bool)
     # probe order sw, se, nw, ne — first miss wins (trans.rs:76-87)
     for corner, code, key in (
         (CORNER_NE, ne_code, "ne"),
@@ -129,6 +137,9 @@ def _resolve_cell(lat, lon, grid: MeshGrid, carry: dict | None = None):
         "err_code": err_code,
         "err_corner": err_corner,
         "ok": valid & found_all,
+        "found_all": found_all,
+        "lat_d": lat_d,
+        "lon_d": lon_d,
         "y": y,
         "x": x,
         "p": p,
@@ -138,12 +149,38 @@ def _resolve_cell(lat, lon, grid: MeshGrid, carry: dict | None = None):
     }
 
 
-def _forward_corr_cell(lat, lon, grid: MeshGrid, carry: dict | None = None):
+def _rebound_cell(cell: dict, lat, lon, unit: int, bounds: str) -> dict:
+    """Checked view of an UNCHECKED resolve at the same point: digits,
+    params and cell position are bounds-independent, only the validity
+    verdict differs — lanes outside ``bounds`` become OUT_OF_BOUNDS
+    (no meshcode attribution, like TransformError::new_oob).  Used by
+    the Newton loop, where the reference verifies iteration i
+    unchecked (trans.rs:658) but prepares iteration i+1 checked
+    (trans.rs:600-602) at the very same iterate."""
+    valid = mesh.point_bounds_mask(lat, lon, cell["lat_d"], cell["lon_d"], unit, bounds)
+    oob = ~valid
+    return {
+        **cell,
+        "status": np.where(oob, STATUS_OUT_OF_BOUNDS, cell["status"]).astype(np.int8),
+        "err_code": np.where(oob, -1, cell["err_code"]),
+        "err_corner": np.where(oob, CORNER_NONE, cell["err_corner"]).astype(np.int8),
+        "ok": cell["found_all"] & valid,
+    }
+
+
+def _bounds_mode(strict_bounds: bool) -> str:
+    """kernel flag -> bounds mode: ``strict_bounds=False`` opts into
+    exact reference checked-path boundary parity (VERDICT r02 #5)."""
+    return mesh.BOUNDS_STRICT if strict_bounds else mesh.BOUNDS_INCLUSIVE
+
+
+def _forward_corr_cell(lat, lon, grid: MeshGrid, carry: dict | None = None,
+                       strict_bounds: bool = True):
     """forward_corr + the resolved cell (for lookup carry-over in the
     chained kernels)."""
     lat = np.ascontiguousarray(lat, dtype=np.float64)
     lon = np.ascontiguousarray(lon, dtype=np.float64)
-    cell = _resolve_cell(lat, lon, grid, carry)
+    cell = _resolve_cell(lat, lon, grid, carry, _bounds_mode(strict_bounds))
     p, y, x = cell["p"], cell["y"], cell["x"]
 
     dlat = bilinear(p["sw"][0], p["se"][0], p["nw"][0], p["ne"][0], y, x) / SCALE
@@ -158,13 +195,18 @@ def _forward_corr_cell(lat, lon, grid: MeshGrid, carry: dict | None = None):
     return res, cell
 
 
-def forward_corr(lat, lon, grid: MeshGrid) -> CorrResult:
+def forward_corr(lat, lon, grid: MeshGrid, strict_bounds: bool = True) -> CorrResult:
     """``Transformer::forward_corr`` (trans.rs:428-451), vectorized.
 
     Correction in degrees (lat/lon) and metres (alt); lanes with
-    status != OK get NaN corrections.
+    status != OK get NaN corrections.  ``strict_bounds=False`` gives
+    exact reference error-kind parity on the domain's top edge: the
+    top latitude cell (coord (99,7,bound)) fails as OutOfBounds at
+    cell construction instead of strict mode's ParameterNotFound —
+    the one reachable divergence; see mesh.point_bounds_mask and the
+    mesh.py header for the full boundary map.
     """
-    return _forward_corr_cell(lat, lon, grid)[0]
+    return _forward_corr_cell(lat, lon, grid, strict_bounds=strict_bounds)[0]
 
 
 def _add_normalized(lat, lon, dlat, dlon):
@@ -176,27 +218,27 @@ def _add_normalized(lat, lon, dlat, dlon):
     )
 
 
-def forward(lat, lon, alt, grid: MeshGrid):
+def forward(lat, lon, alt, grid: MeshGrid, strict_bounds: bool = True):
     """``Transformer::forward`` (trans.rs:134-136): point + corr."""
-    c = forward_corr(lat, lon, grid)
+    c = forward_corr(lat, lon, grid, strict_bounds)
     out_lat, out_lon = _add_normalized(lat, lon, c.dlat, c.dlon)
     out_alt = np.asarray(alt, dtype=np.float64) + c.dalt
     return out_lat, out_lon, out_alt, c
 
 
-def backward_compat_corr(lat, lon, grid: MeshGrid) -> CorrResult:
+def backward_compat_corr(lat, lon, grid: MeshGrid, strict_bounds: bool = True) -> CorrResult:
     """``Transformer::backward_compat_corr`` (trans.rs:491-512): the
     GIAJ-web-compatible two-step fixed point (non-iterative)."""
     lat = np.ascontiguousarray(lat, dtype=np.float64)
     lon = np.ascontiguousarray(lon, dtype=np.float64)
 
     t_lat, t_lon = _add_normalized(lat, lon, -DELTA, DELTA)
-    c1, cell1 = _forward_corr_cell(t_lat, t_lon, grid)
+    c1, cell1 = _forward_corr_cell(t_lat, t_lon, grid, strict_bounds=strict_bounds)
 
     # step 2 sits ~DELTA away from step 1 (corrections are ~1e-5 deg),
     # so most lanes keep the same cell -> corner lookups carried over
-    r_lat, r_lon = _add_normalized(lat, lon, -c1.dlat, -c1.dlon)
-    c2, _ = _forward_corr_cell(r_lat, r_lon, grid, carry=cell1)
+    c2, _ = _forward_corr_cell(*_add_normalized(lat, lon, -c1.dlat, -c1.dlon),
+                               grid, carry=cell1, strict_bounds=strict_bounds)
 
     # first failure wins (reference short-circuits on c1's error)
     status = np.where(c1.status != STATUS_OK, c1.status, c2.status).astype(np.int8)
@@ -211,14 +253,14 @@ def backward_compat_corr(lat, lon, grid: MeshGrid) -> CorrResult:
     return CorrResult(dlat, dlon, dalt, status, err_code, err_corner)
 
 
-def backward_compat(lat, lon, alt, grid: MeshGrid):
-    c = backward_compat_corr(lat, lon, grid)
+def backward_compat(lat, lon, alt, grid: MeshGrid, strict_bounds: bool = True):
+    c = backward_compat_corr(lat, lon, grid, strict_bounds)
     out_lat, out_lon = _add_normalized(lat, lon, c.dlat, c.dlon)
     out_alt = np.asarray(alt, dtype=np.float64) + c.dalt
     return out_lat, out_lon, out_alt, c
 
 
-def backward_corr(lat, lon, grid: MeshGrid) -> CorrResult:
+def backward_corr(lat, lon, grid: MeshGrid, strict_bounds: bool = True) -> CorrResult:
     """``Transformer::backward_corr`` (trans.rs:556-672): masked 2-D
     Newton, <= 4 iterations, early per-lane exit at |residual| <
     MAX_ERROR on both axes.
@@ -248,7 +290,8 @@ def backward_corr(lat, lon, grid: MeshGrid) -> CorrResult:
     # the preparation resolve of iteration i+1, so it is carried over —
     # bit-identical inputs give bit-identical outputs, at ~60% of the
     # cell-resolution cost.
-    cell = _resolve_cell(yn, xn, grid)
+    bounds = _bounds_mode(strict_bounds)
+    cell = _resolve_cell(yn, xn, grid, bounds=bounds)
     for _ in range(ITERATION):
         if not active.any():
             break
@@ -282,21 +325,18 @@ def backward_corr(lat, lon, grid: MeshGrid) -> CorrResult:
         xn = np.where(active, new_xn, xn)
         yn = np.where(active, new_yn, yn)
 
-        # verification step: forward_corr at the updated iterate
-        # (trans.rs:657-668) — errors there also terminate the lane.
-        # DOCUMENTED DIVERGENCE (ADVICE r01): the reference verifies
-        # with forward_corr_unchecked (trans.rs:658, no mesh-domain
-        # bounds check), so an iterate that stepped outside the domain
-        # mid-iteration proceeds unchecked there (typically ending in
-        # ParameterNotFound with a digit-wrapped meshcode); this
-        # checked resolve reports OUT_OF_BOUNDS instead.  Reachable
-        # only when Newton diverges out of the domain — never on
-        # fixture/test inputs; the error-kind difference on that edge
-        # is accepted in exchange for one shared resolve path.
+        # verification step: forward_corr_UNCHECKED at the updated
+        # iterate (trans.rs:657-668) — reference-exact as of round 3
+        # (closes the r01/r02 documented divergence): the unchecked
+        # MeshCode path has no domain check, so an iterate that
+        # stepped outside the domain fails here as ParameterNotFound
+        # with the digit-wrapped meshcode (Params::new_unchecked
+        # probe), never OUT_OF_BOUNDS.  Reachable only when Newton
+        # diverges — no fixture value changes.
         # The Newton step moved each lane by ~the residual, so the cell
         # rarely changes: corner lookups are carried from the prepare
         # resolve (bit-identical; only changed codes re-probe).
-        vcell = _resolve_cell(yn, xn, grid, carry=cell)
+        vcell = _resolve_cell(yn, xn, grid, carry=cell, bounds=mesh.BOUNDS_UNCHECKED)
         vfail = active & ~vcell["ok"]
         status[vfail] = vcell["status"][vfail]
         err_code[vfail] = vcell["err_code"][vfail]
@@ -318,14 +358,17 @@ def backward_corr(lat, lon, grid: MeshGrid) -> CorrResult:
         out_dalt[conv] = -valt[conv]
         status[conv] = STATUS_OK
         active &= ~conv
-        cell = vcell
+        # the next iteration's PREPARE is checked (trans.rs:600-602):
+        # same resolve, re-bounded — digits/params/position are
+        # bounds-independent, so the carry stays bit-identical
+        cell = _rebound_cell(vcell, yn, xn, grid.mesh_unit, bounds)
 
     return CorrResult(out_dlat, out_dlon, out_dalt, status, err_code, err_corner)
 
 
-def backward(lat, lon, alt, grid: MeshGrid):
+def backward(lat, lon, alt, grid: MeshGrid, strict_bounds: bool = True):
     """``Transformer::backward`` (trans.rs:233-235): point + corr."""
-    c = backward_corr(lat, lon, grid)
+    c = backward_corr(lat, lon, grid, strict_bounds)
     out_lat, out_lon = _add_normalized(lat, lon, c.dlat, c.dlon)
     out_alt = np.asarray(alt, dtype=np.float64) + c.dalt
     return out_lat, out_lon, out_alt, c

@@ -28,6 +28,29 @@ import numpy as np
 UNIT_ONE = 1
 UNIT_FIVE = 5
 
+# Bounds modes for point -> digits (see point_to_digits):
+# * strict    — engine default: half-open upper bounds, every downstream
+#   digit array in range by construction.
+# * inclusive — reference checked-path parity (coord.rs:278-280 accepts
+#   mesh value <= 100.0 and longitude <= 180.0 inclusively; cell
+#   construction then fails as OutOfBounds where a corner coord cannot
+#   exist — trans.rs:429-430 new_oob via coord.rs:409-427 next_up /
+#   node.rs:152-160 the (80,0,0) longitude maximum).  NOTE (round 3,
+#   verified against the source + by double-enumeration): a latitude
+#   mesh value of EXACTLY 100.0 is unreachable — the unique double
+#   with 3*lat/2 == 100.0 (66.66666666666667) has an odd bit pattern,
+#   so the ulp bump (coord.rs:271-275) pushes it past the inclusive
+#   bound; the (0,0,0) digit-wrap branch is faithful dead code.  The
+#   REACHABLE strict-vs-reference divergence is the top latitude cell
+#   (coord (99,7,bound), no next_up): strict reports
+#   ParameterNotFound(99xx...), the reference OutOfBounds.
+# * unchecked — MeshCode::from_point parity (code.rs:16-57): no bounds
+#   at all, digits wrap modulo 100; the reference's verify step inside
+#   the Newton inverse runs here (trans.rs:658).
+BOUNDS_STRICT = "strict"
+BOUNDS_INCLUSIVE = "inclusive"
+BOUNDS_UNCHECKED = "unchecked"
+
 
 def _as_f64(a) -> np.ndarray:
     return np.ascontiguousarray(np.asarray(a, dtype=np.float64))
@@ -50,8 +73,14 @@ def value_to_digits(value: np.ndarray, unit: int):
     """
     value = _as_f64(value)
     # floor can produce huge ints for garbage input; clip to keep the
-    # int64 cast defined.  Invalid lanes are masked by the caller.
+    # int64 cast defined (BOUNDS_UNCHECKED feeds arbitrary iterates in
+    # here — a diverged Newton step can sit at 1e300).  The clip is
+    # unreachable for any value either checked mode accepts; digits of
+    # clipped lanes are unspecified, matching the reference's
+    # 'behavior is not specified' contract for the unchecked path
+    # (trans.rs:683-687).
     safe = np.where(np.isfinite(value), value, 0.0)
+    safe = np.clip(safe, -1.0e15, 1.0e15)
     integer = np.floor(safe).astype(np.int64)
     first = integer % 100
     second = np.floor(8.0 * safe).astype(np.int64) - 8 * integer
@@ -73,34 +102,55 @@ def lon_valid(lon: np.ndarray) -> np.ndarray:
     return np.isfinite(lon) & (lon >= 100.0) & (lon <= 180.0)
 
 
-def point_to_digits(lat: np.ndarray, lon: np.ndarray, unit: int):
+def point_bounds_mask(lat: np.ndarray, lon: np.ndarray, lat_digits, lon_digits,
+                      unit: int, bounds: str = BOUNDS_STRICT) -> np.ndarray:
+    """Validity mask of a point batch under a bounds mode (module
+    header comment).  ``inclusive`` reproduces the reference checked
+    path exactly: try_from bounds are inclusive (coord.rs:278-280,
+    313-316) and a point whose CELL cannot be built — the top latitude
+    coord (99,7,bound) has no next_up (coord.rs:409-427), and
+    longitude exactly 180.0 puts the east node past the (80,0,0)
+    maximum (node invariant, node.rs:89-124) — is OutOfBounds
+    (trans.rs:429-430)."""
+    latv = lat_mesh_value(lat)
+    lonv = _as_f64(lon)
+    if bounds == BOUNDS_UNCHECKED:
+        return np.ones(latv.shape, dtype=bool)
+    if bounds == BOUNDS_INCLUSIVE:
+        valid = (
+            np.isfinite(latv) & (latv >= 0.0) & (latv <= 100.0)
+            & np.isfinite(lonv) & (lonv >= 100.0) & (lonv <= 180.0)
+        )
+        bound = 9 if unit == UNIT_ONE else 5
+        top_lat = (lat_digits[0] == 99) & (lat_digits[1] == 7) & (lat_digits[2] == bound)
+        lon_max = (lon_digits[0] == 80) & (lon_digits[1] == 0) & (lon_digits[2] == 0)
+        return valid & ~top_lat & ~lon_max
+    return (
+        np.isfinite(latv) & (latv >= 0.0) & (latv < 100.0)
+        & np.isfinite(lonv) & (lonv >= 100.0) & (lonv < 180.0)
+    )
+
+
+def point_to_digits(lat: np.ndarray, lon: np.ndarray, unit: int,
+                    bounds: str = BOUNDS_STRICT):
     """``MeshCode::from_point`` (code.rs:16-57): digit triples of the
     south-west node of the cell containing each point.
 
     Returns ((lat1, lat2, lat3), (lon1, lon2, lon3), valid_mask).
-    Digits on invalid lanes are unspecified.
-    """
+    Digits on invalid lanes are unspecified (except BOUNDS_INCLUSIVE's
+    wrapped lanes, whose digits ARE the reference's wrapped cell).
+
+    Bounds modes (module header): the STRICT default diverges from the
+    reference checked path only on the domain's top edge — documented
+    since round 1 (ADVICE r01) — trading the boundary error KIND
+    (everything up there fails either way) for digit arrays in range
+    by construction; BOUNDS_INCLUSIVE is the exact-parity opt-in
+    (kernel ``strict_bounds=False``)."""
     latv = lat_mesh_value(lat)
     lonv = _as_f64(lon)
-    # DOCUMENTED DIVERGENCE (ADVICE r01): strict upper bounds here,
-    # while try_from_latitude accepts value <= 100.0 inclusive
-    # (coord.rs:278-280).  A mesh value landing EXACTLY on 100.0 (lat
-    # = 200/3 deg, one double) or a longitude of exactly 180.0 is
-    # OUT_OF_BOUNDS here, where the reference builds a first-digit-
-    # wrapped cell and then fails with ParameterNotFound.  Same
-    # rejection, different error kind, on a 1-double boundary far
-    # outside Japan; the strict bound keeps every downstream digit
-    # array in range by construction.
-    valid = (
-        np.isfinite(latv)
-        & (latv >= 0.0)
-        & (latv < 100.0)
-        & np.isfinite(lonv)
-        & (lonv >= 100.0)
-        & (lonv < 180.0)
-    )
     lat_digits = value_to_digits(latv, unit)
     lon_digits = value_to_digits(lonv, unit)
+    valid = point_bounds_mask(lat, lon, lat_digits, lon_digits, unit, bounds)
     return lat_digits, lon_digits, valid
 
 

@@ -180,3 +180,94 @@ def test_parameter_not_found_corner_priority(semi):
     assert c.status[0] == kernel.STATUS_PARAMETER_NOT_FOUND
     assert c.err_corner[0] == kernel.CORNER_SE
     assert c.err_meshcode[0] == 54401100  # the se neighbor of 54401005
+
+
+# ---------------------------------------------------------------------------
+# Boundary error-kind parity (round 3, VERDICT r02 #5/#6)
+# ---------------------------------------------------------------------------
+
+def _status_of(fn, lat, lon, grid, **kw):
+    c = fn(np.array([lat]), np.array([lon]), grid, **kw)
+    return int(c.status[0]), int(c.err_meshcode[0]), int(c.err_corner[0])
+
+
+def test_boundary_error_kinds_inclusive_mode(semi):
+    """Exact reference checked-path parity at the domain's top edge
+    (strict_bounds=False).  Pinned from the source, not assumptions:
+
+    * lat = 200/3 (the unique double with raw 3*lat/2 == 100.0) has an
+      ODD bit pattern, so the ulp bump (coord.rs:271-275) pushes its
+      mesh value past the inclusive bound -> OutOfBounds in BOTH
+      modes; the reference's (0,0,0) digit-wrap is unreachable for
+      latitude.
+    * the top latitude CELL (coord (99,7,5) at unit five) is accepted
+      by try_from_latitude but has no next_up (coord.rs:409-427) ->
+      reference OutOfBounds at cell construction (trans.rs:429-430);
+      strict mode reports ParameterNotFound(99xx..) instead — the one
+      reachable divergence, closed by the flag.
+    * lon = 180.0 -> coord (80,0,0); the east node (80,0,x) violates
+      the MeshNode longitude maximum (node.rs:152-160) -> OutOfBounds
+      in both modes.
+    * lon just below 180 (coord (79,7,5)) builds a legal cell whose
+      east nodes are (80,0,0) -> ParameterNotFound on this grid, in
+      both modes, attributed to the first-probed missing corner
+      (sw, trans.rs:76-87).
+    """
+    oob, pnf = kernel.STATUS_OUT_OF_BOUNDS, kernel.STATUS_PARAMETER_NOT_FOUND
+
+    lat_boundary = 200.0 / 3.0  # 66.66666666666667, odd bits
+    assert np.float64(lat_boundary).view(np.int64) % 2 == 1
+    for sb in (True, False):
+        s, code, corner = _status_of(kernel.forward_corr, lat_boundary, 140.08,
+                                     semi, strict_bounds=sb)
+        assert (s, code, corner) == (oob, -1, -1), (sb, s, code, corner)
+
+    top_cell_lat = 66.66666666666666  # even bits, mesh value 99.99999999999999
+    s, code, corner = _status_of(kernel.forward_corr, top_cell_lat, 140.08, semi)
+    assert s == pnf and code // 1_000_000 == 99 and corner == kernel.CORNER_SW
+    s, code, corner = _status_of(kernel.forward_corr, top_cell_lat, 140.08,
+                                 semi, strict_bounds=False)
+    assert (s, code, corner) == (oob, -1, -1)
+
+    for sb in (True, False):
+        s, code, corner = _status_of(kernel.forward_corr, 36.1, 180.0,
+                                     semi, strict_bounds=sb)
+        assert (s, code, corner) == (oob, -1, -1), (sb, s)
+
+    for sb in (True, False):
+        s, code, corner = _status_of(kernel.forward_corr, 36.1, 179.99,
+                                     semi, strict_bounds=sb)
+        assert s == pnf and corner == kernel.CORNER_SW
+        assert (code // 10_000) % 100 == 79  # sw lon first digit
+
+    # in-domain results are bit-identical across modes
+    lat = np.array([36.103774791666666])
+    lon = np.array([140.087855041666666])
+    a = kernel.forward_corr(lat, lon, semi)
+    b = kernel.forward_corr(lat, lon, semi, strict_bounds=False)
+    assert a.dlat[0] == b.dlat[0] and a.dlon[0] == b.dlon[0] and a.dalt[0] == b.dalt[0]
+    assert a.status[0] == b.status[0] == kernel.STATUS_OK
+
+
+def test_newton_verify_unchecked_parity():
+    """A Newton step that diverges out of the mesh domain must fail at
+    the VERIFY step like the reference's forward_corr_unchecked
+    (trans.rs:658): ParameterNotFound with a digit-WRAPPED meshcode
+    (MeshCode::from_point has no bounds, code.rs:16-57) — never
+    OutOfBounds (r01/r02's documented divergence, now closed).
+
+    Grid: one unit-one cell with a huge (-137 deg) longitude
+    correction; the first Newton update lands at lon ~ q+137 (~277),
+    whose unchecked first digit wraps to 277 % 100 = 77."""
+    grid = MeshGrid.from_dict({
+        54401027: (0.0, -493200.0, 0.0),   # -137 deg * 3600 sec
+        54401028: (0.0, -493200.0, 0.0),
+        54401037: (0.0, -493200.0, 0.0),
+        54401038: (0.0, -493200.0, 0.0),
+    }, "TKY2JGD")
+    c = kernel.backward_corr(np.array([36.1003]), np.array([140.0878]), grid)
+    assert int(c.status[0]) == kernel.STATUS_PARAMETER_NOT_FOUND
+    assert int(c.err_corner[0]) == kernel.CORNER_SW
+    code = int(c.err_meshcode[0])
+    assert (code // 10_000) % 100 == 77, code  # wrapped lon first digit
+    assert code // 1_000_000 == 54          # latitude digits unchanged
