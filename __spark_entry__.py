@@ -337,6 +337,30 @@ def _q_dms_roundtrip(spark, sf_dir):
     )
 
 
+# dyadic-degree generator shared by the dms_format query and oracle:
+# k/1024 degrees are exact doubles whose DMS seconds-fraction is an
+# exact <= 6-digit decimal (3600/1024 = 3.515625), so the pure-Column
+# formatter's fast path covers every row — the 'common case' the
+# formatter exists for; the sweep includes negatives, -0-adjacent
+# small values, and the deg==0/minute==0 special forms.
+_DYADIC_DEG_SQL = (
+    "SELECT o_orderkey AS pkey, "
+    "CAST((o_orderkey % 368641) - 184320 AS DOUBLE) / 1024.0e0 AS v FROM orders"
+)
+
+
+def _q_dms_format(spark, sf_dir):
+    """Compact DMS formatting (dms.rs:115-163) through the pure-Column
+    fast path (functions/columns.degree_to_dms_compact) — VERDICT r02
+    #8.  The oracle rebuilds the identical string in SQL; shortest-
+    round-trip parity vs the Rust Display UDF is pinned in pytest."""
+    from jgdtrans_rs_spark.functions import columns as C
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    vals = spark.sql(_DYADIC_DEG_SQL)
+    return vals.select("pkey", C.degree_to_dms_compact(F.col("v")).alias("dms_compact"))
+
+
 def _q_pages_invariant(spark, sf_dir):
     """Per-row invariant: byte-identical extracted text per url."""
     pages = pages_src.synth_pages(spark, sf_dir)
@@ -524,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_statistics_spark": _q_grid_stats_spark,
         "dms_parts": _q_dms,
         "dms_roundtrip": _q_dms_roundtrip,
+        "dms_format": _q_dms_format,
         "pages_text_invariant": _q_pages_invariant,
         "normalize_angles": _q_normalize,
         "multimodal_binary_meta": _q_multimodal,
@@ -646,6 +671,61 @@ def oracle_sql() -> dict[str, str]:
         ) _d
       ) _e
     """.replace("__PTS__", _P)
+    # mirror of functions/columns.degree_to_dms_compact: identical
+    # decomposition arithmetic, string build, and round-trip guard;
+    # DuckDB signbit(v) == Spark CAST(v AS STRING) sign prefix for all
+    # finite inputs
+    dms_format_sql = """
+      SELECT pkey,
+             CASE WHEN NOT (v >= -180.0e0 AND v <= 180.0e0) THEN NULL
+                  WHEN CAST(concat('0.', sixs) AS DOUBLE) <> fract THEN NULL
+                  ELSE CASE WHEN signbit(v) THEN concat('-', body) ELSE body END
+             END AS dms_compact
+      FROM (
+        SELECT pkey, v, sixs, fract,
+               CASE WHEN deg = 0 AND minute = 0 AND sec = 0 AND fs = '' THEN '0'
+                    WHEN deg = 0 AND minute = 0 THEN concat(CAST(sec AS VARCHAR), fs)
+                    WHEN deg = 0 THEN concat(CAST(minute AS VARCHAR),
+                                             lpad(CAST(sec AS VARCHAR), 2, '0'), fs)
+                    ELSE concat(CAST(deg AS VARCHAR),
+                                lpad(CAST(minute AS VARCHAR), 2, '0'),
+                                lpad(CAST(sec AS VARCHAR), 2, '0'), fs)
+               END AS body
+        FROM (
+          SELECT pkey, v, deg, minute, sec, fract, sixs,
+                 CASE WHEN sixn = 0 THEN ''
+                      ELSE concat('.', regexp_replace(sixs, '0+$', '')) END AS fs
+          FROM (
+            SELECT pkey, v, deg, minute, sec, fract, sixn,
+                   lpad(CAST(sixn AS VARCHAR), 6, '0') AS sixs
+            FROM (
+              SELECT pkey, v, deg, minute, sec, fract,
+                     CAST(floor(fract * 1000000.0e0 + 0.5e0) AS BIGINT) AS sixn
+              FROM (
+                SELECT pkey, v, deg, minute, sec, ss - CAST(sec AS DOUBLE) AS fract
+                FROM (
+                  SELECT pkey, v, deg, minute, ss, CAST(floor(ss) AS BIGINT) AS sec
+                  FROM (
+                    SELECT pkey, v, deg, minute,
+                           (mm - CAST(minute AS DOUBLE)) * 60.0e0 AS ss
+                    FROM (
+                      SELECT pkey, v, deg, mm, CAST(floor(mm) AS BIGINT) AS minute
+                      FROM (
+                        SELECT pkey, v, deg, (abs(v) - CAST(deg AS DOUBLE)) * 60.0e0 AS mm
+                        FROM (
+                          SELECT pkey, v, CAST(floor(abs(v)) AS BIGINT) AS deg
+                          FROM (__VALS__) _v
+                        ) _a
+                      ) _b
+                    ) _c
+                  ) _d
+                ) _e
+              ) _f
+            ) _g
+          ) _h
+        ) _i
+      ) _j
+    """.replace("__VALS__", _DYADIC_DEG_SQL)
     coverage_sql = f"""
       SELECT meshcode, CAST(COUNT(*) AS BIGINT) AS n_points
       FROM ({oracle.tile_sql(_P, _UNIT)}) _t
@@ -762,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_statistics_spark": grid_stats_spark_sql,
         "dms_parts": dms_sql,
         "dms_roundtrip": dms_roundtrip_sql,
+        "dms_format": dms_format_sql,
         "pages_text_invariant": pages_invariant_sql,
         "normalize_angles": normalize_sql,
         "multimodal_binary_meta": multimodal_sql,

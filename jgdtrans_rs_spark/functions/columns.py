@@ -143,3 +143,63 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     # try_divide: a zero-norm vector yields NULL (ANSI division by
     # zero would throw); callers must treat NULL as "no similarity"
     return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def degree_to_dms_compact(c: Column) -> Column:
+    """Pure-Column compact DMS formatter (dms.rs:115-163) for the
+    common case: values whose seconds-fraction is EXACTLY a <= 6-digit
+    decimal (fract parses back bit-equal from its 6-digit rounding).
+    Returns NULL outside that case — callers needing full
+    shortest-round-trip parity use ``degree_to_dms_hybrid`` (or the
+    UDF directly); hot pipelines formatting tile labels / web output
+    stay entirely in codegen here.
+
+    Decomposition is bit-pinned to dms.rs:329-352 (trunc/fract
+    two-step, magnitudes via abs — float-symmetric, so identical bits
+    to the reference's signed path); the shortest-repr contract holds
+    because at most ONE <= 6-digit decimal can round-trip any double
+    (decimal spacing 1e-6 dwarfs the ulp), so the trimmed 6-digit
+    string IS the shortest form whenever the round-trip test passes.
+    """
+    in_bounds = c.isNotNull() & ~F.isnan(c) & c.between(-180.0, 180.0)
+    av = F.abs(c)
+    deg = F.floor(av).cast("long")
+    mm = (av - deg.cast("double")) * 60.0
+    minute = F.floor(mm).cast("long")
+    ss = (mm - minute.cast("double")) * 60.0
+    sec = F.floor(ss).cast("long")
+    fract = ss - sec.cast("double")
+    sixn = F.floor(fract * 1000000.0 + 0.5).cast("long")
+    sixs = F.lpad(sixn.cast("string"), 6, "0")
+    roundtrip_ok = F.concat(F.lit("0."), sixs).cast("double") == fract
+    fs = (
+        F.when(sixn == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("."), F.regexp_replace(sixs, "0+$", "")))
+    )
+    deg_s = deg.cast("string")
+    min2 = F.lpad(minute.cast("string"), 2, "0")
+    sec2 = F.lpad(sec.cast("string"), 2, "0")
+    body = (
+        F.when((deg == 0) & (minute == 0) & (sec == 0) & (fs == ""), F.lit("0"))
+        .when((deg == 0) & (minute == 0), F.concat(sec.cast("string"), fs))
+        .when(deg == 0, F.concat(minute.cast("string"), sec2, fs))
+        .otherwise(F.concat(deg_s, min2, sec2, fs))
+    )
+    # sign: negative values AND negative zero ('-0' per Rust Display;
+    # CAST(-0.0 AS STRING) keeps the sign in Spark and DuckDB alike)
+    negative = c.cast("string").startswith("-")
+    out = F.when(negative, F.concat(F.lit("-"), body)).otherwise(body)
+    return F.when(in_bounds & roundtrip_ok, out).otherwise(F.lit(None).cast("string"))
+
+
+def degree_to_dms_hybrid(c: Column) -> Column:
+    """Column formatter with shortest-round-trip UDF fallback: exact
+    <= 6-digit fractions format in codegen, the rest through
+    dms.degree_to_dms_udf.  NOTE: Spark extracts Python UDFs into an
+    unconditional ArrowEvalPython stage, so the fallback EXECUTES for
+    every row even when the Column branch wins — use
+    degree_to_dms_compact alone when the corpus is known 6-digit-exact
+    and the Arrow hop matters."""
+    from ..dms import degree_to_dms_udf
+
+    return F.coalesce(degree_to_dms_compact(c), degree_to_dms_udf(c))

@@ -72,3 +72,45 @@ def test_roundtrip():
         s = dms.format_dms_scalar(v)
         back = dms.dms_to_degree_scalar(s)
         assert math.isclose(back, v, rel_tol=0, abs_tol=1e-12), (v, s, back)
+
+
+def test_column_formatter_matches_rust_display(spark):
+    """degree_to_dms_compact must equal the Rust-Display-exact scalar
+    formatter wherever it answers (<= 6-digit-exact fractions), return
+    NULL where the shortest repr needs more digits, and the hybrid must
+    equal the scalar formatter EVERYWHERE."""
+    from pyspark.sql import functions as F
+
+    from jgdtrans_rs_spark.dms import format_dms_scalar
+    from jgdtrans_rs_spark.functions import columns as C
+
+    vals = (
+        # dyadic sweep: 6-digit-exact fractions, all special forms
+        [k / 1024.0 for k in range(-2048, 2049, 37)]
+        + [0.0, -0.0, 180.0, -180.0, 36.0625, -0.25, 0.015625,
+           1.0 / 7200.0,              # 0.5 sec -> deg==0, minute==0 form
+           5.0 / 60.0]                # deg==0 form
+        # irrational-ish fractions: shortest repr > 6 digits -> NULL path
+        + [36.103774791666666, 140.0 / 3.0, 1e-9, -1e-9]
+    )
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {
+        int(r["i"]): (r["compact"], r["hybrid"])
+        for r in df.select(
+            "i",
+            C.degree_to_dms_compact(F.col("v")).alias("compact"),
+            C.degree_to_dms_hybrid(F.col("v")).alias("hybrid"),
+        ).collect()
+    }
+    n_compact = 0
+    for i, v in enumerate(vals):
+        want = format_dms_scalar(v)
+        compact, hybrid = got[i]
+        assert hybrid == want, (v, hybrid, want)
+        if compact is not None:
+            n_compact += 1
+            assert compact == want, (v, compact, want)
+    # the fast path must actually cover the dyadic sweep...
+    assert n_compact >= len(vals) - 4
+    # ...and must NOT answer where shortest-roundtrip needs > 6 digits
+    assert got[vals.index(36.103774791666666)][0] is None
