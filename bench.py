@@ -174,7 +174,8 @@ def one_run(cpus: int, sf_dir: str, multiplier: int = 1):
     return timings, n_rows, total
 
 
-def _subprocess_run(cpus: int, mult: int, cpuset: str | None = None):
+def _subprocess_run(cpus: int, mult: int, cpuset: str | None = None,
+                    reps: str | None = None):
     """One isolated measurement in a fresh JVM (sequential sessions in
     one process inherit heap/GC state and skew timings).
 
@@ -190,10 +191,22 @@ def _subprocess_run(cpus: int, mult: int, cpuset: str | None = None):
     cmd = [sys.executable, os.path.abspath(__file__), "--single", str(cpus), str(mult)]
     if cpuset:
         cmd = ["taskset", "-c", cpuset] + cmd
-    env["SPARK_GRAFT_BENCH_REPS"] = os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")
+    env["SPARK_GRAFT_BENCH_REPS"] = reps or os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
+
+
+def _append_history(result: dict) -> None:
+    """BENCH/history.jsonl: one line per bench invocation so
+    round-over-round deltas are comparable signals instead of one-shot
+    noise samples (the documented 3-4x host swing made BENCH_r02.json
+    read as a regression that a re-run disproved — VERDICT r02 #3)."""
+    import time
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/history.jsonl", "a", encoding="utf-8") as f:
+        f.write(json.dumps({"ts": round(time.time(), 1), **result}) + "\n")
 
 
 def main():
@@ -206,10 +219,21 @@ def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result: dict = {"metric": "transform+spatial-join throughput", "unit": "sec", "sf": float(sf)}
 
-    timings, n_rows, total = one_run(CPUS, SF_DIR)
+    # R independent rounds in FRESH JVMs, per-query best-of across
+    # rounds: on this host a single run is noise-dominated (documented
+    # 3-4x swings — r02's one-shot read as a fake regression), while
+    # best-of-R tracks the least-interfered measurement per query.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    runs = [_subprocess_run(CPUS, 1, reps=os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+            for _ in range(rounds)]
+    timings = {k: round(min(r["queries"][k] for r in runs), 3)
+               for k in runs[0]["queries"]}
+    n_rows = runs[0]["rows"]
+    total = round(sum(timings.values()), 3)
     result["value"] = total
     result["queries"] = timings
     result["rows"] = n_rows
+    result["bench_rounds"] = rounds
     # coords/sec over the transform+join chain (q4 = the headline stage)
     result["coords_per_sec"] = round(n_rows / timings["q4_transform_join"], 1)
 
@@ -297,10 +321,11 @@ def main():
                 "count; the only cross-executor interactions in these plans "
                 "are the O(grid) broadcast and the salted bucketed-join "
                 "shuffle.\n\n"
-                f"Per-query seconds at local[{CPUS}] (single run, {SF_DIR}): "
-                f"`{json.dumps(timings)}`\n"
+                f"Per-query seconds at local[{CPUS}] (best of {rounds} fresh-JVM "
+                f"rounds, {SF_DIR}): `{json.dumps(timings)}`\n"
             )
 
+    _append_history(result)
     print(json.dumps(result))
 
 

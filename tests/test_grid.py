@@ -192,3 +192,72 @@ def test_parse_with_description_override():
     g = parse_par(text, "TKY2JGD", description="my dataset")
     assert g.description == "my dataset"
     assert 46303582 in g.codes
+
+
+def test_grid_builder_fluent():
+    """TransformerBuilder parity (builder.rs:32-230): fluent
+    format/parameter/parameters, last-insert-wins, 2-tuple altitude
+    fill, and the unassigned-format panic."""
+    import pytest
+
+    from jgdtrans_rs_spark.grid import GridBuilder
+
+    g = (
+        GridBuilder()
+        .format("SemiDynaEXE")
+        .parameter(54401005, (-0.00622, 0.01516, 0.0946))
+        .parameters([
+            (54401055, (-0.0062, 0.01529, 0.08972)),
+            (54401100, (-0.00663, 0.01492, 0.10374)),
+            (54401150, (-0.00664, 0.01506, 0.10087)),
+        ])
+        .build()
+    )
+    ref = MeshGrid.from_dict({
+        54401005: (-0.00622, 0.01516, 0.0946),
+        54401055: (-0.0062, 0.01529, 0.08972),
+        54401100: (-0.00663, 0.01492, 0.10374),
+        54401150: (-0.00664, 0.01506, 0.10087),
+    }, "SemiDynaEXE")
+    assert (g.codes == ref.codes).all()
+    assert (g.dlat_sec == ref.dlat_sec).all() and g.mesh_unit == ref.mesh_unit
+
+    # last insert wins (HashMap semantics); 2-tuple fills altitude 0.0
+    g2 = (
+        GridBuilder().format("TKY2JGD")
+        .parameter(46303582, (1.0, 2.0, 3.0))
+        .parameter(46303582, (11.49105, -9.88759))
+        .build()
+    )
+    assert g2.dlat_sec[0] == 11.49105 and g2.dalt_m[0] == 0.0
+
+    with pytest.raises(ValueError, match="mesh_unit is not assigned"):
+        GridBuilder().parameter(54401005, (0.0, 0.0, 0.0)).build()
+    with pytest.raises(ValueError, match="unknown format"):
+        GridBuilder().format("NotAFormat")
+
+
+def test_grid_builder_engine(spark):
+    from jgdtrans_rs_spark.grid import GridBuilder
+
+    eng = (
+        GridBuilder().format("SemiDynaEXE")
+        .parameters(SEMIDYNA)
+        .build_engine(spark)
+    )
+    df = spark.createDataFrame(
+        [(1, 36.103774791666666, 140.087855041666666, 2.34)],
+        "pkey long, lat double, lon double, alt double")
+    r = eng.forward(df).collect()[0]
+    assert r["status"] == 0
+    # bit-identical to the kernel path (itself pinned to trans.rs
+    # doctest constants in test_kernel.py)
+    import numpy as np
+
+    from jgdtrans_rs_spark import kernel
+
+    want = kernel.forward(np.array([36.103774791666666]),
+                          np.array([140.087855041666666]),
+                          np.array([2.34]),
+                          eng.grid)[0][0]
+    assert r["out_lat"] == want

@@ -202,6 +202,36 @@ def test_quality_score_buckets(spark, duck):
     assert want == got
 
 
+def test_minhash_near_arm_recall(spark, duck):
+    """The minhash threshold must actually recover the NEAR (prefixed
+    +2M) duplicate arm, not just exact copies (VERDICT r02 'What's
+    wrong #2'): ground truth = exact shingle-Jaccard >= 60% via the
+    ngram oracle (72 near-arm pairs at sf0.01, J mostly > 0.9);
+    the banded LSH must find >= 90% of them (measured 0.958) with
+    exact precision (the operator verifies candidates exactly)."""
+    from jgdtrans_rs_spark.operators import dedup as dedup_ops
+    from jgdtrans_rs_spark.plans import webops
+    from jgdtrans_rs_spark.plans.textsql import DUCK
+
+    truth = duck.sql(webops.ngram_jaccard_sql(DUCK, tau_pct=60)).df()
+    tset = {
+        (int(a), int(b))
+        for a, b in zip(truth.doc_a, truth.doc_b) if b - a == 2_000_000
+    }
+    assert len(tset) >= 50  # the fixture must exercise the near arm
+
+    spark.read.parquet(f"{SF_SMALL}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    got = dedup_ops.minhash_lsh_pairs(spark, tau_pct=60).toPandas()
+    gset = {
+        (int(a), int(b))
+        for a, b in zip(got.doc_a, got.doc_b) if b - a == 2_000_000
+    }
+    assert gset <= tset, f"false positives: {sorted(gset - tset)[:5]}"
+    recall = len(gset & tset) / len(tset)
+    assert recall >= 0.9, recall
+
+
 def test_simhash_pairs_recall_exact_copies(spark):
     """The banded simhash join must recover every exact-copy pair at
     Hamming distance 0, and the fingerprint must not be degenerate
@@ -237,3 +267,38 @@ def test_ann_zero_norm_vector_never_ranks(spark):
     got = similarity.ann_lsh_topk(emb.unionByName(zero), n_queries=5, k=5).toPandas()
     assert 999_999 not in set(got["neighbor_id"])
     assert (got.groupby("query_id")["rank"].max() <= 5).all() and len(got) > 0
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("SPARK_GRAFT_SLOW"),
+                    reason="sf0.1 scale probe — set SPARK_GRAFT_SLOW=1 (VERDICT r02 #7)")
+def test_all_oracle_queries_sf01(spark):
+    """Scale probe: the ENTIRE oracle set at sf0.1 (10x the driver's
+    correctness tier).  Catches Catalyst staging pathologies that are
+    invisible at 500 docs (round 2 found three only by manual probing
+    — PLANS.md 'Expression staging'); the per-query wall budget keeps
+    a quadratic regression from hiding inside a green run."""
+    import time
+
+    import __spark_entry__ as m
+
+    sf_large = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_large}/{t}.parquet'")
+    queries, oracles = m.queries(), m.oracle_sql()
+    assert set(queries) == set(oracles)
+    slowest: dict[str, float] = {}
+    for name, sql in oracles.items():
+        t0 = time.perf_counter()
+        a = queries[name](spark, sf_large).toPandas()
+        spark_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        b = con.sql(sql).df()
+        duck_s = time.perf_counter() - t0
+        _compare(a, b, f"{name}@sf0.1")
+        slowest[name] = round(spark_s + duck_s, 1)
+        # generous per-query wall budget: the staging pathologies this
+        # probe exists for showed up as MINUTES, not seconds
+        assert spark_s < 120, (name, spark_s)
+    top = sorted(slowest.items(), key=lambda kv: -kv[1])[:5]
+    print("sf0.1 probe slowest (spark+duck sec):", top)
