@@ -471,6 +471,21 @@ def _q_winnowing(spark, sf_dir):
     return dedup_ops.winnowing_fingerprints(spark)
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Cluster assignment after pair generation: connected components
+    of the simhash near-dup graph -> (doc_id, canonical_id,
+    cluster_size) for every corpus document.  Spark: iterative
+    min-label propagation to the fixpoint; oracle: transitive closure
+    as a DuckDB recursive CTE — an iterative distributed algorithm
+    checked against a recursive SQL ground truth."""
+    from jgdtrans_rs_spark.operators import dedup as dedup_ops
+
+    _view(spark, sf_dir, "documents")
+    pairs = dedup_ops.simhash_pairs(spark)
+    nodes = spark.sql(webops.dup_corpus_sql(SPARK)).select("doc_id")
+    return dedup_ops.dedup_components(pairs, nodes)
+
+
 def _q_minhash(spark, sf_dir):
     from jgdtrans_rs_spark.operators import dedup as dedup_ops
 
@@ -562,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _sql_q(webops.lang_id_sql),
         "dedup_exact": _sql_q(webops.dedup_exact_sql),
         "dedup_minhash_lsh": _q_minhash,
+        "dedup_components": _q_dedup_components,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "simhash": _sql_q(webops.simhash_sql),
         "simhash_near_dup": _q_simhash_pairs,
@@ -855,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": webops.lang_id_sql(DUCK),
         "dedup_exact": webops.dedup_exact_sql(DUCK),
         "dedup_minhash_lsh": webops.minhash_pairs_sql(DUCK),
+        "dedup_components": webops.dedup_components_oracle_sql(),
         "dedup_ngram_jaccard": webops.ngram_jaccard_sql(DUCK),
         "simhash": webops.simhash_sql(DUCK),
         "simhash_near_dup": webops.simhash_pairs_sql(DUCK),

@@ -114,3 +114,77 @@ def simhash_pairs(spark: SparkSession, docs: str = "documents",
     per band reference through CTE inlining; 26 s -> ~2 s at 5k docs)."""
     sigs = _stage(spark, webops.simhash_sigs_sql(SPARK, docs), "_sh_sigs")
     return spark.sql(webops.simhash_pairs_from(SPARK, sigs, tau))
+
+
+def dedup_components(pairs: DataFrame, nodes: DataFrame,
+                     a: str = "doc_a", b: str = "doc_b",
+                     id_col: str = "doc_id", max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate pair graph ->
+    (doc_id, canonical_id, cluster_size): the cluster-assignment step
+    a training-data pipeline runs AFTER pair generation, so every
+    document maps to one canonical representative (min doc_id in its
+    component; singletons map to themselves).
+
+    Algorithm: iterative min-label propagation — per round each node
+    takes min(own label, neighbours' labels); the driver loop stops at
+    the fixpoint (one scalar count per round, control-plane only) and
+    MATERIALIZES each round's labels (localCheckpoint) so the next
+    round's plan reads a stable snapshot instead of re-executing an
+    ever-deepening join lineage.  ``pairs`` is checkpointed BEFORE the
+    symmetrizing self-union: the union's two branches would otherwise
+    each re-execute the whole upstream candidate-join per action
+    (measured 38 s -> 0.6 s for the edge build at sf0.01; rounds
+    4.5 s -> 0.6 s because every round's join re-read that lineage).
+
+    100 TB design: each round is one shuffle-join of labels against
+    the (symmetrized) edge list plus a groupBy-min — both keyed, both
+    AQE-skew-splittable; rounds needed = component diameter.  Web
+    near-dup graphs are overwhelmingly stars/cliques around a
+    canonical document (exact-copy families, template clusters), so
+    the fixpoint lands in a handful of rounds; pathological chain
+    graphs are bounded by ``max_iter`` (raise = data looks nothing
+    like a dedup graph, investigate before burning cluster hours).
+    At that scale swap localCheckpoint for reliable ``checkpoint()``
+    (executor loss under localCheckpoint forfeits blocks mid-loop).
+    Output is deterministic regardless of partitioning: min() is
+    order-free.
+    """
+    from pyspark.sql import functions as F
+
+    p = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).localCheckpoint()
+    edges = (
+        p.unionByName(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        new = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
+                .alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter("chg").count()  # cheap: reads the checkpoint
+        labels = new.select("node", "label")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds — "
+            "the pair graph has a longer diameter than any dedup graph should")
+    sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"),
+                "cluster_size")
+    )

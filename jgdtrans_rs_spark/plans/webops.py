@@ -637,3 +637,41 @@ SELECT CAST({n_queries} AS BIGINT) AS n_queries, CAST({k} AS INTEGER) AS k,
        CAST(h AS BIGINT) AS n_hits, CAST(h AS DOUBLE) / {denom!r}e0 AS recall
 FROM (SELECT CASE ({embeddings_fingerprint_sql(embeddings)}) {cases} END AS h) _c
 """
+
+
+def dup_corpus_sql(d: str, docs: str = "documents") -> str:
+    """Public handle on the deterministic dedup-test corpus (exact
+    copies at +1M, prefixed near-copies at +2M) — the node set for the
+    cluster-assignment operator."""
+    return _dup_corpus(docs, d)
+
+
+def dedup_components_oracle_sql(docs: str = "documents", tau: int = 1) -> str:
+    """DuckDB oracle for ``operators.dedup.dedup_components``: the
+    transitive closure of the simhash near-dup pair graph as a
+    recursive CTE, canonical id = min node id reachable (including
+    self), singletons canonical to themselves.  Tractable because the
+    correctness-tier graph is small; the Spark side must converge to
+    the identical fixpoint."""
+    from .textsql import DUCK
+
+    return f"""
+WITH RECURSIVE prs AS ({simhash_pairs_sql(DUCK, docs, tau)}),
+nodes AS (SELECT doc_id FROM ({_dup_corpus(docs, DUCK)}) _c),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION SELECT doc_b, doc_a FROM prs),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+canon AS (
+    SELECT n.doc_id,
+           LEAST(n.doc_id, COALESCE(MIN(r.dst), n.doc_id)) AS canonical_id
+    FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
+    GROUP BY n.doc_id
+)
+SELECT doc_id, canonical_id,
+       CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
+FROM canon
+"""

@@ -302,3 +302,35 @@ def test_all_oracle_queries_sf01(spark):
         assert spark_s < 120, (name, spark_s)
     top = sorted(slowest.items(), key=lambda kv: -kv[1])[:5]
     print("sf0.1 probe slowest (spark+duck sec):", top)
+
+
+def test_dedup_components_crafted_graph(spark):
+    """Crafted topology: a 4-chain (worst diameter), a star, a
+    triangle, and singletons — every node must map to the component's
+    min id with the right cluster size, regardless of partitioning."""
+    from jgdtrans_rs_spark.operators import dedup as dedup_ops
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (10, 12), (10, 13),    # star around 10
+         (20, 21), (21, 22), (20, 22)],   # triangle
+        "doc_a long, doc_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 13, 20, 21, 22, 99]],
+        "doc_id long")
+    got = {
+        int(r["doc_id"]): (int(r["canonical_id"]), int(r["cluster_size"]))
+        for r in dedup_ops.dedup_components(pairs, nodes).collect()
+    }
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 4), 11: (10, 4), 12: (10, 4), 13: (10, 4),
+        20: (20, 3), 21: (20, 3), 22: (20, 3),
+        99: (99, 1),
+    }
+
+    # non-convergence guard: a diameter-3 chain cannot finish in 1 round
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_ops.dedup_components(pairs, nodes, max_iter=1)
