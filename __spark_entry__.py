@@ -471,6 +471,14 @@ def _q_winnowing(spark, sf_dir):
     return dedup_ops.winnowing_fingerprints(spark)
 
 
+def _q_url_normalize(spark, sf_dir):
+    """URL canonicalization + exact-URL dedup keys over a messy-URL
+    corpus (webops.url_normalize_sql): pure string/regexp Column
+    space, one window shuffle on the canonical key."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    return spark.sql(webops.url_normalize_sql(SPARK))
+
+
 def _q_dedup_components(spark, sf_dir):
     """Cluster assignment after pair generation: connected components
     of the simhash near-dup graph -> (doc_id, canonical_id,
@@ -576,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": _sql_q(webops.source_stats_sql),
         "lang_id": _sql_q(webops.lang_id_sql),
         "dedup_exact": _sql_q(webops.dedup_exact_sql),
+        "url_normalize": _q_url_normalize,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_components": _q_dedup_components,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -870,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": webops.source_stats_sql(DUCK),
         "lang_id": webops.lang_id_sql(DUCK),
         "dedup_exact": webops.dedup_exact_sql(DUCK),
+        "url_normalize": webops.url_normalize_sql(DUCK),
         "dedup_minhash_lsh": webops.minhash_pairs_sql(DUCK),
         "dedup_components": webops.dedup_components_oracle_sql(),
         "dedup_ngram_jaccard": webops.ngram_jaccard_sql(DUCK),

@@ -675,3 +675,70 @@ SELECT doc_id, canonical_id,
        CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
 FROM canon
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (Common-Crawl-style per-URL dedup key).
+# ---------------------------------------------------------------------------
+
+
+def _rr(d: str, expr: str, pat: str, rep: str) -> str:
+    """Dialect-safe global regexp_replace: Spark replaces all matches
+    by default, DuckDB needs the 'g' flag; group references are Java
+    ``$n`` vs RE2 ``\\n``.  Patterns avoid backslashes entirely
+    (bracket classes instead) because Spark SQL string literals eat
+    them while DuckDB keeps them."""
+    rep = rep.replace("{g1}", "$1" if d == SPARK else "\\1")
+    rep = rep.replace("{g2}", "$2" if d == SPARK else "\\2")
+    flag = "" if d == SPARK else ", 'g'"
+    return f"regexp_replace({expr}, '{pat}', '{rep}'{flag})"
+
+
+def url_corpus_sql(d: str, orders: str = "orders") -> str:
+    """Deterministic messy-URL corpus: groups of up to 4 orderkeys
+    share one canonical target, written four ways (clean / SHOUTING
+    host + default port + utm params + fragment / trailing slash /
+    bare host + click id) — the normalizer must collapse each group
+    to one key."""
+    g = "(o_orderkey - o_orderkey % 4)"
+    h = f"({g} % 20)"
+    return f"""
+      SELECT o_orderkey AS pkey,
+             CASE CAST(o_orderkey % 4 AS INTEGER)
+               WHEN 0 THEN concat('https://www.example', {h}, '.jp/path/', {g}, '?id=', {g})
+               WHEN 1 THEN concat('HTTPS://WWW.EXAMPLE', {h}, '.JP:443/path/', {g}, '?id=', {g}, '&utm_source=feed&utm_campaign=x#sec')
+               WHEN 2 THEN concat('https://www.example', {h}, '.jp/path/', {g}, '/?id=', {g})
+               ELSE concat('https://example', {h}, '.jp/path/', {g}, '?id=', {g}, '&gclid=abc123')
+             END AS url
+      FROM {orders}
+    """
+
+
+def url_normalize_sql(d: str, orders: str = "orders") -> str:
+    """URL canonicalization entirely in string/regexp Column space (no
+    UDF): strip fragment; lowercase scheme+authority (path/query case
+    preserved); drop default ports (:443 https / :80 http); drop the
+    www. prefix; remove tracking params (utm_*, gclid, fbclid) and
+    repair separators; collapse slash-before-query and trailing slash.
+    Emits the per-URL dedup key plus per-key stats: n_variants and
+    is_canonical (min pkey wins).  One window shuffle on norm_url —
+    at corpus scale this IS the exact-URL dedup pass."""
+    u1 = _rr(d, "url", '#.*$', '')
+    head = f"lower(regexp_extract({u1}, '^[^/]*//[^/]*', 0))"
+    u2 = f"concat({head}, substring({u1}, length({head}) + 1))"
+    u3 = _rr(d, u2, '^(https://[^/:]+):443(/.*)?$', '{g1}{g2}')
+    u3 = _rr(d, u3, '^(http://[^/:]+):80(/.*)?$', '{g1}{g2}')
+    u4 = _rr(d, u3, '^(https?://)www[.]', '{g1}')
+    u5 = _rr(d, u4, '(utm_[a-z]+|gclid|fbclid)=[^&#]*', '')
+    u5 = _rr(d, u5, '[?]&+', '?')
+    u5 = _rr(d, u5, '&&+', '&')
+    u5 = _rr(d, u5, '[?&]$', '')
+    u6 = _rr(d, u5, '/[?]', '?')
+    u6 = _rr(d, u6, '/$', '')
+    return f"""
+      SELECT pkey, url, norm_url,
+             regexp_extract(norm_url, '^https?://([^/:]+)', 1) AS host,
+             CAST(COUNT(*) OVER (PARTITION BY norm_url) AS BIGINT) AS n_variants,
+             (pkey = MIN(pkey) OVER (PARTITION BY norm_url)) AS is_canonical
+      FROM (SELECT pkey, url, {u6} AS norm_url FROM ({url_corpus_sql(d, orders)}) _c) _n
+    """
