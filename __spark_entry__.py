@@ -209,21 +209,16 @@ def _q_fused_chain(spark, sf_dir):
     builders."""
     eng = _engine(spark)
     fused = eng.transform_tile_pip(_points(spark, sf_dir), POLYGONS, "lat", "lon", "alt")
-    names = spark.createDataFrame(
-        [(i, pid) for i, (pid, _) in enumerate(POLYGONS)],
-        schema="poly_idx int, poly_id string",
+    narrowed = fused.select(
+        "pkey",
+        *[F.when(F.col("status") == 0, F.col(c)).alias(c)
+          for c in ("out_lat", "out_lon")],
+        "status", "meshcode", "quadkey", "poly_mask",
     )
-    return (
-        fused.select(
-            "pkey",
-            *[F.when(F.col("status") == 0, F.col(c)).alias(c)
-              for c in ("out_lat", "out_lon")],
-            "status", "meshcode", "quadkey",
-            F.explode_outer("poly_idxs").alias("poly_idx"),
-        )
-        .join(F.broadcast(names), "poly_idx", "left")
-        .select("pkey", "out_lat", "out_lon", "status", "meshcode", "quadkey", "poly_id")
-    )
+    # bitmask -> (poly_idx, poly_id) rows via the broadcast bit-test
+    # join (explode_outer semantics: no-hit rows keep one NULL row)
+    return Engine.poly_mask_rows(narrowed, POLYGONS).select(
+        "pkey", "out_lat", "out_lon", "status", "meshcode", "quadkey", "poly_id")
 
 
 def _q_roundtrip_verify(spark, sf_dir):
@@ -471,6 +466,20 @@ def _q_winnowing(spark, sf_dir):
     return dedup_ops.winnowing_fingerprints(spark)
 
 
+def _q_boilerplate(spark, sf_dir):
+    from jgdtrans_rs_spark.operators import text as text_ops
+
+    _view(spark, sf_dir, "documents")
+    return text_ops.boilerplate_strip(spark)
+
+
+def _q_vocab(spark, sf_dir):
+    from jgdtrans_rs_spark.operators import text as text_ops
+
+    _view(spark, sf_dir, "documents")
+    return text_ops.vocab_topn(spark)
+
+
 def _q_url_normalize(spark, sf_dir):
     """URL canonicalization + exact-URL dedup keys over a messy-URL
     corpus (webops.url_normalize_sql): pure string/regexp Column
@@ -591,6 +600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _sql_q(webops.simhash_sql),
         "simhash_near_dup": _q_simhash_pairs,
         "winnowing_fingerprint": _q_winnowing,
+        "boilerplate_strip": _q_boilerplate,
+        "vocab_topn": _q_vocab,
+        "sample_stratified": _sql_q(webops.sample_stratified_sql),
         "events_window": _sql_q(webops.events_window_sql),
         "ann_cosine_topk": _sql_q(webops.ann_topk_sql),
         "ann_lsh_topk": _q_ann_lsh,
@@ -886,6 +898,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": webops.simhash_sql(DUCK),
         "simhash_near_dup": webops.simhash_pairs_sql(DUCK),
         "winnowing_fingerprint": webops.winnowing_sql(DUCK),
+        "boilerplate_strip": webops.boilerplate_strip_sql(DUCK),
+        "vocab_topn": webops.vocab_topn_sql(DUCK),
+        "sample_stratified": webops.sample_stratified_sql(DUCK),
         "events_window": webops.events_window_sql(DUCK),
         "ann_cosine_topk": webops.ann_topk_sql(DUCK),
         # approximate operators under the full gate (VERDICT r02 #1):

@@ -275,13 +275,51 @@ class Engine:
             .select(*kept, "_r.*")
         )
 
+    @staticmethod
+    def poly_mask_rows(df: DataFrame, polygons, mask_col: str = "poly_mask",
+                       how: str = "left") -> DataFrame:
+        """Expand a containment bitmask into (row, poly_idx, poly_id)
+        rows with a broadcast bit-test join — the JVM-side twin of
+        ``explode_outer`` over an index array (a no-hit row keeps one
+        output row with NULL poly columns under ``how='left'``).
+        The tiny nested-loop probe (one AND per polygon per row) is
+        far cheaper than shipping an array column through Arrow."""
+        spark = df.sparkSession
+        names = spark.createDataFrame(
+            [(i, pid) for i, (pid, _) in enumerate(polygons)],
+            schema="poly_idx int, poly_id string",
+        )
+        # expr form: the DataFrame shiftright() only takes a literal
+        # shift, the SQL function accepts a column
+        hit = F.expr(f"(shiftright({mask_col}, poly_idx) & 1) = 1")
+        return df.join(F.broadcast(names), hit, how)
+
     def transform_tile_pip(self, df: DataFrame, polygons, lat: str = "lat",
                            lon: str = "lon", alt: str | None = "alt",
-                           level: int = 15, prefix: str = "out_") -> DataFrame:
+                           level: int = 15, prefix: str = "out_",
+                           fields: list[str] | None = None) -> DataFrame:
         """Fully fused hot chain for broadcast-size polygon sets:
         forward transform + tile assignment + point-in-polygon
-        containment in ONE Arrow hop, emitting a ``poly_idxs`` int
-        array (explode JVM-side; map to names with a broadcast join).
+        containment in ONE Arrow hop, emitting a ``poly_mask`` LONG
+        bitmask (bit i = inside polygons[i]; expand JVM-side with
+        ``poly_mask_rows``).  The mask replaced round 1-2's
+        ``poly_idxs`` int array: building the per-row arrays was a
+        Python loop over every row inside the UDF (np.nonzero per row
+        — measured ~70 s of q4's 82 s at 18M rows) and the array
+        column paid the expensive Arrow list writer; the mask is pure
+        vectorized numpy and a single int64 column.
+
+        ``fields`` selects which output columns the UDF emits (default:
+        all of out_lat/out_lon/out_alt/status/err_meshcode/err_corner/
+        meshcode/quadkey/poly_mask).  Catalyst cannot prune struct
+        fields through a pandas UDF, so a downstream ``.select`` does
+        NOT stop the unused columns from being computed and shipped
+        through the Arrow channel — pass the projection explicitly.
+        A classification chain that keeps only status+poly_mask ships
+        2 columns instead of 9, and skips the tile encode entirely;
+        the Arrow write is the per-JVM shared cost that caps scaling
+        on this box (BENCH/BASELINE.md), so pruning here is worth
+        more than pruning after any JVM operator.
 
         This is the 100 TB plan when the polygon side fits a broadcast:
         zero shuffles, one Python stage.  Use
@@ -293,20 +331,35 @@ class Engine:
         sb = self.strict_bounds
         unit = self.grid.mesh_unit
         polys = [[(float(a), float(b)) for a, b in ring] for _, ring in polygons]
+        if len(polys) > 63:
+            raise ValueError(
+                f"{len(polys)} polygons exceed the 63-bit containment mask; "
+                "use operators.spatial.bucketed_spatial_join for large polygon sets")
         bboxes = [
             (min(p[0] for p in ring), max(p[0] for p in ring),
              min(p[1] for p in ring), max(p[1] for p in ring))
             for ring in polys
         ]
-        out_fields = [
+        all_fields = [
             StructField(f"{prefix}lat", DoubleType(), True),
             StructField(f"{prefix}lon", DoubleType(), True),
             StructField(f"{prefix}alt", DoubleType(), True),
         ] + _RESULT_FIELDS + [
             StructField("meshcode", LongType(), False),
             StructField("quadkey", LongType(), False),
-            StructField("poly_idxs", ArrayType(IntegerType()), False),
+            StructField("poly_mask", LongType(), False),
         ]
+        if fields is None:
+            out_fields = all_fields
+        else:
+            known = {f.name: f for f in all_fields}
+            unknown = [f for f in fields if f not in known]
+            if unknown:
+                raise ValueError(f"unknown output fields {unknown}; "
+                                 f"choose from {sorted(known)}")
+            out_fields = [known[f] for f in fields]
+        names = [f.name for f in out_fields]
+        want_tiles = "meshcode" in names or "quadkey" in names
         schema = StructType(out_fields)
 
         @F.pandas_udf(schema)
@@ -316,26 +369,28 @@ class Engine:
             lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
             al = alt_s.to_numpy(dtype=np.float64, na_value=np.nan)
             out_la, out_lo, out_al, c = kernel.forward(la, lo, al, grid, strict_bounds=sb)
-            lat_d, lon_d, valid = mesh.point_to_digits(out_la, out_lo, unit)
-            code = mesh.digits_to_meshcode(lat_d, lon_d)
-            hits = np.zeros((la.shape[0], len(polys)), dtype=bool)
-            for i, (ring, (la0, la1, lo0, lo1)) in enumerate(zip(polys, bboxes)):
-                cand = (out_la >= la0) & (out_la <= la1) & (out_lo >= lo0) & (out_lo <= lo1)
-                if cand.any():
-                    h = np.zeros(la.shape[0], dtype=bool)
-                    h[cand] = _crossings(out_la[cand], out_lo[cand], ring) == 1
-                    hits[:, i] = h
-            return pd.DataFrame({
+            cols: dict = {
                 f"{prefix}lat": out_la,
                 f"{prefix}lon": out_lo,
                 f"{prefix}alt": out_al,
                 "status": c.status.astype(np.int32),
                 "err_meshcode": c.err_meshcode,
                 "err_corner": c.err_corner.astype(np.int32),
-                "meshcode": np.where(valid, code, -1),
-                "quadkey": mesh.quadkey(out_la, out_lo, level),
-                "poly_idxs": [np.nonzero(row)[0].astype(np.int32) for row in hits],
-            })
+            }
+            if want_tiles:
+                lat_d, lon_d, valid = mesh.point_to_digits(out_la, out_lo, unit)
+                code = mesh.digits_to_meshcode(lat_d, lon_d)
+                cols["meshcode"] = np.where(valid, code, -1)
+                cols["quadkey"] = mesh.quadkey(out_la, out_lo, level)
+            mask = np.zeros(la.shape[0], dtype=np.int64)
+            for i, (ring, (la0, la1, lo0, lo1)) in enumerate(zip(polys, bboxes)):
+                cand = (out_la >= la0) & (out_la <= la1) & (out_lo >= lo0) & (out_lo <= lo1)
+                if cand.any():
+                    h = np.zeros(la.shape[0], dtype=bool)
+                    h[cand] = _crossings(out_la[cand], out_lo[cand], ring) == 1
+                    mask |= h.astype(np.int64) << i
+            cols["poly_mask"] = mask
+            return pd.DataFrame({n: cols[n] for n in names})
 
         alt_col = F.col(alt) if alt is not None and alt in df.columns else F.lit(0.0)
         new_names = {f.name for f in out_fields}

@@ -1,0 +1,45 @@
+"""Text-cleaning operators for training-data pipelines.
+
+Declarative Spark SQL plans generated from plans/webops.py (shared
+with the DuckDB oracle):
+
+* boilerplate_strip — corpus-level repeated-segment removal (the
+  CCNet-style paragraph-dedup pass reshaped for single-line synthetic
+  docs): hash every fixed-width token segment, mark segments that
+  appear in >= min_docs distinct documents as boilerplate, drop every
+  occurrence, rebuild the text in order.
+* vocab_topn — corpus-wide token frequency + document frequency,
+  ranked, top-N (tokenizer-prep).
+
+Scale notes are on the SQL builders (plans/webops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans import webops
+from ..plans.textsql import SPARK
+from .dedup import _stage
+
+
+def boilerplate_strip(spark: SparkSession, docs: str = "documents",
+                      seg_len: int = 3, min_docs: int = 3) -> DataFrame:
+    """(doc_id, n_segs, n_boiler, clean_text).
+
+    The segment relation feeds BOTH the boilerplate aggregate and the
+    rejoin, so it is materialized (persist + unique temp view, the
+    dedup.py staging convention — Spark's CTE inlining would otherwise
+    recompute the tokenize+slice pipeline per consumer; same pathology
+    PLANS.md documents for minhash/winnowing).  Cache contract as in
+    operators/dedup.py."""
+    segrows = _stage(spark, webops.boiler_segments_sql(SPARK, docs, seg_len),
+                     "_bp_segrows")
+    return spark.sql(webops.boilerplate_from(SPARK, segrows, min_docs))
+
+
+def vocab_topn(spark: SparkSession, docs: str = "documents",
+               topn: int = 128) -> DataFrame:
+    """(token_id, token, tf, df) for the ``topn`` most frequent tokens
+    (single consumer chain — no staging needed)."""
+    return spark.sql(webops.vocab_topn_sql(SPARK, docs, topn))

@@ -145,6 +145,13 @@ def simhash_expr(tids: str, d: str, bits: int = SIMHASH_BITS) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def join_str(l: str, d: str, sep: str = " ") -> str:
+    """Join a string list with ``sep``."""
+    if d == SPARK:
+        return f"array_join({l}, '{sep}')"
+    return f"array_to_string({l}, '{sep}')"
+
+
 def slice_list(l: str, start: str, length: str, d: str) -> str:
     """length-bounded sublist from 1-based start (dialects differ:
     Spark slice(l, start, len); DuckDB list_slice(l, begin, end)

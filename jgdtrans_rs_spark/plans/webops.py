@@ -742,3 +742,136 @@ def url_normalize_sql(d: str, orders: str = "orders") -> str:
              (pkey = MIN(pkey) OVER (PARTITION BY norm_url)) AS is_canonical
       FROM (SELECT pkey, url, {u6} AS norm_url FROM ({url_corpus_sql(d, orders)}) _c) _n
     """
+
+
+def boiler_segments_sql(d: str, docs: str = "documents",
+                        seg_len: int = 3) -> str:
+    """Boilerplate-strip stage 1: (doc_id, pos, seg) — each document
+    cut into fixed-width ``seg_len``-token segments (the synthetic
+    corpus has no newlines, so fixed windows stand in for the
+    paragraphs a CCNet-style pipeline would hash; the operator is
+    parameterized, production corpora use real paragraph splits).
+    ``pos`` is the 0-based segment index used to rebuild text in
+    order."""
+    tk = T.toks("text", d)
+    n = T.size("_tk", d)
+    divop = "div" if d == SPARK else "//"
+    n_segs = f"(({n} + {seg_len - 1}) {divop} {seg_len})"
+    seg = T.join_str(
+        T.slice_list("_tk", f"(i - 1) * {seg_len} + 1", str(seg_len), d), d)
+    segs = T.transform(T.range_list("1", f"{n_segs} + 1", d), f"i -> {seg}", d)
+    base = (f"SELECT doc_id, {segs} AS segs "
+            f"FROM (SELECT doc_id, {tk} AS _tk FROM {docs}) _t WHERE {n} > 0")
+    if d == SPARK:
+        return (f"SELECT doc_id, pos, seg FROM ({base}) _s "
+                f"LATERAL VIEW posexplode(segs) _e AS pos, seg")
+    # DuckDB: parallel unnests of equal length zip positionally
+    return (f"SELECT doc_id, unnest(range(0, len(segs))) AS pos, "
+            f"unnest(segs) AS seg FROM ({base}) _s")
+
+
+def boilerplate_from(d: str, segrows_rel: str, min_docs: int = 3) -> str:
+    """Boilerplate-strip stage 2 over a (doc_id, pos, seg) relation
+    (MATERIALIZE it in Spark — it feeds both the boilerplate aggregate
+    and the rejoin): a segment seen in >= ``min_docs`` distinct docs
+    is corpus boilerplate (cookie banners, nav bars, license footers
+    in a real crawl); every occurrence is dropped and the per-doc text
+    rebuilt in segment order.
+
+    Output: (doc_id, n_segs, n_boiler, clean_text) — ints + a string,
+    hash-stable.  Scale plan: one shuffle on seg for the aggregate
+    (map-side combinable), broadcast of the small boiler set back onto
+    the segment rows, one shuffle on doc_id for the rebuild."""
+    if d == SPARK:
+        clean = ("array_join(transform(array_sort(collect_list("
+                 "CASE WHEN _b.seg IS NULL THEN struct(_r.pos AS p, _r.seg AS s) END)), "
+                 "x -> x.s), ' ')")
+    else:
+        clean = ("COALESCE(string_agg(_r.seg, ' ' ORDER BY _r.pos) "
+                 "FILTER (WHERE _b.seg IS NULL), '')")
+    # segrows_rel must be a bare view name or an UNALIASED
+    # parenthesized subquery — this builder owns the aliases
+    return f"""
+      WITH boiler AS (
+        SELECT seg FROM {segrows_rel} AS _sb GROUP BY seg
+        HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+      )
+      SELECT _r.doc_id AS doc_id,
+             CAST(COUNT(*) AS INTEGER) AS n_segs,
+             CAST(COUNT(_b.seg) AS INTEGER) AS n_boiler,
+             {clean} AS clean_text
+      FROM {segrows_rel} AS _r LEFT JOIN boiler _b ON _r.seg = _b.seg
+      GROUP BY _r.doc_id
+    """
+
+
+def boilerplate_strip_sql(d: str, docs: str = "documents",
+                          seg_len: int = 3, min_docs: int = 3) -> str:
+    """Single-statement boilerplate strip (the DuckDB oracle path;
+    Spark should use operators.text.boilerplate_strip, which
+    materializes the segment relation against CTE re-inlining)."""
+    rel = f"({boiler_segments_sql(d, docs, seg_len)})"
+    return boilerplate_from(d, rel, min_docs)
+
+
+def vocab_topn_sql(d: str, docs: str = "documents", topn: int = 128) -> str:
+    """Token-frequency vocabulary builder: corpus-wide term frequency
+    + document frequency, ranked (tf DESC, token ASC — deterministic
+    ties), top ``topn`` with dense ids 1..topn.  The tokenizer-prep
+    primitive of a training-data pipeline.
+
+    Scale plan: explode -> groupBy(token) is ONE shuffle with map-side
+    partial aggregation; COUNT(DISTINCT doc_id) expands per token but
+    stays keyed on token.  The final global window runs over vocab-size
+    rows (post-aggregate, << corpus size), and Catalyst plans it as a
+    single-partition sort of the tiny aggregate — acceptable because
+    vocabularies are bounded (10^5..10^6), unlike corpora."""
+    tk = T.toks("text", d)
+    if d == SPARK:
+        rows = (f"SELECT doc_id, token FROM "
+                f"(SELECT doc_id, {tk} AS _tk FROM {docs}) _t "
+                f"LATERAL VIEW explode(_tk) _e AS token")
+    else:
+        rows = f"SELECT doc_id, unnest({tk}) AS token FROM {docs}"
+    return f"""
+      WITH tokrows AS ({rows}),
+      agg AS (
+        SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM tokrows GROUP BY token
+      )
+      SELECT CAST(token_id AS INTEGER) AS token_id, token,
+             CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+      FROM (
+        SELECT token, tf, df,
+               ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) AS token_id
+        FROM agg
+      ) _r
+      WHERE token_id <= {topn}
+    """
+
+
+def sample_stratified_sql(d: str, docs: str = "documents",
+                          rates: dict[str, int] | None = None,
+                          default_pct: int = 20) -> str:
+    """Deterministic stratified (per-source) subsampling — the
+    data-mixing primitive of a training pipeline: each source keeps a
+    configured percentage, decided per document by integer hash of its
+    id, so reruns (and both engines) select the identical subset.
+
+    Bucket = (doc_id * 2654435761) % 2^32 % 100 (Knuth multiplicative
+    hash; identical BIGINT arithmetic in both dialects — no engine
+    hash functions).  doc_id must fit 32 bits for the multiply to stay
+    in BIGINT; a 10^12-document corpus would swap in a 64-bit splitmix
+    step via the same CASE structure.
+
+    Scale plan: a pure narrow filter — no shuffle, no UDF; Catalyst
+    pushes the predicate to the scan.  Output rows are the surviving
+    (doc_id, source, bucket), hash-stable ints + strings."""
+    rates = rates if rates is not None else {"src0": 50, "src1": 5, "src2": 0}
+    cases = " ".join(f"WHEN '{s}' THEN {p}" for s, p in sorted(rates.items()))
+    bucket = "CAST(((doc_id * 2654435761) % 4294967296) % 100 AS INTEGER)"
+    return f"""
+      SELECT doc_id, source, {bucket} AS bucket
+      FROM {docs}
+      WHERE {bucket} < CASE source {cases} ELSE {default_pct} END
+    """

@@ -44,6 +44,35 @@ def stream_pages_transform(engine: Engine, pages_stream: DataFrame,
     return engine.forward(valid, lat, lon, None)
 
 
+def stream_transform_tile_counts(engine: Engine, pages_stream: DataFrame,
+                                 lat: str = "lat", lon: str = "lon",
+                                 ts_col: str = "warc_ts",
+                                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the fused batch chain: forward transform +
+    tile assignment (one Arrow hop, same Engine kernel as batch), then
+    a watermarked tumbling-window count per mesh tile — the live
+    corpus-coverage monitor for an ingesting crawl.
+
+    Plan shape: the kernel stage is stateless and narrow (identical to
+    batch — the broadcast grid carries over unchanged); the only
+    stateful operator is the windowed aggregation, whose state is
+    bounded by (watermark horizon x distinct tiles).  At 100 TB-rate
+    ingest the aggregation key (window, meshcode) is the shuffle key;
+    tile skew (Tokyo) is the same skew the batch salted join handles,
+    and AQE handles it here."""
+    valid, _ = engine.validate(
+        pages_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")),
+        lat, lon)
+    tiled = engine.assign_tiles(engine.forward(valid, lat, lon, None),
+                                lat="out_lat", lon="out_lon")
+    return (
+        tiled.filter(F.col("status") == 0)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 hour"), "meshcode")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
 def stream_dedup_exact(pages_stream: DataFrame, text_col: str = "text",
                        ts_col: str = "warc_ts",
                        watermark: str = "24 hours") -> DataFrame:

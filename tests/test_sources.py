@@ -72,6 +72,49 @@ def test_streaming_pages_transform(spark, semidyna_grid, tmp_path):
     assert got.ok == exp.filter(F.col("status") == 0).count()
 
 
+def test_streaming_transform_tile_counts(spark, semidyna_grid, tmp_path):
+    """Streaming fused twin (transform + tile + windowed counts):
+    availableNow over a file source must reproduce the batch
+    groupBy(window, meshcode) counts exactly."""
+    from jgdtrans_rs_spark.sources import pages as pages_src
+    from jgdtrans_rs_spark.streaming.ingest import stream_transform_tile_counts
+
+    eng = Engine(spark, semidyna_grid)
+    batch = pages_src.extract_geotags(
+        pages_src.synth_pages(spark, "/root/testdata/sf0.001")
+    ).select("url", "warc_ts", "lat", "lon")
+    src_dir = str(tmp_path / "pages_tile_src")
+    batch.write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema).parquet(src_dir)
+    out = stream_transform_tile_counts(eng, stream)
+    assert out.isStreaming
+    q = (
+        # complete mode: append would hold back windows the watermark
+        # hasn't closed by stream end; complete emits every window, so
+        # the batch twin comparison is exact
+        out.writeStream.format("memory").queryName("tile_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    # batch twin, same operators without the stream wrapper
+    b = batch.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    valid, _ = eng.validate(b)
+    tiled = eng.assign_tiles(eng.forward(valid, "lat", "lon", None),
+                             lat="out_lat", lon="out_lon")
+    exp = (
+        tiled.filter(F.col("status") == 0)
+        .groupBy(F.window("warc_ts", "1 hour"), "meshcode")
+        .agg(F.count("*").alias("n_pages"))
+    )
+    got = {(r.window.start, r.meshcode): r.n_pages
+           for r in spark.table("tile_counts").collect()}
+    want = {(r.window.start, r.meshcode): r.n_pages for r in exp.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_par_reader_reference_parity_edges(spark, tmp_path):
     """ADVICE r01: exact header skip, ParseFloat errors, last-wins
     duplicate meshcodes — all matching par.rs semantics."""
