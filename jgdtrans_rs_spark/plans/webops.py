@@ -875,3 +875,85 @@ def sample_stratified_sql(d: str, docs: str = "documents",
       FROM {docs}
       WHERE {bucket} < CASE source {cases} ELSE {default_pct} END
     """
+
+
+def pii_corpus_sql(d: str, docs: str = "documents") -> str:
+    """Deterministic PII-injection corpus: every 3rd doc gains an email
+    address, every 4th a phone number (both synthetic), so the
+    redaction operator has known positives and known clean docs."""
+    email = ("concat(' contact user', doc_id, '@example', "
+             "doc_id % 7, '.jp')")
+    phone = "' tel 080-1234-5678'"
+    return f"""
+      SELECT doc_id,
+             concat(text,
+                    CASE WHEN doc_id % 3 = 0 THEN {email} ELSE '' END,
+                    CASE WHEN doc_id % 4 = 0 THEN {phone} ELSE '' END) AS text
+      FROM {docs}
+    """
+
+
+def pii_redact_sql(d: str, docs: str = "documents") -> str:
+    """PII scrubbing — the compliance pass of a corpus pipeline:
+    count + redact email addresses and phone numbers, entirely in
+    regexp Column space (no UDF; backslash-free patterns per the
+    dual-dialect rules — bracket classes and {n} quantifiers only).
+
+    Output: (doc_id, n_emails, n_phones, clean_text); ints + strings,
+    hash-stable.  Scale plan: a narrow per-row projection — no
+    shuffle, whole-stage codegen end to end."""
+    email_pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+    phone_pat = "[0-9]{3}-[0-9]{4}-[0-9]{4}"
+    cnt = (lambda pat:
+           f"size(regexp_extract_all(text, '{pat}', 0))" if d == SPARK
+           else f"len(regexp_extract_all(text, '{pat}'))")
+    red = _rr(d, _rr(d, "text", email_pat, "<EMAIL>"), phone_pat, "<PHONE>")
+    return f"""
+      SELECT doc_id,
+             CAST({cnt(email_pat)} AS INTEGER) AS n_emails,
+             CAST({cnt(phone_pat)} AS INTEGER) AS n_phones,
+             {red} AS clean_text
+      FROM ({pii_corpus_sql(d, docs)}) _p
+    """
+
+
+def decontaminate_sql(d: str, docs: str = "documents",
+                      holdout_mod: int = 50) -> str:
+    """Benchmark decontamination — drop training documents that share
+    n-gram spans with an evaluation set: docs with
+    doc_id % ``holdout_mod`` = 0 stand in for the benchmark; a
+    training doc is contaminated if any 3-token shingle also occurs
+    in any holdout doc.
+
+    Output: (doc_id, n_hit_shingles, is_contaminated) for EVERY
+    training doc (zero-hit docs included via left join).
+
+    Scale plan: the holdout side is a benchmark (10^4-ish items, tiny
+    vs the corpus) -> its distinct shingle set is broadcast; the train
+    side is one narrow shingle expansion + one aggregate keyed on
+    doc_id.  No corpus-sized shuffle on the probe side."""
+    tids = T.tok_ids("text", d)
+    sints = T.distinct(T.shingle_ints("_tids", d), d)
+    per_doc = (f"SELECT doc_id, {sints} AS sints "
+               f"FROM (SELECT doc_id, {tids} AS _tids FROM {docs}) _t")
+    if d == SPARK:
+        rows = ("SELECT doc_id, s FROM perdoc "
+                "LATERAL VIEW explode(sints) _e AS s")
+    else:
+        rows = "SELECT doc_id, unnest(sints) AS s FROM perdoc"
+    return f"""
+      WITH perdoc AS ({per_doc}),
+      sh AS ({rows}),
+      hold AS (SELECT DISTINCT s FROM sh WHERE doc_id % {holdout_mod} = 0),
+      train AS (SELECT doc_id, s FROM sh WHERE doc_id % {holdout_mod} <> 0),
+      hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_hit
+        FROM train t JOIN hold h ON t.s = h.s
+        GROUP BY t.doc_id
+      )
+      SELECT p.doc_id,
+             CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_shingles,
+             (COALESCE(h.n_hit, 0) > 0) AS is_contaminated
+      FROM perdoc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+      WHERE p.doc_id % {holdout_mod} <> 0
+    """

@@ -408,3 +408,49 @@ def test_streaming_watermark_finalizes_windows(spark, tmp_path):
     out = spark.sql("SELECT window.start AS ws FROM late_win").toPandas()
     hours = sorted(int(ts.hour) for ts in out["ws"])
     assert hours == [5], hours  # 10/11/12 windows not yet finalized
+
+
+def test_transform_tile_pip_fields_pruning(engine, points):
+    """fields= must (a) reject unknown names, (b) enforce the 63-bit
+    mask bound, (c) produce values identical to the full output on the
+    kept columns."""
+    import __spark_entry__ as entry_mod
+
+    polys = entry_mod.POLYGONS
+    with pytest.raises(ValueError, match="unknown output fields"):
+        engine.transform_tile_pip(points, polys, fields=["nope"])
+    many = [(f"p{i}", polys[0][1]) for i in range(64)]
+    with pytest.raises(ValueError, match="63-bit"):
+        engine.transform_tile_pip(points, many)
+
+    pts = points.limit(500)
+    full = engine.transform_tile_pip(pts, polys, "lat", "lon", "alt")
+    pruned = engine.transform_tile_pip(pts, polys, "lat", "lon", "alt",
+                                       fields=["status", "poly_mask"])
+    assert set(pruned.columns) == set(pts.columns) | {"status", "poly_mask"}
+    a = {r.pkey: (r.status, r.poly_mask)
+         for r in full.select("pkey", "status", "poly_mask").collect()}
+    b = {r.pkey: (r.status, r.poly_mask)
+         for r in pruned.select("pkey", "status", "poly_mask").collect()}
+    assert a == b and len(a) == 500
+
+
+def test_poly_mask_rows_matches_explode_semantics(engine, points, spark):
+    """poly_mask_rows == explode_outer over the decoded index list:
+    multi-hit rows fan out, zero-hit rows keep one NULL row."""
+    import __spark_entry__ as entry_mod
+
+    polys = entry_mod.POLYGONS
+    fused = engine.transform_tile_pip(
+        points.limit(2000), polys, fields=["status", "poly_mask"])
+    via_join = Engine.poly_mask_rows(fused, polys)
+    got = {(r.pkey, r.poly_idx) for r in via_join.select("pkey", "poly_idx").collect()}
+    # reference expansion driver-side from the mask bits
+    exp = set()
+    for r in fused.select("pkey", "poly_mask").collect():
+        idxs = [i for i in range(len(polys)) if (r.poly_mask >> i) & 1]
+        if idxs:
+            exp.update((r.pkey, i) for i in idxs)
+        else:
+            exp.add((r.pkey, None))
+    assert got == exp and any(i is not None for _, i in got)
