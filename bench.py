@@ -127,7 +127,10 @@ def run_pipeline(spark, sf_dir: str, multiplier: int = 1) -> tuple[dict, int]:
     timed("q4_transform_join", joined)
     # q4b: the general path (salted bucketed join) for when the polygon
     # side exceeds broadcast size.  Hot cells from tile statistics.
-    tiled = eng.transform_and_tile(pts, "lat", "lon", "alt").filter(F.col("status") == 0)
+    tiled = eng.transform_and_tile(
+        pts, "lat", "lon", "alt",
+        fields=["out_lat", "out_lon", "status", "meshcode"],
+    ).filter(F.col("status") == 0)
     salted = spatial.bucketed_spatial_join(
         tiled, entry_mod.POLYGONS, 5,
         lat="out_lat", lon="out_lon", hot_threshold=20000, num_salts=16,

@@ -227,17 +227,23 @@ class Engine:
 
     def transform_and_tile(self, df: DataFrame, lat: str = "lat", lon: str = "lon",
                            alt: str | None = "alt", level: int = 15,
-                           prefix: str = "out_") -> DataFrame:
+                           prefix: str = "out_",
+                           fields: list[str] | None = None) -> DataFrame:
         """Fused forward-transform + tile-assignment in ONE Arrow hop.
 
         Chaining forward() then assign_tiles() costs two Python stages
         with a full Arrow (de)serialization between them; at scale the
         serialization dominates, so the hot pipeline fuses them.
+
+        ``fields`` prunes the UDF output struct (same contract as
+        transform_tile_pip: Catalyst cannot prune struct fields through
+        a pandas UDF, so pass the projection explicitly; skipping
+        ``quadkey`` also skips its encode).
         """
         bc = self._bc
         sb = self.strict_bounds
         unit = self.grid.mesh_unit
-        out_fields = [
+        all_fields = [
             StructField(f"{prefix}lat", DoubleType(), True),
             StructField(f"{prefix}lon", DoubleType(), True),
             StructField(f"{prefix}alt", DoubleType(), True),
@@ -245,6 +251,17 @@ class Engine:
             StructField("meshcode", LongType(), False),
             StructField("quadkey", LongType(), False),
         ]
+        if fields is None:
+            out_fields = all_fields
+        else:
+            known = {f.name: f for f in all_fields}
+            unknown = [f for f in fields if f not in known]
+            if unknown:
+                raise ValueError(f"unknown output fields {unknown}; "
+                                 f"choose from {sorted(known)}")
+            out_fields = [known[f] for f in fields]
+        names = [f.name for f in out_fields]
+        want_quadkey = "quadkey" in names
         schema = StructType(out_fields)
 
         @F.pandas_udf(schema)
@@ -256,7 +273,7 @@ class Engine:
             out_la, out_lo, out_al, c = kernel.forward(la, lo, al, grid, strict_bounds=sb)
             lat_d, lon_d, valid = mesh.point_to_digits(out_la, out_lo, unit)
             code = mesh.digits_to_meshcode(lat_d, lon_d)
-            return pd.DataFrame({
+            cols: dict = {
                 f"{prefix}lat": out_la,
                 f"{prefix}lon": out_lo,
                 f"{prefix}alt": out_al,
@@ -264,8 +281,10 @@ class Engine:
                 "err_meshcode": c.err_meshcode,
                 "err_corner": c.err_corner.astype(np.int32),
                 "meshcode": np.where(valid, code, -1),
-                "quadkey": mesh.quadkey(out_la, out_lo, level),
-            })
+            }
+            if want_quadkey:
+                cols["quadkey"] = mesh.quadkey(out_la, out_lo, level)
+            return pd.DataFrame({n: cols[n] for n in names})
 
         alt_col = F.col(alt) if alt is not None and alt in df.columns else F.lit(0.0)
         new_names = {f.name for f in out_fields}
