@@ -454,3 +454,36 @@ def test_poly_mask_rows_matches_explode_semantics(engine, points, spark):
         else:
             exp.add((r.pkey, None))
     assert got == exp and any(i is not None for _, i in got)
+
+
+def test_checkpoint_sink_tile_sorted_layout(engine, points, tmp_path):
+    """sort_within=True must leave every output file meshcode-ordered
+    (the property parquet row-group pruning relies on) without
+    changing WHAT is written."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from jgdtrans_rs_spark.sources import sink as sink_mod
+
+    tiled = engine.transform_and_tile(points, "lat", "lon", "alt")
+    out = str(tmp_path / "sorted_out")
+    manifests = sink_mod.run_checkpointed(tiled, out, n_groups=4,
+                                          sort_within=True)
+    assert sum(m["n_rows"] for m in manifests) == points.count()
+
+    files = glob.glob(f"{out}/data/bucket_group=*/*.parquet")
+    assert files
+    for f in files:
+        codes = pq.read_table(f, columns=["meshcode"])["meshcode"].to_pylist()
+        assert codes == sorted(codes), f"unsorted file {f}"
+
+    # filtered read returns exactly the matching rows
+    spark = points.sparkSession
+    some_code = next(c for fpath in files[:1]
+                     for c in pq.read_table(fpath, columns=["meshcode"])
+                     ["meshcode"].to_pylist() if c > 0)
+    got = (spark.read.parquet(f"{out}/data")
+           .filter(F.col("meshcode") == some_code).count())
+    want = tiled.filter(F.col("meshcode") == some_code).count()
+    assert got == want > 0
