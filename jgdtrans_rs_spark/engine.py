@@ -47,6 +47,24 @@ _RESULT_FIELDS = [
 ]
 
 
+def _no_duplicate(udf):
+    """Mark a (genuinely deterministic) kernel UDF nondeterministic so
+    the optimizer may not clone it.
+
+    Without this, ``transform(...).filter(status == 0).select(other
+    fields)`` plans TWO ArrowEvalPython nodes running the same kernel:
+    predicate pushdown substitutes the UDF expression into the filter
+    while the projection keeps its own copy — the whole transform
+    executes twice per row (measured: every filtered bench chain).
+    The flag only removes optimizer liberties (no pushdown through /
+    no common-subexpression cloning of this projection); results are
+    identical.  Consequence to document: a downstream filter on a
+    PASSTHROUGH column no longer pushes below the kernel either —
+    filter source columns BEFORE the transform (validate() already
+    structures chains this way)."""
+    return udf.asNondeterministic()
+
+
 def _appended_schema(df: DataFrame, new_fields: list[StructField]) -> StructType:
     names = {f.name for f in new_fields}
     kept = [f for f in df.schema.fields if f.name not in names]
@@ -97,6 +115,7 @@ class Engine:
             StructField(f"{prefix}alt", DoubleType(), True),
         ] + _RESULT_FIELDS)
 
+        @_no_duplicate
         @F.pandas_udf(schema)
         def run(lat_s: pd.Series, lon_s: pd.Series, alt_s: pd.Series) -> pd.DataFrame:
             grid = bc.value
@@ -155,6 +174,7 @@ class Engine:
             StructField("dalt_m", DoubleType(), True),
         ] + _RESULT_FIELDS)
 
+        @_no_duplicate
         @F.pandas_udf(schema)
         def run(lat_s: pd.Series, lon_s: pd.Series) -> pd.DataFrame:
             grid = bc.value
@@ -205,6 +225,7 @@ class Engine:
             ]
         schema = StructType(out_fields)
 
+        @_no_duplicate
         @F.pandas_udf(schema)
         def run(lat_s: pd.Series, lon_s: pd.Series) -> pd.DataFrame:
             la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
@@ -264,6 +285,7 @@ class Engine:
         want_quadkey = "quadkey" in names
         schema = StructType(out_fields)
 
+        @_no_duplicate
         @F.pandas_udf(schema)
         def run(lat_s: pd.Series, lon_s: pd.Series, alt_s: pd.Series) -> pd.DataFrame:
             grid = bc.value
@@ -381,6 +403,7 @@ class Engine:
         want_tiles = "meshcode" in names or "quadkey" in names
         schema = StructType(out_fields)
 
+        @_no_duplicate
         @F.pandas_udf(schema)
         def run(lat_s: pd.Series, lon_s: pd.Series, alt_s: pd.Series) -> pd.DataFrame:
             grid = bc.value
@@ -437,6 +460,7 @@ class Engine:
             StructField("status", IntegerType(), False),
         ])
 
+        @_no_duplicate
         @F.pandas_udf(schema)
         def run(lat_s: pd.Series, lon_s: pd.Series, alt_s: pd.Series) -> pd.DataFrame:
             grid = bc.value

@@ -487,3 +487,24 @@ def test_checkpoint_sink_tile_sorted_layout(engine, points, tmp_path):
            .filter(F.col("meshcode") == some_code).count())
     want = tiled.filter(F.col("meshcode") == some_code).count()
     assert got == want > 0
+
+
+def test_q4_chain_plan_shape(engine, points):
+    """The headline join chain (pruned fused UDF -> broadcast bit-test
+    join) must plan as: ONE Python stage, a broadcast nested-loop
+    probe, and NO shuffle exchange (broadcast exchange is expected)."""
+    import __spark_entry__ as entry_mod
+
+    fused = engine.transform_tile_pip(
+        points, entry_mod.POLYGONS, "lat", "lon", "alt",
+        fields=["status", "poly_mask"])
+    chain = Engine.poly_mask_rows(
+        fused.filter(F.col("status") == 0).select("pkey", "poly_mask"),
+        entry_mod.POLYGONS,
+    ).select("pkey", "poly_idx")
+    plan = chain._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "BroadcastExchange" in line, plan
