@@ -365,11 +365,12 @@ def main():
                 "brings its own memory bus, so the bandwidth term scales with "
                 "N and the compute-bound q8 number above is the predictive "
                 "one.  (Round 2's join chain *looked* better, 0.813, only "
-                "because a per-row Python loop in the old poly_idxs UDF made "
-                "it compute-bound AND 1.7x slower in absolute terms; the "
-                "round-3 mask rewrite moved the absolute number from 1.36M to "
-                "2.34M coords/s at local[32] and exposed the bandwidth "
-                "wall.)\n\n"
+                "because it was 2.7x slower in absolute terms: a per-row "
+                "Python loop built the old poly_idxs arrays, and the "
+                "optimizer ran the whole kernel twice per row by cloning the "
+                "UDF into the status filter.  The round-3 mask rewrite plus "
+                "the duplicate-evaluation fix took local[32] q4 from 1.36M "
+                "to ~3.7M coords/s and exposed the bandwidth wall.)\n\n"
                 "## Saturation notes (why not local[8] vs local[32])\n\n"
                 "Measured on this box: the raw numpy kernel scales 8 -> 32 "
                 "procs at ~0.73 (guest memory-bandwidth ceiling); Spark's "
