@@ -171,6 +171,14 @@ def _q_backward_newton_sqlonly(spark, sf_dir):
     return _sql_engine(spark).backward(_points(spark, sf_dir))
 
 
+def _q_fused_pip_sqlonly(spark, sf_dir):
+    """JVM-only fused transform + point-in-polygon spatial join
+    (SqlEngine.transform_pip): forward in SQL, containment as the
+    crossing-number edge-parity aggregation — zero Python workers in
+    the whole chain."""
+    return _sql_engine(spark).transform_pip(_points(spark, sf_dir), POLYGONS)
+
+
 def _q_tile_sqlonly(spark, sf_dir):
     return _sql_engine(spark).assign_tiles(_points(spark, sf_dir))
 
@@ -567,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_sqlonly": _q_forward_sqlonly,
         "backward_newton_sqlonly": _q_backward_newton_sqlonly,
         "tile_sqlonly": _q_tile_sqlonly,
+        "fused_pip_sqlonly": _q_fused_pip_sqlonly,
         "tile_assign": _q_tile,
         "cell_position": _q_cellpos,
         "knn_mesh_nodes": _q_knn,
@@ -868,6 +877,10 @@ def oracle_sql() -> dict[str, str]:
         "forward_sqlonly": oracle.forward_sql(_P, _GV, _UNIT),
         "backward_newton_sqlonly": oracle.backward_newton_sql(_P, _GV, _UNIT),
         "tile_sqlonly": oracle.tile_sql(_P, _UNIT),
+        "fused_pip_sqlonly": (
+            f"WITH _f AS ({fwd})\n"
+            + oracle.point_in_polygon_sql(f"{ok_pts} _okq", _EDGES)
+        ),
         "tile_assign": oracle.tile_sql(_P, _UNIT),
         "cell_position": oracle.cell_position_sql(_P, _UNIT),
         "knn_mesh_nodes": oracle.knn_nodes_sql(_P, _UNIT, 3),

@@ -113,6 +113,11 @@ def run_pipeline(spark, sf_dir: str, multiplier: int = 1) -> tuple[dict, int]:
     sql_eng = entry_mod._sql_engine(spark)
     timed("q1s_forward_sql", sql_eng.forward(pts))
     timed("q3s_tile_sql", sql_eng.assign_tiles(pts))
+    # q4s: the JVM-only fused transform+spatial-join (zero Python
+    # workers — crossing-number containment in codegen).  Inner-join
+    # output (hit pairs), vs q4's left join; same per-input-coord
+    # denominator.
+    timed("q4s_pip_sql", sql_eng.transform_pip(pts, entry_mod.POLYGONS))
     # q4: the north-star chain, fully fused (transform + tile +
     # point-in-polygon in one Arrow hop — the broadcast-dims plan)
     # fields= prunes the UDF output struct to the 2 columns this chain

@@ -500,16 +500,24 @@ def point_in_polygon_sql(input_rel: str, edges_rel: str, key: str = "pkey") -> s
     lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1.
     (Horizontal edges: the parity test is false and IEEE inf/nan keeps
     the division harmless.)  Integer parity output -> hash-robust.
+
+    The crossing predicate sits IN the join condition, not in a CASE
+    under the aggregate: the broadcast nested-loop probe still
+    evaluates it once per (point, edge), but only the crossing pairs
+    (0-2 per point in practice) reach the aggregation, so the groupBy
+    shuffle carries ~n_points rows instead of n_points x n_edges
+    (measured 1.4 s -> ~1 s at 600k points x 20 edges; at corpus
+    scale it is the difference between shuffling the corpus and
+    shuffling the corpus times the polygon complexity).
     """
     return f"""
       SELECT {key}, poly_id
       FROM (
-        SELECT _pp.{key}, e.poly_id,
-               SUM(CASE WHEN ((e.y1 > _pp.lat) <> (e.y2 > _pp.lat))
-                         AND _pp.lon < (e.x2 - e.x1) * (_pp.lat - e.y1) / (e.y2 - e.y1) + e.x1
-                        THEN 1 ELSE 0 END) AS crossings
+        SELECT _pp.{key}, e.poly_id, COUNT(*) AS crossings
         FROM (SELECT * FROM {input_rel}) _pp
-        JOIN {edges_rel} ON 1 = 1
+        JOIN {edges_rel}
+          ON ((e.y1 > _pp.lat) <> (e.y2 > _pp.lat))
+         AND _pp.lon < (e.x2 - e.x1) * (_pp.lat - e.y1) / (e.y2 - e.y1) + e.x1
         GROUP BY _pp.{key}, e.poly_id
       ) _x
       WHERE crossings % 2 = 1

@@ -107,3 +107,22 @@ class SqlEngine:
     def cell_position(self, df: DataFrame, key: str = "pkey") -> DataFrame:
         return self.spark.sql(
             oracle.cell_position_sql(self._input_rel(df), self.unit, key))
+
+    def transform_pip(self, df: DataFrame, polygons, key: str = "pkey") -> DataFrame:
+        """JVM-only fused forward transform + point-in-polygon spatial
+        join -> (key, poly_id) hit pairs: the headline chain with ZERO
+        Python workers — whole-stage codegen end to end, so it rides
+        the JVM scaling curve instead of the Arrow channel.
+
+        The polygon edges are an inline VALUES relation (tiny ->
+        Catalyst broadcasts it); containment is the same crossing-
+        number edge-parity SQL the DuckDB oracle runs
+        (oracle.point_in_polygon_sql — identical float64 op order, so
+        the output is engine-independent)."""
+        fwd = self.forward(df, key)
+        name = f"{self.grid_view}_fwd"  # fixed name, see _input_rel
+        fwd.createOrReplaceTempView(name)
+        ok = (f"(SELECT {key}, out_lat AS lat, out_lon AS lon "
+              f"FROM {name} WHERE status = 0) _ok")
+        edges = oracle.polygon_edges_values(list(polygons))
+        return self.spark.sql(oracle.point_in_polygon_sql(ok, edges, key))
