@@ -957,3 +957,43 @@ def decontaminate_sql(d: str, docs: str = "documents",
       FROM perdoc p LEFT JOIN hits h ON h.doc_id = p.doc_id
       WHERE p.doc_id % {holdout_mod} <> 0
     """
+
+
+def repetition_stats_sql(d: str, docs: str = "documents") -> str:
+    """Within-document repetition signals (the Gopher-style repetition
+    filters): duplicate 3-gram share and the share of the single most
+    frequent token.  High values mark boilerplate-ish / degenerate
+    docs that survive per-corpus dedup.
+
+    Output: (doc_id, n_shingles, n_distinct_shingles, dup_shingle_pct,
+    top_token_pct) — integer percentages (floor), hash-stable.
+
+    Scale plan: pure per-row list expressions — no shuffle, no UDF;
+    the mode-token count is a list fold over the doc's own tokens
+    (docs are bounded; the fold is O(tokens^2) worst-case per doc but
+    runs inside codegen and touches no other row)."""
+    tids = T.tok_ids("text", d)
+    sints = T.shingle_ints("_tids", d)
+    n_sh = T.size("_s", d)
+    n_dist = T.size(T.distinct("_s", d), d)
+    # most frequent token count: for each token, count its occurrences
+    # in the doc's own token list; take the max
+    occ = T.transform("_tids", f"x -> {T.size(T.list_filter('_tids', 'y -> y = x', d), d)}", d)
+    top = f"COALESCE({'array_max' if d == SPARK else 'list_max'}({occ}), 0)"
+    n_tok = T.size("_tids", d)
+    # integer division, not /-then-CAST: Spark CAST(double AS INT)
+    # truncates while DuckDB rounds
+    divop = "div" if d == SPARK else "//"
+    return f"""
+      SELECT doc_id,
+             CAST({n_sh} AS INTEGER) AS n_shingles,
+             CAST({n_dist} AS INTEGER) AS n_distinct_shingles,
+             CAST(CASE WHEN {n_sh} > 0
+                       THEN (({n_sh} - {n_dist}) * 100) {divop} {n_sh}
+                       ELSE 0 END AS INTEGER) AS dup_shingle_pct,
+             CAST(CASE WHEN {n_tok} > 0
+                       THEN ({top} * 100) {divop} {n_tok}
+                       ELSE 0 END AS INTEGER) AS top_token_pct
+      FROM (SELECT doc_id, {sints} AS _s, _tids
+            FROM (SELECT doc_id, {tids} AS _tids FROM {docs}) _t) _r
+    """
