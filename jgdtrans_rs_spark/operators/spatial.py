@@ -88,8 +88,17 @@ def point_in_polygon(df: DataFrame, polygons: Sequence[Polygon],
     """Broadcast point-in-polygon join -> (key, poly_id) pairs.
 
     Polygon bboxes pre-filter each batch before the exact parity test.
+    The UDF emits a 64-bit containment mask (pure vectorized numpy —
+    no per-row array building, no Arrow list writer; same design as
+    Engine.transform_tile_pip) and the (row, polygon) expansion is a
+    broadcast bit-test join in codegen.  >63 polygons raises: use
+    bucketed_spatial_join for large polygon sets.
     """
     polys = [(pid, [(float(a), float(b)) for a, b in ring]) for pid, ring in polygons]
+    if len(polys) > 63:
+        raise ValueError(
+            f"{len(polys)} polygons exceed the 63-bit containment mask; "
+            "use bucketed_spatial_join for large polygon sets")
     bboxes = [
         (
             min(p[0] for p in ring), max(p[0] for p in ring),
@@ -98,31 +107,26 @@ def point_in_polygon(df: DataFrame, polygons: Sequence[Polygon],
         for _, ring in polys
     ]
 
-    # pandas_udf returning the matching poly-index list + JVM-side
-    # explode: same cardinality through the (fast) scalar-UDF Arrow
-    # channel, row expansion stays in codegen.
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def matches(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
+    @F.pandas_udf(LongType())
+    def mask_udf(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
         la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
         lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
-        hits = np.zeros((la.shape[0], len(polys)), dtype=bool)
+        mask = np.zeros(la.shape[0], dtype=np.int64)
         for i, ((pid, ring), (la0, la1, lo0, lo1)) in enumerate(zip(polys, bboxes)):
             cand = (la >= la0) & (la <= la1) & (lo >= lo0) & (lo <= lo1)
             if cand.any():
                 h = np.zeros(la.shape[0], dtype=bool)
                 h[cand] = _crossings(la[cand], lo[cand], ring) == 1
-                hits[:, i] = h
-        return pd.Series([np.nonzero(row)[0].astype(np.int32) for row in hits])
+                mask |= h.astype(np.int64) << i
+        return pd.Series(mask)
 
     spark = df.sparkSession
     names = spark.createDataFrame(
         [(i, pid) for i, (pid, _) in enumerate(polys)], schema="poly_idx int, poly_id string"
     )
-    exploded = (
-        df.withColumn("_pidx", F.explode(matches(F.col(lat), F.col(lon))))
-        .select(key, F.col("_pidx").alias("poly_idx"))
-    )
-    return exploded.join(F.broadcast(names), "poly_idx").select(key, "poly_id")
+    masked = df.select(key, mask_udf(F.col(lat), F.col(lon)).alias("_pmask"))
+    hit = F.expr("(shiftright(_pmask, poly_idx) & 1) = 1")
+    return masked.join(F.broadcast(names), hit, "inner").select(key, "poly_id")
 
 
 def polygon_mesh_cover(polygons: Sequence[Polygon], unit: int) -> list[tuple[int, str]]:
