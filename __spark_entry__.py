@@ -615,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _sql_q(webops.pii_redact_sql),
         "decontaminate": _sql_q(webops.decontaminate_sql),
         "repetition_stats": _sql_q(webops.repetition_stats_sql),
+        "pack_chunks": _sql_q(webops.pack_chunks_sql),
         "events_window": _sql_q(webops.events_window_sql),
         "ann_cosine_topk": _sql_q(webops.ann_topk_sql),
         "ann_lsh_topk": _q_ann_lsh,
@@ -920,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": webops.pii_redact_sql(DUCK),
         "decontaminate": webops.decontaminate_sql(DUCK),
         "repetition_stats": webops.repetition_stats_sql(DUCK),
+        "pack_chunks": webops.pack_chunks_sql(DUCK),
         "events_window": webops.events_window_sql(DUCK),
         "ann_cosine_topk": webops.ann_topk_sql(DUCK),
         # approximate operators under the full gate (VERDICT r02 #1):

@@ -997,3 +997,47 @@ def repetition_stats_sql(d: str, docs: str = "documents") -> str:
       FROM (SELECT doc_id, {sints} AS _s, _tids
             FROM (SELECT doc_id, {tids} AS _tids FROM {docs}) _t) _r
     """
+
+
+def pack_chunks_sql(d: str, docs: str = "documents",
+                    context_len: int = 1024) -> str:
+    """Context-window packing planner — concatenate-then-chunk, the
+    way pretraining batches are actually built: documents are laid out
+    in a deterministic order (doc_id within source) and the token
+    stream is cut every ``context_len`` tokens; each doc reports its
+    token span and which chunks it lands in (docs may straddle a
+    boundary).
+
+    Output: (doc_id, source, n_tokens, tok_start, chunk_start,
+    chunk_end) — all integers from an exact running sum, hash-stable.
+
+    Scale plan: one running-sum window PARTITIONED BY source (the
+    packing unit), i.e. one shuffle on source and parallel scans
+    within; no global ordering bottleneck.  Skewed sources are the
+    same skew the per-source monitor tracks — split hot sources into
+    salted sub-streams upstream if one source dominates."""
+    n = T.size(T.toks("text", d), d)
+    # integer division (Spark `div` / DuckDB `//`), never /-then-CAST:
+    # Spark CAST(double AS INT) truncates while DuckDB rounds
+    divop = "div" if d == SPARK else "//"
+    return f"""
+      WITH t AS (
+        SELECT doc_id, source, CAST({n} AS BIGINT) AS n_tokens
+        FROM {docs}
+      ),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS tok_start
+        FROM t
+      )
+      SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+             CAST(tok_start AS BIGINT) AS tok_start,
+             CAST(tok_start {divop} {context_len} AS INTEGER) AS chunk_start,
+             CAST(CASE WHEN n_tokens > 0
+                       THEN (tok_start + n_tokens - 1) {divop} {context_len}
+                       ELSE tok_start {divop} {context_len} END AS INTEGER) AS chunk_end
+      FROM c
+    """
