@@ -1,0 +1,84 @@
+"""Invariant tests for the round-3 corpus operators (properties the
+oracle hash-compare can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jgdtrans_rs_spark.plans import webops
+from jgdtrans_rs_spark.plans.textsql import SPARK
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView("documents")
+
+
+def test_boilerplate_rebuild_identity(spark):
+    """With min_docs above the corpus size nothing is boilerplate, so
+    clean_text must reconstruct the whitespace-normalized original —
+    proving the ordered segment rebuild is lossless."""
+    _docs(spark)
+    out = spark.sql(webops.boilerplate_strip_sql(SPARK, min_docs=10**9)) \
+        .select("doc_id", "n_boiler", "clean_text").toPandas().set_index("doc_id")
+    src = spark.sql(
+        "SELECT doc_id, array_join(filter(split(text, ' '), x -> x != ''), ' ') AS norm "
+        "FROM documents WHERE size(filter(split(text, ' '), x -> x != '')) > 0"
+    ).toPandas().set_index("doc_id")
+    assert (out["n_boiler"] == 0).all()
+    assert len(out) == len(src)
+    assert (out["clean_text"].sort_index() == src["norm"].sort_index()).all()
+
+
+def test_vocab_tf_conserves_token_count(spark):
+    """With topn above the vocabulary size, the summed term frequency
+    must equal the corpus token count, and df <= corpus size."""
+    _docs(spark)
+    v = spark.sql(webops.vocab_topn_sql(SPARK, topn=10**6)).toPandas()
+    total = spark.sql(
+        "SELECT SUM(size(filter(split(text, ' '), x -> x != ''))) AS n FROM documents"
+    ).collect()[0].n
+    n_docs = spark.table("documents").count()
+    assert v["tf"].sum() == total
+    assert (v["df"] <= n_docs).all() and (v["df"] >= 1).all()
+    # dense, deterministic ranking
+    assert sorted(v["token_id"]) == list(range(1, len(v) + 1))
+
+
+def test_sample_stratified_deterministic_and_bounded(spark):
+    """Two runs select the identical subset; every surviving bucket is
+    below its source's configured rate."""
+    _docs(spark)
+    rates = {"src0": 50, "src1": 5, "src2": 0}
+    a = spark.sql(webops.sample_stratified_sql(SPARK, rates=rates, default_pct=20)).toPandas()
+    b = spark.sql(webops.sample_stratified_sql(SPARK, rates=rates, default_pct=20)).toPandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "source", "bucket"]].values.tolist()))
+    assert key(a) == key(b) and len(a) > 0
+    for _, r in a.iterrows():
+        assert r.bucket < rates.get(r.source, 20)
+    assert not (a["source"] == "src2").any()
+
+
+def test_pack_chunks_spans_tile_the_stream(spark):
+    """Per source, token spans must be contiguous (no gaps/overlaps)
+    and chunk ids consistent with the spans."""
+    _docs(spark)
+    p = spark.sql(webops.pack_chunks_sql(SPARK, context_len=256)).toPandas()
+    for _, g in p.sort_values(["source", "doc_id"]).groupby("source"):
+        starts = g["tok_start"].to_numpy()
+        ends = (g["tok_start"] + g["n_tokens"]).to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == ends[:-1]).all()
+        assert (g["chunk_start"] == g["tok_start"] // 256).all()
+
+
+def test_decontaminate_holdout_excluded_and_copies_flagged(spark):
+    """Holdout docs never appear in the output; a doc sharing ALL its
+    shingles with a holdout doc (i.e. itself shifted into train ids)
+    must be flagged."""
+    _docs(spark)
+    out = spark.sql(webops.decontaminate_sql(SPARK, holdout_mod=50)).toPandas()
+    assert not (out["doc_id"] % 50 == 0).any()
+    # every flagged doc has >= 1 hit; every unflagged has 0
+    assert ((out["n_hit_shingles"] > 0) == out["is_contaminated"]).all()
