@@ -1041,3 +1041,53 @@ def pack_chunks_sql(d: str, docs: str = "documents",
                        ELSE tok_start {divop} {context_len} END AS INTEGER) AS chunk_end
       FROM c
     """
+
+
+def corpus_filter_audit_sql(d: str, docs: str = "documents",
+                            holdout_mod: int = 50) -> str:
+    """End-to-end corpus-cleaning verdict — the composition a real
+    pipeline runs and logs: per document, the quality bucket
+    (quality_score_sql), repetition signals (repetition_stats_sql),
+    exact-duplicate canonicality (md5 window over the plain corpus),
+    and benchmark contamination (decontaminate_sql), reduced to a
+    keep/reject verdict with the FIRST failing stage as the reason.
+
+    Output: (doc_id, source, quality_bucket, dup_shingle_pct,
+    is_exact_dup, is_contaminated, keep, reject_reason).
+
+    Scale plan: every stage keys on doc_id; the joins after the
+    per-stage aggregates are co-partitioned one-shuffle joins, and the
+    stages themselves shuffle only where their own plan does (md5
+    window on digest, holdout broadcast).  This is the query to run
+    ONCE over 100 TB and write next to the corpus as the audit
+    table."""
+    quality = quality_score_sql(d, docs)
+    rep = repetition_stats_sql(d, docs)
+    dec = decontaminate_sql(d, docs, holdout_mod)
+    return f"""
+      WITH q AS ({quality}),
+      rep AS ({rep}),
+      ded AS (
+        SELECT doc_id,
+               (doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))) AS is_exact_dup
+        FROM {docs}
+      ),
+      dec AS ({dec})
+      SELECT d0.doc_id, d0.source,
+             q.quality_bucket,
+             rep.dup_shingle_pct,
+             ded.is_exact_dup,
+             dec.is_contaminated,
+             (q.quality_bucket = 3 AND rep.dup_shingle_pct < 20
+              AND NOT ded.is_exact_dup AND NOT dec.is_contaminated) AS keep,
+             CASE WHEN q.quality_bucket <> 3 THEN 'quality'
+                  WHEN rep.dup_shingle_pct >= 20 THEN 'repetition'
+                  WHEN ded.is_exact_dup THEN 'exact_dup'
+                  WHEN dec.is_contaminated THEN 'contaminated'
+                  ELSE 'keep' END AS reject_reason
+      FROM {docs} d0
+      JOIN q ON q.doc_id = d0.doc_id
+      JOIN rep ON rep.doc_id = d0.doc_id
+      JOIN ded ON ded.doc_id = d0.doc_id
+      JOIN dec ON dec.doc_id = d0.doc_id
+    """
