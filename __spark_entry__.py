@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _sql_q(webops.repetition_stats_sql),
         "pack_chunks": _sql_q(webops.pack_chunks_sql),
         "corpus_filter_audit": _sql_q(webops.corpus_filter_audit_sql),
+        "dedup_incremental": _sql_q(webops.dedup_incremental_sql),
         "events_window": _sql_q(webops.events_window_sql),
         "ann_cosine_topk": _sql_q(webops.ann_topk_sql),
         "ann_lsh_topk": _q_ann_lsh,
@@ -924,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": webops.repetition_stats_sql(DUCK),
         "pack_chunks": webops.pack_chunks_sql(DUCK),
         "corpus_filter_audit": webops.corpus_filter_audit_sql(DUCK),
+        "dedup_incremental": webops.dedup_incremental_sql(DUCK),
         "events_window": webops.events_window_sql(DUCK),
         "ann_cosine_topk": webops.ann_topk_sql(DUCK),
         # approximate operators under the full gate (VERDICT r02 #1):

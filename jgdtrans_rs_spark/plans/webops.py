@@ -1091,3 +1091,81 @@ def corpus_filter_audit_sql(d: str, docs: str = "documents",
       JOIN ded ON ded.doc_id = d0.doc_id
       JOIN dec ON dec.doc_id = d0.doc_id
     """
+
+
+def dedup_incremental_sql(d: str, docs: str = "documents",
+                          tau_pct: int = 60) -> str:
+    """Incremental dedup — the per-crawl-batch primitive: screen a NEW
+    batch of documents against the EXISTING corpus without any
+    self-join over the corpus.  The dup-test corpus supplies the
+    split: injected copies (doc_id >= 1,000,000 — exact at +1M,
+    2-token-prefixed at +2M) are the new batch, the plain documents
+    are the existing corpus.
+
+    Verdict per new doc, precedence exact > near:
+    'exact_dup' (md5 hit against existing), 'near_dup' (minhash band
+    hit + exact-Jaccard >= tau verify against existing), else 'new'.
+
+    Scale plan: at 100 TB the existing side's digests and minhash
+    signatures are precomputed tables (this query recomputes them only
+    because the sandbox corpus is synthetic); both probes are
+    new-batch-sized joins — digest equi-join and band equi-join keyed
+    on (band, k0..k3) — so the corpus is never self-joined and the
+    (small) new batch is the broadcast side."""
+    corpus = _dup_corpus(docs, d)
+    tids = T.tok_ids("text", d)
+    sints = T.distinct(T.shingle_ints("_tids", d), d)
+    sigs_src = (f"(SELECT doc_id, {sints} AS sints "
+                f"FROM (SELECT doc_id, {tids} AS _tids FROM corpus) _t)")
+    sigs = minhash_sigs_from(d, sigs_src)
+    nb = len(T.MINHASH_AB) // T.BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + ", ".join(f"h{b * T.BAND_SIZE + j} AS k{j}" for j in range(T.BAND_SIZE))
+        + " FROM sigs WHERE h0 <> -1"
+        for b in range(nb)
+    )
+    key_eq = " AND ".join(f"n.k{j} = o.k{j}" for j in range(T.BAND_SIZE))
+    if d == SPARK:
+        sh = "SELECT doc_id, s FROM sigs LATERAL VIEW explode(sints) _e AS s"
+    else:
+        sh = "SELECT doc_id, unnest(sints) AS s FROM sigs"
+    return f"""
+      WITH corpus AS ({corpus}),
+      sigs AS ({sigs}),
+      bands AS ({band_rows}),
+      ex AS (
+        SELECT DISTINCT n.doc_id
+        FROM corpus n JOIN corpus o
+          ON md5(n.text) = md5(o.text)
+         AND n.doc_id >= 1000000 AND o.doc_id < 1000000
+      ),
+      cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bands n JOIN bands o
+          ON n.band = o.band AND {key_eq}
+         AND n.doc_id >= 1000000 AND o.doc_id < 1000000
+      ),
+      sizes AS (SELECT doc_id, {T.size('sints', d)} AS n FROM sigs),
+      sh AS ({sh}),
+      near AS (
+        SELECT DISTINCT _i.new_id AS doc_id
+        FROM (
+          SELECT c.new_id, c.old_id, COUNT(*) AS inter_n
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.new_id
+          JOIN sh y ON y.doc_id = c.old_id AND y.s = x.s
+          GROUP BY c.new_id, c.old_id
+        ) _i
+        JOIN sizes sa ON sa.doc_id = _i.new_id
+        JOIN sizes sb ON sb.doc_id = _i.old_id
+        WHERE _i.inter_n * 100 >= (sa.n + sb.n - _i.inter_n) * {tau_pct}
+      )
+      SELECT c.doc_id,
+             CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                  WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                  ELSE 'new' END AS verdict
+      FROM (SELECT doc_id FROM corpus WHERE doc_id >= 1000000) c
+      LEFT JOIN ex ON ex.doc_id = c.doc_id
+      LEFT JOIN near nr ON nr.doc_id = c.doc_id
+    """
