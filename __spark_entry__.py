@@ -171,6 +171,17 @@ def _q_backward_newton_sqlonly(spark, sf_dir):
     return _sql_engine(spark).backward(_points(spark, sf_dir))
 
 
+def _q_tile_rollup(spark, sf_dir):
+    """Hierarchical tile pyramid: Arrow-kernel tile assignment, then
+    all three mesh levels aggregated in ONE pass via GROUP BY ROLLUP
+    (single Expand + one shuffle with map-side partials — not three
+    cascaded groupBys)."""
+    tiled = _engine(spark).assign_tiles(_points(spark, sf_dir))
+    tiled.createOrReplaceTempView("_rollup_in")
+    return spark.sql(oracle.tile_rollup_sql(
+        "(SELECT pkey, meshcode, alt FROM _rollup_in) _j", 5))
+
+
 def _q_fused_pip_sqlonly(spark, sf_dir):
     """JVM-only fused transform + point-in-polygon spatial join
     (SqlEngine.transform_pip): forward in SQL, containment as the
@@ -576,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backward_newton_sqlonly": _q_backward_newton_sqlonly,
         "tile_sqlonly": _q_tile_sqlonly,
         "fused_pip_sqlonly": _q_fused_pip_sqlonly,
+        "tile_rollup": _q_tile_rollup,
         "tile_assign": _q_tile,
         "cell_position": _q_cellpos,
         "knn_mesh_nodes": _q_knn,
@@ -885,6 +897,11 @@ def oracle_sql() -> dict[str, str]:
             f"WITH _f AS ({fwd})\n"
             + oracle.point_in_polygon_sql(f"{ok_pts} _okq", _EDGES)
         ),
+        "tile_rollup": oracle.tile_rollup_sql(
+            f"(SELECT t.pkey, t.meshcode, p.alt "
+            f"FROM ({oracle.tile_sql(_P, _UNIT)}) t "
+            f"JOIN ({oracle.points_sql('orders')}) p ON p.pkey = t.pkey) _j",
+            _UNIT),
         "tile_assign": oracle.tile_sql(_P, _UNIT),
         "cell_position": oracle.cell_position_sql(_P, _UNIT),
         "knn_mesh_nodes": oracle.knn_nodes_sql(_P, _UNIT, 3),

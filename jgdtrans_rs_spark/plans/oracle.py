@@ -455,6 +455,46 @@ def tile_sql(input_rel: str, unit: int, level: int = 15, key: str = "pkey") -> s
     """
 
 
+def tile_rollup_sql(input_rel: str, unit: int, key: str = "pkey") -> str:
+    """Hierarchical tile aggregation pyramid in ONE pass: per-point
+    alt values rolled up over the 3-level JGD mesh hierarchy
+    (3rd-order cell -> its 2nd-order parent -> its 1st-order parent)
+    with GROUP BY ROLLUP — Spark plans a single Expand + one shuffle
+    with map-side partial aggregation for all three levels at once,
+    instead of three cascaded groupBys.
+
+    Parent codes are pure meshcode arithmetic: 2nd-order = code DIV
+    100, 1st-order = code DIV 10000 (mesh.rs digit layout).  Output:
+    (level 1|2|3, cell, n_points, alt_milli_sum) — exact integers
+    (alt is an exact 2-decimal double in the fixture, x1000 is exact).
+    GROUPING() tags the level; the all-NULL grand-total row is
+    dropped.  Works identically in DuckDB (the oracle).
+    """
+    # the grand-total filter is a projected GROUPING() column, not a
+    # HAVING: Spark cannot resolve GROUPING(col) in HAVING once the
+    # aggregate output is aliased
+    return f"""
+      SELECT level, cell, n_points, alt_milli_sum
+      FROM (
+        SELECT CAST(3 - GROUPING(c2) - GROUPING(c3) AS INTEGER) AS level,
+               CAST(COALESCE(c3, c2, c1) AS BIGINT) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(CAST(round(alt * 1000.0e0) AS BIGINT)) AS BIGINT) AS alt_milli_sum,
+               GROUPING(c1) AS _g1
+        FROM (
+          SELECT {key}, alt,
+                 meshcode AS c3,
+                 CAST(floor(meshcode / 100.0e0) AS BIGINT) AS c2,
+                 CAST(floor(meshcode / 10000.0e0) AS BIGINT) AS c1
+          FROM {input_rel}
+          WHERE meshcode <> -1
+        ) _h
+        GROUP BY ROLLUP(c1, c2, c3)
+      ) _z
+      WHERE _g1 = 0
+    """
+
+
 def cell_position_sql(input_rel: str, unit: int, key: str = "pkey") -> str:
     """(y, x) in-cell position, NULL outside the mesh domain."""
     cells = _pipe(
