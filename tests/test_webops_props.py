@@ -73,6 +73,42 @@ def test_pack_chunks_spans_tile_the_stream(spark):
         assert (g["chunk_start"] == g["tok_start"] // 256).all()
 
 
+def test_dedup_incremental_full_injected_recall(spark):
+    """Every injected copy gets the right verdict — exact copies
+    (doc_id+1M) 'exact_dup', 2-token-prefixed copies (doc_id+2M)
+    'near_dup'.  Round 3 missed 3 of 72 near-dups: candidate (band)
+    misses of the 3x4 geometry, fixed by the probe's 6x2 banding plus
+    the short-doc containment verify arm (webops.dedup_incremental_sql
+    docstring)."""
+    _docs(spark)
+    out = spark.sql(webops.dedup_incremental_sql(SPARK)).toPandas()
+    exact = out[(out.doc_id >= 1_000_000) & (out.doc_id < 2_000_000)]
+    near = out[out.doc_id >= 2_000_000]
+    assert len(exact) > 0 and (exact["verdict"] == "exact_dup").all()
+    assert len(near) > 0 and (near["verdict"] == "near_dup").all()
+
+
+def test_repetition_stats_long_doc_linear(spark):
+    """The mode-token fold must be linear: a crafted ~50k-token doc
+    (worst case for the old O(n^2) transform+filter spelling: ~2.5e9
+    comparisons) completes in seconds, and the computed shares are
+    exact."""
+    import time
+
+    n = 50_000
+    # 'aa' repeated 60%, then a distinct-ish tail
+    toks = ["aa"] * (3 * n // 5) + [f"t{i % 997}x" for i in range(2 * n // 5)]
+    text = " ".join(toks)
+    spark.createDataFrame([(1, text)], "doc_id long, text string") \
+        .createOrReplaceTempView("_long_docs")
+    t0 = time.perf_counter()
+    row = spark.sql(webops.repetition_stats_sql(SPARK, "_long_docs")).collect()[0]
+    dt = time.perf_counter() - t0
+    assert dt < 30, f"repetition_stats took {dt:.1f}s on a 50k-token doc"
+    assert row.top_token_pct == (3 * n // 5) * 100 // n
+    assert row.n_shingles == n - 2
+
+
 def test_decontaminate_holdout_excluded_and_copies_flagged(spark):
     """Holdout docs never appear in the output; a doc sharing ALL its
     shingles with a holdout doc (i.e. itself shifted into train ids)
