@@ -221,6 +221,31 @@ def _subprocess_run(cpus: int, mult: int, cpuset: str | None = None,
     return json.loads(line)
 
 
+def _last_measured_scaling() -> dict | None:
+    """Most recent fresh `scaling` block from BENCH/history.jsonl.
+
+    The driver's per-round bench run does not set SPARK_GRAFT_SCALING
+    (the pinned N->4N protocol costs ~10 min of fresh-JVM runs), but
+    the 0.8 efficiency gate must be auditable from BENCH_r{N}.json
+    alone (VERDICT r03 #9) — so plain runs carry the latest measured
+    block forward, stamped with its measurement time and
+    source='cached'."""
+    try:
+        with open("BENCH/history.jsonl", encoding="utf-8") as f:
+            lines = f.readlines()
+    except OSError:
+        return None
+    for line in reversed(lines):
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        sc = rec.get("scaling")
+        if sc and sc.get("source") != "cached":
+            return {**sc, "source": "cached", "measured_ts": rec.get("ts")}
+    return None
+
+
 def _append_history(result: dict) -> None:
     """BENCH/history.jsonl: one line per bench invocation so
     round-over-round deltas are comparable signals instead of one-shot
@@ -299,6 +324,7 @@ def main():
         j_n = nn / min(r["queries"]["q4_transform_join"] for r in runs_n)
         j_4n = n4n / min(r["queries"]["q4_transform_join"] for r in runs_4n)
         result["scaling"] = {
+            "source": "measured",
             "protocol": "taskset-pinned 2 cores (N) vs 8 cores (4N); 16-core pinned + local[32] unpinned references",
             "throughput_n": round(thr_n, 1),
             "throughput_4n": round(thr_4n, 1),
@@ -389,6 +415,11 @@ def main():
                 f"Per-query seconds at local[{CPUS}] (best of {rounds} fresh-JVM "
                 f"rounds, {SF_DIR}): `{json.dumps(timings)}`\n"
             )
+
+    if "scaling" not in result:
+        cached = _last_measured_scaling()
+        if cached is not None:
+            result["scaling"] = cached
 
     _append_history(result)
     print(json.dumps(result))

@@ -54,9 +54,67 @@ def test_sample_offsets(pages):
         assert list(r.frame_offsets) == [0, n // 4, (2 * n) // 4, (3 * n) // 4]
 
 
-def test_decode_image_stub(pages):
+def test_decode_image_stub_for_codec_formats(pages):
+    """Compressed formats still require an imaging library (absent
+    here) — the stub with real plumbing remains."""
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(pages, "html")
+        multimodal.decode_image(pages, "html", format="png")
+
+
+def _bmp_bytes(pixels, top_down=False, pad_garbage=b"\x00"):
+    """Hand-rolled 24-bit BI_RGB BMP encoder (independent of the
+    decoder under test): ``pixels`` is an HxWx3 RGB list; rows are
+    BGR, padded to 4 bytes, bottom-up unless top_down."""
+    h = len(pixels)
+    w = len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    off = 14 + 40
+    body = bytearray()
+    rows = pixels if top_down else pixels[::-1]
+    for row in rows:
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += pad_garbage * (stride - len(line))
+        body += line
+    hdr = (b"BM" + (off + len(body)).to_bytes(4, "little") + b"\x00" * 4
+           + off.to_bytes(4, "little")
+           + (40).to_bytes(4, "little")
+           + w.to_bytes(4, "little", signed=True)
+           + ((-h if top_down else h)).to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+           + b"\x00" * 16)
+    return bytes(hdr + body)
+
+
+def test_decode_bmp_real(spark):
+    """The from-scratch BMP decoder: exact pixels for bottom-up AND
+    top-down crafted files (stride padding exercised by w=3), NULL
+    struct fields for non-BMP payloads, and the same payload flows
+    through the resize kernel (the decode -> downstream plumbing)."""
+    px = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+          [(1, 2, 3), (4, 5, 6), (7, 8, 9)]]     # 3x2 -> stride pad 3 bytes
+    flat = [float(v) for row in px for pix in row for v in pix]
+    rows = [
+        (1, _bmp_bytes(px)),
+        (2, _bmp_bytes(px, top_down=True, pad_garbage=b"\xaa")),
+        (3, b"<html>not an image</html>"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "pkey long, html binary")
+    out = {r.pkey: r.pixels for r in
+           multimodal.decode_image(df, "html").select("pkey", "html", "pixels").collect()}
+    for k in (1, 2):
+        assert out[k].width == 3 and out[k].height == 2 and out[k].channels == 3
+        assert list(out[k].pixels) == flat
+    assert out[3].width is None and out[3].pixels is None
+    assert out[4].width is None
+    # numpy kernel direct: truncated file rejected
+    assert multimodal.decode_bmp_np(_bmp_bytes(px)[:-4]) is None
+    # the identical payload drives the resize kernel (shared plumbing)
+    resized = multimodal.resize_bytes(df, k=8).select("pkey", "resized").collect()
+    assert all(len(r.resized) == 8 for r in resized)
 
 
 def test_grid_json_roundtrip(semidyna_grid):

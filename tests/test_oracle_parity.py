@@ -269,14 +269,19 @@ def test_ann_zero_norm_vector_never_ranks(spark):
     assert (got.groupby("query_id")["rank"].max() <= 5).all() and len(got) > 0
 
 
-@pytest.mark.skipif(not __import__("os").environ.get("SPARK_GRAFT_SLOW"),
-                    reason="sf0.1 scale probe — set SPARK_GRAFT_SLOW=1 (VERDICT r02 #7)")
-def test_all_oracle_queries_sf01(spark):
-    """Scale probe: the ENTIRE oracle set at sf0.1 (10x the driver's
-    correctness tier).  Catches Catalyst staging pathologies that are
-    invisible at 500 docs (round 2 found three only by manual probing
-    — PLANS.md 'Expression staging'); the per-query wall budget keeps
-    a quadratic regression from hiding inside a green run."""
+_SLOW = __import__("os").environ.get("SPARK_GRAFT_SLOW", "")
+
+
+def _sf01_probe(spark, pick: slice):
+    """Scale probe body: a slice of the oracle set at sf0.1 (10x the
+    driver's correctness tier).  Catches Catalyst staging pathologies
+    that are invisible at 500 docs (round 2 found three only by manual
+    probing — PLANS.md 'Expression staging'); the per-query wall
+    budget keeps a quadratic regression from hiding inside a green
+    run.  The DuckDB oracle runs on a worker thread concurrently with
+    the Spark query (they share no state), roughly halving the probe's
+    wall clock (VERDICT r03 #5)."""
+    import threading
     import time
 
     import __spark_entry__ as m
@@ -287,21 +292,45 @@ def test_all_oracle_queries_sf01(spark):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_large}/{t}.parquet'")
     queries, oracles = m.queries(), m.oracle_sql()
     assert set(queries) == set(oracles)
+    names = list(oracles)[pick]
     slowest: dict[str, float] = {}
-    for name, sql in oracles.items():
+    for name in names:
+        sql = oracles[name]
+        box: dict = {}
+
+        def duck_run():
+            box["b"] = con.sql(sql).df()
+
+        th = threading.Thread(target=duck_run)
         t0 = time.perf_counter()
+        th.start()
         a = queries[name](spark, sf_large).toPandas()
         spark_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        b = con.sql(sql).df()
-        duck_s = time.perf_counter() - t0
-        _compare(a, b, f"{name}@sf0.1")
-        slowest[name] = round(spark_s + duck_s, 1)
+        th.join()
+        _compare(a, box["b"], f"{name}@sf0.1")
+        slowest[name] = round(max(spark_s, 0.0), 1)
         # generous per-query wall budget: the staging pathologies this
         # probe exists for showed up as MINUTES, not seconds
         assert spark_s < 120, (name, spark_s)
     top = sorted(slowest.items(), key=lambda kv: -kv[1])[:5]
-    print("sf0.1 probe slowest (spark+duck sec):", top)
+    print(f"sf0.1 probe slowest (spark-wall sec, {pick}):", top)
+
+
+@pytest.mark.skipif(_SLOW not in ("1", "all"),
+                    reason="sf0.1 scale probe half 1 — SPARK_GRAFT_SLOW=1|all")
+def test_all_oracle_queries_sf01_half1(spark):
+    """First half of the contract (dict order: the ANN/boundary block
+    + geodesy) — split so each env-gated half stays well inside the
+    600 s budget (VERDICT r03 #5)."""
+    _sf01_probe(spark, slice(0, 25))
+
+
+@pytest.mark.skipif(_SLOW not in ("2", "all"),
+                    reason="sf0.1 scale probe half 2 — SPARK_GRAFT_SLOW=2|all")
+def test_all_oracle_queries_sf01_half2(spark):
+    """Second half of the contract (spatial tail + the training-data
+    pipeline family)."""
+    _sf01_probe(spark, slice(25, None))
 
 
 def test_dedup_components_crafted_graph(spark):
