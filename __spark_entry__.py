@@ -661,6 +661,25 @@ def _q_near_dup_emb(spark, sf_dir):
         similarity.augment_with_near_dups(emb), threshold=0.9)
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Staged-operator form (sints + signature stages materialized;
+    same output as the single-statement oracle — ~10x at sf0.1)."""
+    from jgdtrans_rs_spark.operators import dedup as dedup_ops
+
+    _view(spark, sf_dir, "documents")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return dedup_ops.dedup_incremental(spark)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Staged-operator form (perdoc shingle stage materialized)."""
+    from jgdtrans_rs_spark.operators import text as text_ops
+
+    _view(spark, sf_dir, "documents")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return text_ops.decontaminate(spark)
+
+
 def _q_corpus_audit(spark, sf_dir):
     """Staged-operator form of the corpus audit: the tokenize base is
     materialized ONCE (operators/text.corpus_filter_audit), every
@@ -730,11 +749,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topn": _q_vocab,
         "sample_stratified": _sql_q(webops.sample_stratified_sql),
         "pii_redact": _sql_q(webops.pii_redact_sql),
-        "decontaminate": _sql_q(webops.decontaminate_sql),
+        "decontaminate": _q_decontaminate,
         "repetition_stats": _sql_q(webops.repetition_stats_sql),
         "pack_chunks": _sql_q(webops.pack_chunks_sql),
         "corpus_filter_audit": _q_corpus_audit,
-        "dedup_incremental": _sql_q(webops.dedup_incremental_sql),
+        "dedup_incremental": _q_dedup_incremental,
     }
 
 

@@ -116,6 +116,26 @@ def simhash_pairs(spark: SparkSession, docs: str = "documents",
     return spark.sql(webops.simhash_pairs_from(SPARK, sigs, tau))
 
 
+def dedup_incremental(spark: SparkSession, docs: str = "documents",
+                      tau_pct: int = 60, short_shingles: int = 8,
+                      band_size: int = 2) -> DataFrame:
+    """Incremental dedup (webops.dedup_incremental_sql semantics) with
+    the sints and signature stages materialized: Spark re-executes a
+    multi-referenced CTE per reference (PLANS.md 'Expression staging'
+    #3 — the digest probe, band probe, shingle explode and sizes arms
+    all read the corpus), which cost 57 s at sf0.1 vs 2.2 s staged
+    (26x).  At 100 TB these stages ARE the precomputed corpus-side
+    signature tables the docstring describes.  Cache contract as
+    above."""
+    sints = _stage(spark, webops.dedup_incremental_sints_sql(SPARK, docs),
+                   "_inc_sints")
+    sigs = _stage(spark, webops.dedup_incremental_sigs_from(SPARK, sints),
+                  "_inc_sigs")
+    body = webops.dedup_incremental_from(SPARK, sigs, tau_pct,
+                                         short_shingles, band_size)
+    return spark.sql(f"WITH {body.lstrip()}")
+
+
 def dedup_components(pairs: DataFrame, nodes: DataFrame,
                      a: str = "doc_a", b: str = "doc_b",
                      id_col: str = "doc_id", max_iter: int = 25) -> DataFrame:

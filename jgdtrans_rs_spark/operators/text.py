@@ -45,6 +45,20 @@ def vocab_topn(spark: SparkSession, docs: str = "documents",
     return spark.sql(webops.vocab_topn_sql(SPARK, docs, topn))
 
 
+def decontaminate(spark: SparkSession, docs: str = "documents",
+                  holdout_mod: int = 50) -> DataFrame:
+    """Benchmark decontamination (webops.decontaminate_sql semantics)
+    with the perdoc shingle stage materialized: the stage feeds the
+    holdout set, the train probe AND the final left join — three CTE
+    references Spark would otherwise each re-execute (~40 s at the
+    sf0.1 probe vs under a second staged).  Cache contract as in
+    operators/dedup.py."""
+    perdoc = _stage(spark, webops.decontaminate_perdoc_sql(SPARK, docs),
+                    "_dec_perdoc")
+    body = webops.decontaminate_from(SPARK, perdoc, holdout_mod)
+    return spark.sql(f"WITH {body.lstrip()}")
+
+
 def corpus_filter_audit(spark: SparkSession, docs: str = "documents",
                         holdout_mod: int = 50) -> DataFrame:
     """(doc_id, source, quality_bucket, dup_shingle_pct, is_exact_dup,

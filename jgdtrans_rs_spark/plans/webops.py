@@ -955,18 +955,32 @@ def decontaminate_sql(d: str, docs: str = "documents",
     Scale plan: the holdout side is a benchmark (10^4-ish items, tiny
     vs the corpus) -> its distinct shingle set is broadcast; the train
     side is one narrow shingle expansion + one aggregate keyed on
-    doc_id.  No corpus-sized shuffle on the probe side."""
+    doc_id.  No corpus-sized shuffle on the probe side.
+
+    Single-statement form (the DuckDB oracle); the Spark operator
+    (operators/text.decontaminate) materializes the perdoc stage —
+    Spark re-executes a multi-referenced CTE per reference."""
+    return (f"WITH perdoc AS ({decontaminate_perdoc_sql(d, docs)}),\n"
+            f"{decontaminate_from(d, 'perdoc', holdout_mod)}")
+
+
+def decontaminate_perdoc_sql(d: str, docs: str = "documents") -> str:
+    """Decontamination stage 1: (doc_id, sints distinct shingles)."""
     tids = T.tok_ids("text", d)
     sints = T.distinct(T.shingle_ints("_tids", d), d)
-    per_doc = (f"SELECT doc_id, {sints} AS sints "
-               f"FROM (SELECT doc_id, {tids} AS _tids FROM {docs}) _t")
+    return (f"SELECT doc_id, {sints} AS sints "
+            f"FROM (SELECT doc_id, {tids} AS _tids FROM {docs}) _t")
+
+
+def decontaminate_from(d: str, perdoc_rel: str, holdout_mod: int = 50) -> str:
+    """Decontamination over a materialized perdoc relation — WITH-body
+    tail (the caller prepends its own stage CTEs or 'WITH')."""
     if d == SPARK:
-        rows = ("SELECT doc_id, s FROM perdoc "
+        rows = (f"SELECT doc_id, s FROM {perdoc_rel} "
                 "LATERAL VIEW explode(sints) _e AS s")
     else:
-        rows = "SELECT doc_id, unnest(sints) AS s FROM perdoc"
+        rows = f"SELECT doc_id, unnest(sints) AS s FROM {perdoc_rel}"
     return f"""
-      WITH perdoc AS ({per_doc}),
       sh AS ({rows}),
       hold AS (SELECT DISTINCT s FROM sh WHERE doc_id % {holdout_mod} = 0),
       train AS (SELECT doc_id, s FROM sh WHERE doc_id % {holdout_mod} <> 0),
@@ -978,7 +992,7 @@ def decontaminate_sql(d: str, docs: str = "documents",
       SELECT p.doc_id,
              CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_shingles,
              (COALESCE(h.n_hit, 0) > 0) AS is_contaminated
-      FROM perdoc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+      FROM {perdoc_rel} p LEFT JOIN hits h ON h.doc_id = p.doc_id
       WHERE p.doc_id % {holdout_mod} <> 0
     """
 
@@ -1268,33 +1282,71 @@ def dedup_incremental_sql(d: str, docs: str = "documents",
     because the sandbox corpus is synthetic); both probes are
     new-batch-sized joins — digest equi-join and band equi-join keyed
     on (band, k0..k[band_size-1]) — so the corpus is never self-joined
-    and the (small) new batch is the broadcast side."""
+    and the (small) new batch is the broadcast side.
+
+    This single-statement form is the DuckDB oracle; the Spark
+    operator (operators/dedup.dedup_incremental) materializes the
+    sints and sigs stages first — Spark re-executes a multi-referenced
+    CTE per reference (PLANS.md 'Expression staging' #3), which at
+    sf0.1 cost 57 s (full materialization) vs 2.2 s staged."""
+    sints_stage = dedup_incremental_sints_sql(d, docs)
+    sigs_stage = dedup_incremental_sigs_from(d, "_inc_sints")
+    body = dedup_incremental_from(d, "_inc_sigs", tau_pct, short_shingles,
+                                  band_size)
+    return (f"WITH _inc_sints AS ({sints_stage}),\n"
+            f"_inc_sigs AS ({sigs_stage}),\n{body}")
+
+
+def dedup_incremental_sints_sql(d: str, docs: str = "documents") -> str:
+    """Incremental-dedup stage 1: (doc_id, digest, sints) over the
+    dup-test corpus — content digest for the exact arm, distinct
+    shingle set for signatures and verify.  Materialized by the Spark
+    operator so the tokenizer runs once (the 12 minhash expressions
+    would otherwise each inline the whole shingle pipeline —
+    PLANS.md 'Expression staging' #1)."""
     corpus = _dup_corpus(docs, d)
     tids = T.tok_ids("text", d)
     sints = T.distinct(T.shingle_ints("_tids", d), d)
-    sigs_src = (f"(SELECT doc_id, {sints} AS sints "
-                f"FROM (SELECT doc_id, {tids} AS _tids FROM corpus) _t)")
-    sigs = minhash_sigs_from(d, sigs_src)
+    return (
+        f"SELECT doc_id, digest, {sints} AS sints "
+        f"FROM (SELECT doc_id, md5(text) AS digest, {tids} AS _tids "
+        f"FROM ({corpus}) _c) _t"
+    )
+
+
+def dedup_incremental_sigs_from(d: str, sints_rel: str) -> str:
+    """Incremental-dedup stage 2: + the 12 minhash columns."""
+    mh = T.minhash_exprs("sints", d)
+    sig_cols = ", ".join(f"{e} AS h{i}" for i, e in enumerate(mh))
+    return f"SELECT doc_id, digest, sints, {sig_cols} FROM {sints_rel}"
+
+
+def dedup_incremental_from(d: str, sigs_rel: str, tau_pct: int = 60,
+                           short_shingles: int = 8,
+                           band_size: int = 2) -> str:
+    """Incremental-dedup stage 3 over a materialized signatures
+    relation (columns doc_id, digest, sints, h0..h11): digest probe,
+    band probe, verify, verdict.  Emitted as the WITH-body tail so the
+    single-statement oracle can prepend its own stage CTEs."""
     nb = len(T.MINHASH_AB) // band_size
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
         + ", ".join(f"h{b * band_size + j} AS k{j}" for j in range(band_size))
-        + " FROM sigs WHERE h0 <> -1"
+        + f" FROM {sigs_rel} WHERE h0 <> -1"
         for b in range(nb)
     )
     key_eq = " AND ".join(f"n.k{j} = o.k{j}" for j in range(band_size))
     if d == SPARK:
-        sh = "SELECT doc_id, s FROM sigs LATERAL VIEW explode(sints) _e AS s"
+        sh = (f"SELECT doc_id, s FROM {sigs_rel} "
+              "LATERAL VIEW explode(sints) _e AS s")
     else:
-        sh = "SELECT doc_id, unnest(sints) AS s FROM sigs"
+        sh = f"SELECT doc_id, unnest(sints) AS s FROM {sigs_rel}"
     return f"""
-      WITH corpus AS ({corpus}),
-      sigs AS ({sigs}),
       bands AS ({band_rows}),
       ex AS (
         SELECT DISTINCT n.doc_id
-        FROM corpus n JOIN corpus o
-          ON md5(n.text) = md5(o.text)
+        FROM {sigs_rel} n JOIN {sigs_rel} o
+          ON n.digest = o.digest
          AND n.doc_id >= 1000000 AND o.doc_id < 1000000
       ),
       cand AS (
@@ -1303,7 +1355,7 @@ def dedup_incremental_sql(d: str, docs: str = "documents",
           ON n.band = o.band AND {key_eq}
          AND n.doc_id >= 1000000 AND o.doc_id < 1000000
       ),
-      sizes AS (SELECT doc_id, {T.size('sints', d)} AS n FROM sigs),
+      sizes AS (SELECT doc_id, {T.size('sints', d)} AS n FROM {sigs_rel}),
       sh AS ({sh}),
       near AS (
         SELECT DISTINCT _i.new_id AS doc_id
@@ -1324,7 +1376,7 @@ def dedup_incremental_sql(d: str, docs: str = "documents",
              CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
                   WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
                   ELSE 'new' END AS verdict
-      FROM (SELECT doc_id FROM corpus WHERE doc_id >= 1000000) c
+      FROM (SELECT doc_id FROM {sigs_rel} WHERE doc_id >= 1000000) c
       LEFT JOIN ex ON ex.doc_id = c.doc_id
       LEFT JOIN near nr ON nr.doc_id = c.doc_id
     """
