@@ -671,6 +671,16 @@ def _q_dedup_incremental(spark, sf_dir):
     return dedup_ops.dedup_incremental(spark)
 
 
+def _q_text_profile(spark, sf_dir):
+    """Staged-operator form (one materialized tokenize stage feeding
+    all eight profile expressions)."""
+    from jgdtrans_rs_spark.operators import text as text_ops
+
+    _view(spark, sf_dir, "documents")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return text_ops.text_profile(spark)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Staged-operator form (perdoc shingle stage materialized)."""
     from jgdtrans_rs_spark.operators import text as text_ops
@@ -734,7 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_metrics": _q_transform_metrics,
         "raster_cells": _q_raster_cells,
         # -- training-data pipeline (declarative Spark SQL) --
-        "text_profile": _sql_q(webops.text_profile_sql),
+        "text_profile": _q_text_profile,
         "quality_score": _sql_q(webops.quality_score_sql),
         "source_stats": _sql_q(webops.source_stats_sql),
         "dedup_exact": _sql_q(webops.dedup_exact_sql),

@@ -45,6 +45,16 @@ def vocab_topn(spark: SparkSession, docs: str = "documents",
     return spark.sql(webops.vocab_topn_sql(SPARK, docs, topn))
 
 
+def text_profile(spark: SparkSession, docs: str = "documents") -> DataFrame:
+    """Per-doc token statistics + language heuristic in one pass
+    (webops.text_profile_sql semantics) with the tokenize stage
+    materialized — eight consuming expressions would otherwise each
+    inline the split pipeline (PLANS.md 'Expression staging' #1).
+    Cache contract as in operators/dedup.py."""
+    base = _stage(spark, webops.text_profile_base_sql(SPARK, docs), "_prof_base")
+    return spark.sql(webops.text_profile_from(SPARK, base))
+
+
 def decontaminate(spark: SparkSession, docs: str = "documents",
                   holdout_mod: int = 50) -> DataFrame:
     """Benchmark decontamination (webops.decontaminate_sql semantics)

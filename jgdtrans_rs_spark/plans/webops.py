@@ -104,17 +104,50 @@ def text_profile_sql(d: str, docs: str = "documents") -> str:
     Output: doc_id, n_tokens, n_distinct, n_stop, stop_ratio,
     fingerprint, lang_declared, lang_pred.
 
-    Scale plan: both sides are narrow per-row projections over the
-    same scan; Catalyst collapses the join of two aliases of one
-    relation keyed on doc_id into a single pass + one co-partitioned
-    join (and at 100 TB you would simply compute both column groups
-    in one SELECT — the join exists here to reuse the two builders
-    verbatim)."""
+    Scale plan: all eight columns are per-row expressions reading ONE
+    tokenize stage (text_profile_base_sql) — the corpus is read and
+    tokenized once, vs twice for a join of the two standalone
+    builders; no shuffle.  The Spark operator
+    (operators/text.text_profile) materializes the base because
+    CollapseProject would inline the split pipeline into every
+    consuming expression; this single-statement form is the DuckDB
+    oracle.  The expressions are the same ones text_stats_sql /
+    lang_id_sql emit, so the standalone operators and this profile
+    are value-identical by construction."""
+    return (f"WITH _prof_base AS ({text_profile_base_sql(d, docs)})\n"
+            f"{text_profile_from(d, '_prof_base')}")
+
+
+def text_profile_base_sql(d: str, docs: str = "documents") -> str:
+    """Text-profile stage 0: (doc_id, text, lang, _tks tokens,
+    _tids token ids) — the one tokenizer pass."""
+    return (f"SELECT doc_id, text, lang, {T.toks('text', d)} AS _tks, "
+            f"{T.tok_ids('text', d)} AS _tids FROM {docs}")
+
+
+def text_profile_from(d: str, base_rel: str) -> str:
+    """Text profile over a materialized base relation."""
+    tk = "_tks"
+    stop = T.list_filter(tk, "x -> x = 'the' OR x = 'a' OR x = 'of'", d)
+    n = T.size(tk, d)
+    rng = T.range_list("1", f"{T.size('_tids', d)} + 1", d)
+    fp_terms = T.transform(rng, f"i -> {T.idx('_tids', 'i', d)} * ((i * i) % 1000 + 1)", d)
+    fingerprint = f"{T.list_sum_int(fp_terms, d)} % 1000003"
+    n_ascii = f"length({_regexp_strip('text', '[^ -~]', d)})"
+    n_stop_lang = T.size(T.list_filter(tk, "x -> x = 'the' OR x = 'a' OR x = 'is'", d), d)
     return f"""
-      SELECT s.doc_id, s.n_tokens, s.n_distinct, s.n_stop,
-             s.stop_ratio, s.fingerprint, l.lang_declared, l.lang_pred
-      FROM ({text_stats_sql(d, docs)}) s
-      JOIN ({lang_id_sql(d, docs)}) l ON l.doc_id = s.doc_id
+      SELECT doc_id,
+             CAST({n} AS INTEGER) AS n_tokens,
+             CAST({T.size(T.distinct(tk, d), d)} AS INTEGER) AS n_distinct,
+             CAST({T.size(stop, d)} AS INTEGER) AS n_stop,
+             CAST({T.size(stop, d)} AS DOUBLE) / CAST({n} AS DOUBLE) AS stop_ratio,
+             CAST({fingerprint} AS BIGINT) AS fingerprint,
+             lang AS lang_declared,
+             CASE WHEN {n_ascii} * 100 < length(text) * 95 THEN 'ja'
+                  WHEN {n_stop_lang} > 0 THEN 'en'
+                  ELSE 'other' END AS lang_pred
+      FROM {base_rel}
+      WHERE {n} > 0
     """
 
 
