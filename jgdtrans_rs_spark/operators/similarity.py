@@ -118,7 +118,14 @@ def ann_lsh_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
     recall is tuned by (n_planes, n_tables) — OR-amplification:
     recall ≈ 1 - (1 - p^m)^L.
     """
-    b = signature_buckets(df, dim, n_planes, n_tables, vec_col, id_col)
+    # persisted: the signature stage feeds BOTH sides of the bucket
+    # join.  At the local tiers the self-join costs the same either
+    # way (~1.1 s warm at sf0.1 — the Arrow stage is cheap and AQE
+    # reuses the exchange), but at corpus scale the unpersisted plan
+    # has no guarantee of reuse across the two branches, so the stage
+    # boundary is explicit like embedding_near_dup's.  Cache contract
+    # as there.
+    b = signature_buckets(df, dim, n_planes, n_tables, vec_col, id_col).persist()
     q = b.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
