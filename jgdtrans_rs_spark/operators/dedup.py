@@ -131,7 +131,7 @@ def dedup_incremental(spark: SparkSession, docs: str = "documents",
                    "_inc_sints")
     sigs = _stage(spark, webops.dedup_incremental_sigs_from(SPARK, sints),
                   "_inc_sigs")
-    body = webops.dedup_incremental_from(SPARK, sigs, tau_pct,
+    body = webops.dedup_incremental_from(SPARK, sigs, sints, tau_pct,
                                          short_shingles, band_size)
     return spark.sql(f"WITH {body.lstrip()}")
 

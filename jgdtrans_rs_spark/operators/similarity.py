@@ -22,6 +22,20 @@ from pyspark.sql.types import ArrayType, IntegerType, LongType
 from ..plans import webops
 from ..plans.textsql import SPARK
 
+_view_ids = __import__("itertools").count()
+
+
+def _persist_stage(df: DataFrame, base_name: str) -> DataFrame:
+    """Persist a stage AND register it under a unique temp view so the
+    documented reclaim route works for DataFrame-built stages too:
+    ``spark.table('<base_name>_<n>').unpersist()`` (or
+    ``spark.catalog.clearCache()``) — without the view, repeated
+    operator calls in a long session would pin blocks reachable only
+    through LRU eviction.  Same cache contract as operators/dedup."""
+    out = df.persist()
+    out.createOrReplaceTempView(f"{base_name}_{next(_view_ids)}")
+    return out
+
 
 def ann_brute_topk(spark: SparkSession, embeddings: str = "embeddings",
                    n_queries: int = 10, k: int = 5) -> DataFrame:
@@ -124,8 +138,10 @@ def ann_lsh_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
     # reuses the exchange), but at corpus scale the unpersisted plan
     # has no guarantee of reuse across the two branches, so the stage
     # boundary is explicit like embedding_near_dup's.  Cache contract
-    # as there.
-    b = signature_buckets(df, dim, n_planes, n_tables, vec_col, id_col).persist()
+    # in _persist_stage.
+    b = _persist_stage(
+        signature_buckets(df, dim, n_planes, n_tables, vec_col, id_col),
+        "_lsh_sigs")
     q = b.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -268,10 +284,11 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
     """
     # persisted: b feeds the hot-bucket aggregate AND both join sides
     # (a self-join re-executes shared lineage), so caching saves two
-    # recomputes.  The cache is MEMORY_AND_DISK and LRU-evicted; callers
-    # issuing many near-dup runs in one session can reclaim it earlier
-    # with sparkSession.catalog.clearCache() once results are written.
-    b = signature_buckets(df, dim, n_planes, n_tables, vec_col, id_col).persist()
+    # recomputes.  Cache contract in _persist_stage (unique temp view
+    # = the reclaim handle).
+    b = _persist_stage(
+        signature_buckets(df, dim, n_planes, n_tables, vec_col, id_col),
+        "_nd_sigs")
     # combined (table, bucket) key fits an int64: bucket < 2^n_planes
     bkey = (F.col("table").cast("long") * (1 << n_planes) + F.col("bucket"))
     hot = [

@@ -47,21 +47,45 @@ def text_stats_sql(d: str, docs: str = "documents") -> str:
     """
 
 
+def _quality_exprs(d: str, n_ws: str, text: str = "text") -> tuple[str, str, str]:
+    """(n_bpe, n_punct, quality-bucket CASE) — ONE source of truth for
+    the quality formulas, shared by quality_score_sql and the corpus
+    audit (``n_ws`` is the caller's token-count expression: raw split
+    in the standalone operator, the staged token-id list in the
+    audit).  Buckets: 0 = punct-heavy, 1 = too short, 2 = symbol-heavy,
+    3 = clean."""
+    bpe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    if d == SPARK:
+        n_bpe = f"size(regexp_extract_all({text}, '{bpe}', 0))"
+    else:
+        n_bpe = f"len(regexp_extract_all({text}, '{bpe}'))"
+    n_punct = f"(length({text}) - length({_regexp_strip(text, '[^A-Za-z0-9 ]', d)}))"
+    bucket = (f"CASE WHEN {n_punct} * 10 > length({text}) THEN 0 "
+              f"WHEN {n_ws} < 5 THEN 1 "
+              f"WHEN {n_bpe} > {n_ws} * 3 THEN 2 ELSE 3 END")
+    return n_bpe, n_punct, bucket
+
+
+def _dup_shingle_pct_expr(d: str, n_sh: str, n_dist: str) -> str:
+    """Duplicate-shingle percentage (floor int) — shared by
+    repetition_stats_sql and the corpus audit.  Integer division, not
+    /-then-CAST: Spark CAST(double AS INT) truncates while DuckDB
+    rounds."""
+    divop = "div" if d == SPARK else "//"
+    return (f"CAST(CASE WHEN {n_sh} > 0 "
+            f"THEN (({n_sh} - {n_dist}) * 100) {divop} {n_sh} "
+            f"ELSE 0 END AS INTEGER)")
+
+
 def quality_score_sql(d: str, docs: str = "documents") -> str:
     """Per-doc quality scoring: char length, whitespace token count,
     BPE-ish regex token count (letter runs | single digits | other
     symbols — the GPT-2-style pre-tokenizer shape), punctuation count
-    and ratio, and an integer quality bucket (0 = punct-heavy,
-    1 = too short, 2 = symbol-heavy, 3 = clean).  All comparisons are
-    integer arithmetic -> hash-stable; the one double is a single
-    division of exact integers."""
-    bpe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
-    if d == SPARK:
-        n_bpe = f"size(regexp_extract_all(text, '{bpe}', 0))"
-    else:
-        n_bpe = f"len(regexp_extract_all(text, '{bpe}'))"
+    and ratio, and an integer quality bucket (_quality_exprs).  All
+    comparisons are integer arithmetic -> hash-stable; the one double
+    is a single division of exact integers."""
     n_ws = T.size(T.toks("text", d), d)
-    n_punct = f"(length(text) - length({_regexp_strip('text', '[^A-Za-z0-9 ]', d)}))"
+    n_bpe, n_punct, bucket = _quality_exprs(d, n_ws)
     return f"""
       SELECT doc_id,
              CAST(length(text) AS INTEGER) AS n_chars,
@@ -69,10 +93,7 @@ def quality_score_sql(d: str, docs: str = "documents") -> str:
              CAST({n_bpe} AS INTEGER) AS n_bpe_tokens,
              CAST({n_punct} AS INTEGER) AS n_punct,
              CAST({n_punct} AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
-             CAST(CASE WHEN {n_punct} * 10 > length(text) THEN 0
-                       WHEN {n_ws} < 5 THEN 1
-                       WHEN {n_bpe} > {n_ws} * 3 THEN 2
-                       ELSE 3 END AS INTEGER) AS quality_bucket
+             CAST({bucket} AS INTEGER) AS quality_bucket
       FROM {docs}
       WHERE length(text) > 0
     """
@@ -1005,6 +1026,22 @@ def decontaminate_perdoc_sql(d: str, docs: str = "documents") -> str:
             f"FROM (SELECT doc_id, {tids} AS _tids FROM {docs}) _t")
 
 
+def _contamination_ctes(d: str, sh_rows: str, holdout_mod: int) -> str:
+    """sh/hold/hits CTE text — ONE source of truth for the
+    contamination probe (holdout shingle set is the broadcast side, one
+    aggregate keyed on doc_id), shared by decontaminate_from and the
+    corpus audit.  ``sh_rows`` must yield DISTINCT (doc_id, s) rows."""
+    return f"""
+      sh AS ({sh_rows}),
+      hold AS (SELECT DISTINCT s FROM sh WHERE doc_id % {holdout_mod} = 0),
+      hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_hit
+        FROM (SELECT doc_id, s FROM sh WHERE doc_id % {holdout_mod} <> 0) t
+        JOIN hold h ON t.s = h.s
+        GROUP BY t.doc_id
+      )"""
+
+
 def decontaminate_from(d: str, perdoc_rel: str, holdout_mod: int = 50) -> str:
     """Decontamination over a materialized perdoc relation — WITH-body
     tail (the caller prepends its own stage CTEs or 'WITH')."""
@@ -1014,14 +1051,7 @@ def decontaminate_from(d: str, perdoc_rel: str, holdout_mod: int = 50) -> str:
     else:
         rows = f"SELECT doc_id, unnest(sints) AS s FROM {perdoc_rel}"
     return f"""
-      sh AS ({rows}),
-      hold AS (SELECT DISTINCT s FROM sh WHERE doc_id % {holdout_mod} = 0),
-      train AS (SELECT doc_id, s FROM sh WHERE doc_id % {holdout_mod} <> 0),
-      hits AS (
-        SELECT t.doc_id, COUNT(*) AS n_hit
-        FROM train t JOIN hold h ON t.s = h.s
-        GROUP BY t.doc_id
-      )
+      {_contamination_ctes(d, rows, holdout_mod)}
       SELECT p.doc_id,
              CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_shingles,
              (COALESCE(h.n_hit, 0) > 0) AS is_contaminated
@@ -1084,9 +1114,7 @@ def repetition_stats_sql(d: str, docs: str = "documents") -> str:
       SELECT doc_id,
              CAST({n_sh} AS INTEGER) AS n_shingles,
              CAST({n_dist} AS INTEGER) AS n_distinct_shingles,
-             CAST(CASE WHEN {n_sh} > 0
-                       THEN (({n_sh} - {n_dist}) * 100) {divop} {n_sh}
-                       ELSE 0 END AS INTEGER) AS dup_shingle_pct,
+             {_dup_shingle_pct_expr(d, n_sh, n_dist)} AS dup_shingle_pct,
              CAST(CASE WHEN {n_tok} > 0
                        THEN ({top} * 100) {divop} {n_tok}
                        ELSE 0 END AS INTEGER) AS top_token_pct
@@ -1162,37 +1190,28 @@ def corpus_audit_base_sql(d: str, docs: str = "documents") -> str:
 def _audit_ctes_and_select(d: str, base_rel: str, holdout_mod: int) -> tuple[str, str]:
     """(CTE list text, final SELECT) of the audit composition over a
     corpus_audit_base_sql relation — all stages read the staged
-    _tids/_sints columns, none re-tokenizes."""
-    bpe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
-    if d == SPARK:
-        n_bpe = f"size(regexp_extract_all(text, '{bpe}', 0))"
-    else:
-        n_bpe = f"len(regexp_extract_all(text, '{bpe}'))"
-    n_ws = T.size("_tids", d)
-    n_punct = f"(length(text) - length({_regexp_strip('text', '[^A-Za-z0-9 ]', d)}))"
+    _tids/_sints columns, none re-tokenizes.  The stage FORMULAS come
+    from the same helpers the standalone operators use
+    (_quality_exprs, _dup_shingle_pct_expr, _contamination_ctes), so
+    tuning a threshold there cannot silently diverge the audit."""
+    _, _, bucket = _quality_exprs(d, T.size("_tids", d))
     n_sh = T.size("_sints", d)
     n_dist = T.size(T.distinct("_sints", d), d)
-    divop = "div" if d == SPARK else "//"
     if d == SPARK:
-        sh_rows = (f"SELECT doc_id, s FROM {base_rel} "
+        sh_rows = (f"SELECT DISTINCT doc_id, s FROM {base_rel} "
                    "LATERAL VIEW explode(_sints) _e AS s")
     else:
-        sh_rows = f"SELECT doc_id, unnest(_sints) AS s FROM {base_rel}"
+        sh_rows = (f"SELECT DISTINCT doc_id, s FROM "
+                   f"(SELECT doc_id, unnest(_sints) AS s FROM {base_rel}) _u")
     ctes = f"""
       q AS (
-        SELECT doc_id,
-               CAST(CASE WHEN {n_punct} * 10 > length(text) THEN 0
-                         WHEN {n_ws} < 5 THEN 1
-                         WHEN {n_bpe} > {n_ws} * 3 THEN 2
-                         ELSE 3 END AS INTEGER) AS quality_bucket
+        SELECT doc_id, CAST({bucket} AS INTEGER) AS quality_bucket
         FROM {base_rel}
         WHERE length(text) > 0
       ),
       rep AS (
         SELECT doc_id,
-               CAST(CASE WHEN {n_sh} > 0
-                         THEN (({n_sh} - {n_dist}) * 100) {divop} {n_sh}
-                         ELSE 0 END AS INTEGER) AS dup_shingle_pct
+               {_dup_shingle_pct_expr(d, n_sh, n_dist)} AS dup_shingle_pct
         FROM {base_rel}
       ),
       ded AS (
@@ -1200,14 +1219,7 @@ def _audit_ctes_and_select(d: str, base_rel: str, holdout_mod: int) -> tuple[str
                (doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))) AS is_exact_dup
         FROM {base_rel}
       ),
-      sh AS (SELECT DISTINCT doc_id, s FROM ({sh_rows}) _shr),
-      hold AS (SELECT DISTINCT s FROM sh WHERE doc_id % {holdout_mod} = 0),
-      hits AS (
-        SELECT t.doc_id, COUNT(*) AS n_hit
-        FROM (SELECT doc_id, s FROM sh WHERE doc_id % {holdout_mod} <> 0) t
-        JOIN hold h ON t.s = h.s
-        GROUP BY t.doc_id
-      ),
+      {_contamination_ctes(d, sh_rows, holdout_mod)},
       dec AS (
         SELECT b.doc_id, (COALESCE(h.n_hit, 0) > 0) AS is_contaminated
         FROM {base_rel} b LEFT JOIN hits h ON h.doc_id = b.doc_id
@@ -1324,8 +1336,8 @@ def dedup_incremental_sql(d: str, docs: str = "documents",
     sf0.1 cost 57 s (full materialization) vs 2.2 s staged."""
     sints_stage = dedup_incremental_sints_sql(d, docs)
     sigs_stage = dedup_incremental_sigs_from(d, "_inc_sints")
-    body = dedup_incremental_from(d, "_inc_sigs", tau_pct, short_shingles,
-                                  band_size)
+    body = dedup_incremental_from(d, "_inc_sigs", "_inc_sints", tau_pct,
+                                  short_shingles, band_size)
     return (f"WITH _inc_sints AS ({sints_stage}),\n"
             f"_inc_sigs AS ({sigs_stage}),\n{body}")
 
@@ -1348,18 +1360,22 @@ def dedup_incremental_sints_sql(d: str, docs: str = "documents") -> str:
 
 
 def dedup_incremental_sigs_from(d: str, sints_rel: str) -> str:
-    """Incremental-dedup stage 2: + the 12 minhash columns."""
+    """Incremental-dedup stage 2: the 12 minhash columns + digest —
+    WITHOUT re-carrying the sints array (the verify arms read shingles
+    from the sints stage directly, so the big array column is cached
+    once, not twice)."""
     mh = T.minhash_exprs("sints", d)
     sig_cols = ", ".join(f"{e} AS h{i}" for i, e in enumerate(mh))
-    return f"SELECT doc_id, digest, sints, {sig_cols} FROM {sints_rel}"
+    return f"SELECT doc_id, digest, {sig_cols} FROM {sints_rel}"
 
 
-def dedup_incremental_from(d: str, sigs_rel: str, tau_pct: int = 60,
-                           short_shingles: int = 8,
+def dedup_incremental_from(d: str, sigs_rel: str, sints_rel: str,
+                           tau_pct: int = 60, short_shingles: int = 8,
                            band_size: int = 2) -> str:
-    """Incremental-dedup stage 3 over a materialized signatures
-    relation (columns doc_id, digest, sints, h0..h11): digest probe,
-    band probe, verify, verdict.  Emitted as the WITH-body tail so the
+    """Incremental-dedup stage 3 over the two materialized stages —
+    ``sigs_rel`` (doc_id, digest, h0..h11) feeds the digest and band
+    probes, ``sints_rel`` (doc_id, digest, sints) feeds the
+    exact-Jaccard verify.  Emitted as the WITH-body tail so the
     single-statement oracle can prepend its own stage CTEs."""
     nb = len(T.MINHASH_AB) // band_size
     band_rows = " UNION ALL ".join(
@@ -1370,10 +1386,10 @@ def dedup_incremental_from(d: str, sigs_rel: str, tau_pct: int = 60,
     )
     key_eq = " AND ".join(f"n.k{j} = o.k{j}" for j in range(band_size))
     if d == SPARK:
-        sh = (f"SELECT doc_id, s FROM {sigs_rel} "
+        sh = (f"SELECT doc_id, s FROM {sints_rel} "
               "LATERAL VIEW explode(sints) _e AS s")
     else:
-        sh = f"SELECT doc_id, unnest(sints) AS s FROM {sigs_rel}"
+        sh = f"SELECT doc_id, unnest(sints) AS s FROM {sints_rel}"
     return f"""
       bands AS ({band_rows}),
       ex AS (
@@ -1388,7 +1404,7 @@ def dedup_incremental_from(d: str, sigs_rel: str, tau_pct: int = 60,
           ON n.band = o.band AND {key_eq}
          AND n.doc_id >= 1000000 AND o.doc_id < 1000000
       ),
-      sizes AS (SELECT doc_id, {T.size('sints', d)} AS n FROM {sigs_rel}),
+      sizes AS (SELECT doc_id, {T.size('sints', d)} AS n FROM {sints_rel}),
       sh AS ({sh}),
       near AS (
         SELECT DISTINCT _i.new_id AS doc_id

@@ -299,7 +299,10 @@ def _sf01_probe(spark, pick: slice):
         box: dict = {}
 
         def duck_run():
-            box["b"] = con.sql(sql).df()
+            try:
+                box["b"] = con.sql(sql).df()
+            except BaseException as exc:  # surfaced after join()
+                box["err"] = exc
 
         th = threading.Thread(target=duck_run)
         t0 = time.perf_counter()
@@ -307,6 +310,8 @@ def _sf01_probe(spark, pick: slice):
         a = queries[name](spark, sf_large).toPandas()
         spark_s = time.perf_counter() - t0
         th.join()
+        if "err" in box:
+            raise AssertionError(f"{name}@sf0.1: oracle failed") from box["err"]
         _compare(a, box["b"], f"{name}@sf0.1")
         slowest[name] = round(max(spark_s, 0.0), 1)
         # generous per-query wall budget: the staging pathologies this
@@ -316,20 +321,24 @@ def _sf01_probe(spark, pick: slice):
     print(f"sf0.1 probe slowest (spark-wall sec, {pick}):", top)
 
 
-@pytest.mark.skipif(_SLOW not in ("1", "all"),
+# gate semantics: "1" -> half 1 only, "2" -> half 2 only, any OTHER
+# non-empty value ("all", "true", ...) -> both halves — so a habitual
+# SPARK_GRAFT_SLOW=true still probes the full contract instead of
+# silently skipping it
+@pytest.mark.skipif(not _SLOW or _SLOW == "2",
                     reason="sf0.1 scale probe half 1 — SPARK_GRAFT_SLOW=1|all")
 def test_all_oracle_queries_sf01_half1(spark):
     """First half of the contract (dict order: the ANN/boundary block
     + geodesy) — split so each env-gated half stays well inside the
-    600 s budget (VERDICT r03 #5)."""
+    600 s budget (VERDICT r03 #5; measured ~82 s)."""
     _sf01_probe(spark, slice(0, 25))
 
 
-@pytest.mark.skipif(_SLOW not in ("2", "all"),
+@pytest.mark.skipif(not _SLOW or _SLOW == "1",
                     reason="sf0.1 scale probe half 2 — SPARK_GRAFT_SLOW=2|all")
 def test_all_oracle_queries_sf01_half2(spark):
     """Second half of the contract (spatial tail + the training-data
-    pipeline family)."""
+    pipeline family; measured ~84 s after the round-4 staging)."""
     _sf01_probe(spark, slice(25, None))
 
 
