@@ -480,22 +480,32 @@ def _q_boundary(spark, sf_dir):
     inclusive bounds, coord.rs:278-280 / node.rs:89-124 /
     cell.rs:95-147), pinning both error taxonomies — including the one
     reachable divergence (top latitude cell: strict PNF vs reference
-    OOB) — under the DuckDB gate."""
+    OOB) — under the DuckDB gate.  ALSO pins TILE assignment in both
+    modes: the reference's checked tiling path is MeshNode::
+    try_from_point (node-level bounds — a top-cell point HAS a valid
+    sw node and lon 180.0 IS the (80,0,0) maximum node), so under
+    strict_bounds=False the meshcode diverges from strict exactly at
+    lon 180.0 (node assigned vs -1)."""
     spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
     raw = spark.sql(_BOUNDARY_PTS_SQL)
-    strict = _engine(spark).forward_corr(raw, "lat", "lon").select(
+    eng_s, eng_r = _engine(spark), _engine_ref(spark)
+    strict = eng_s.forward_corr(raw, "lat", "lon").select(
         "pkey",
         F.col("status").alias("status_strict"),
         F.col("err_meshcode").alias("err_meshcode_strict"),
         F.col("err_corner").alias("err_corner_strict"),
     )
-    ref = _engine_ref(spark).forward_corr(raw, "lat", "lon").select(
+    ref = eng_r.forward_corr(raw, "lat", "lon").select(
         "pkey",
         F.col("status").alias("status_ref"),
         F.col("err_meshcode").alias("err_meshcode_ref"),
         F.col("err_corner").alias("err_corner_ref"),
     )
-    return strict.join(ref, "pkey")
+    tiles_s = eng_s.assign_tiles(raw).select(
+        "pkey", F.col("meshcode").alias("meshcode_strict"))
+    tiles_r = eng_r.assign_tiles(raw).select(
+        "pkey", F.col("meshcode").alias("meshcode_ref"))
+    return strict.join(ref, "pkey").join(tiles_s, "pkey").join(tiles_r, "pkey")
 
 
 def _sql_q(builder):
@@ -1046,12 +1056,16 @@ def oracle_sql() -> dict[str, str]:
              err_corner AS err_corner_strict,
              CAST(CASE WHEN _incl THEN status ELSE 1 END AS INTEGER) AS status_ref,
              CAST(CASE WHEN _incl THEN err_meshcode ELSE -1 END AS BIGINT) AS err_meshcode_ref,
-             CAST(CASE WHEN _incl THEN err_corner ELSE -1 END AS INTEGER) AS err_corner_ref
+             CAST(CASE WHEN _incl THEN err_corner ELSE -1 END AS INTEGER) AS err_corner_ref,
+             CAST(CASE WHEN mesh_valid THEN sw_code ELSE -1 END AS BIGINT) AS meshcode_strict,
+             CAST(CASE WHEN _node THEN sw_code ELSE -1 END AS BIGINT) AS meshcode_ref
       FROM (
         SELECT *, (latv >= 0.0e0 AND latv < 100.0e0
                    AND lonv >= 100.0e0 AND lonv <= 180.0e0
                    AND NOT (lat1 = 99 AND lat2 = 7 AND lat3 = {bound_digit})
-                   AND NOT (lon1 = 80 AND lon2 = 0 AND lon3 = 0)) AS _incl
+                   AND NOT (lon1 = 80 AND lon2 = 0 AND lon3 = 0)) AS _incl,
+                  (latv >= 0.0e0 AND latv < 100.0e0
+                   AND lonv >= 100.0e0 AND lonv <= 180.0e0) AS _node
         FROM ({oracle.corr_sql(f'({_BOUNDARY_PTS_SQL}) _bp', _GV, _UNIT)}) _c
       ) _b
     """

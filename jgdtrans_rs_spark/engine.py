@@ -65,10 +65,31 @@ def _no_duplicate(udf):
     return udf.asNondeterministic()
 
 
-def _appended_schema(df: DataFrame, new_fields: list[StructField]) -> StructType:
-    names = {f.name for f in new_fields}
-    kept = [f for f in df.schema.fields if f.name not in names]
-    return StructType(kept + new_fields)
+def _expand_struct(df: DataFrame, new_names: set[str], struct_col) -> DataFrame:
+    """Attach a kernel's struct column and expand it, replacing any
+    same-named input columns.  The temporary column name is chosen
+    collision-free: a fixed "_r" would silently overwrite (and then
+    re-emit) a user passthrough column named "_r"."""
+    kept = [c for c in df.columns if c not in new_names]
+    tmp = "_r"
+    while tmp in df.columns:
+        tmp += "_"
+    return df.withColumn(tmp, struct_col).select(*kept, f"{tmp}.*")
+
+
+def _select_fields(all_fields: list[StructField],
+                   fields: list[str] | None) -> list[StructField]:
+    """The fused kernels' output-struct pruning contract (shared by
+    transform_and_tile and transform_tile_pip): None = everything,
+    else the named subset in the caller's order; unknown names raise."""
+    if fields is None:
+        return all_fields
+    known = {f.name: f for f in all_fields}
+    unknown = [f for f in fields if f not in known]
+    if unknown:
+        raise ValueError(f"unknown output fields {unknown}; "
+                         f"choose from {sorted(known)}")
+    return [known[f] for f in fields]
 
 
 class Engine:
@@ -91,11 +112,24 @@ class Engine:
     # -- constructors -----------------------------------------------------
 
     @classmethod
-    def from_par(cls, spark: SparkSession, path: str, format: str) -> "Engine":
-        """``Transformer::from_str`` (transformer.rs:395-449)."""
+    def from_par(cls, spark: SparkSession, path: str, format: str,
+                 strict_bounds: bool = True) -> "Engine":
+        """``Transformer::from_str`` (transformer.rs:395-449).
+        ``strict_bounds`` forwards to the constructor so the file-path
+        route can build reference-parity engines too."""
         from .grid import load_par
 
-        return cls(spark, load_par(path, format))
+        return cls(spark, load_par(path, format), strict_bounds=strict_bounds)
+
+    def _tile_bounds(self) -> str:
+        """Bounds mode for TILE assignment: strict by default; under
+        reference parity (strict_bounds=False) the checked path for a
+        tile is ``MeshNode::try_from_point`` — NODE-level inclusive
+        bounds (mesh.BOUNDS_NODE), which accepts the top latitude cell
+        and longitude 180.0 that CELL construction (the transform
+        kernels' BOUNDS_INCLUSIVE) rejects.  Without this split the
+        engine would mix strict tiles with inclusive transforms."""
+        return mesh.BOUNDS_STRICT if self.strict_bounds else mesh.BOUNDS_NODE
 
     # -- core transforms --------------------------------------------------
     #
@@ -143,11 +177,7 @@ class Engine:
         alt_col = F.col(alt) if alt is not None and alt in df.columns else F.lit(0.0)
         new_names = {f"{prefix}lat", f"{prefix}lon", f"{prefix}alt",
                      "status", "err_meshcode", "err_corner"}
-        kept = [c for c in df.columns if c not in new_names]
-        return (
-            df.withColumn("_r", udf(F.col(lat), F.col(lon), alt_col))
-            .select(*kept, "_r.*")
-        )
+        return _expand_struct(df, new_names, udf(F.col(lat), F.col(lon), alt_col))
 
     def forward(self, df: DataFrame, lat: str = "lat", lon: str = "lon",
                 alt: str | None = "alt", prefix: str = "out_") -> DataFrame:
@@ -190,8 +220,7 @@ class Engine:
             })
 
         new_names = {"dlat_deg", "dlon_deg", "dalt_m", "status", "err_meshcode", "err_corner"}
-        kept = [c for c in df.columns if c not in new_names]
-        return df.withColumn("_r", run(F.col(lat), F.col(lon))).select(*kept, "_r.*")
+        return _expand_struct(df, new_names, run(F.col(lat), F.col(lon)))
 
     def forward_corr(self, df: DataFrame, lat: str = "lat", lon: str = "lon") -> DataFrame:
         """``forward_corr`` (trans.rs:428-451): correction columns only."""
@@ -211,9 +240,12 @@ class Engine:
         tile id, with the ulp-parity boundary semantics of
         coord.rs:260-283) plus a ``quadkey`` S2-style quadtree id.
 
-        meshcode = -1 for points outside the mesh domain.
+        meshcode = -1 for points outside the mesh domain (domain =
+        strict bounds, or node-level checked-path bounds under
+        ``strict_bounds=False`` — see _tile_bounds).
         """
         unit = self.grid.mesh_unit
+        bounds = self._tile_bounds()
         out_fields = [
             StructField("meshcode", LongType(), False),
             StructField("quadkey", LongType(), False),
@@ -230,7 +262,7 @@ class Engine:
         def run(lat_s: pd.Series, lon_s: pd.Series) -> pd.DataFrame:
             la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
             lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
-            lat_d, lon_d, valid = mesh.point_to_digits(la, lo, unit)
+            lat_d, lon_d, valid = mesh.point_to_digits(la, lo, unit, bounds)
             code = mesh.digits_to_meshcode(lat_d, lon_d)
             out = {
                 "meshcode": np.where(valid, code, -1),
@@ -243,8 +275,7 @@ class Engine:
             return pd.DataFrame(out)
 
         new_names = {f.name for f in out_fields}
-        kept = [c for c in df.columns if c not in new_names]
-        return df.withColumn("_r", run(F.col(lat), F.col(lon))).select(*kept, "_r.*")
+        return _expand_struct(df, new_names, run(F.col(lat), F.col(lon)))
 
     def transform_and_tile(self, df: DataFrame, lat: str = "lat", lon: str = "lon",
                            alt: str | None = "alt", level: int = 15,
@@ -264,6 +295,7 @@ class Engine:
         bc = self._bc
         sb = self.strict_bounds
         unit = self.grid.mesh_unit
+        bounds = self._tile_bounds()
         all_fields = [
             StructField(f"{prefix}lat", DoubleType(), True),
             StructField(f"{prefix}lon", DoubleType(), True),
@@ -272,16 +304,9 @@ class Engine:
             StructField("meshcode", LongType(), False),
             StructField("quadkey", LongType(), False),
         ]
-        if fields is None:
-            out_fields = all_fields
-        else:
-            known = {f.name: f for f in all_fields}
-            unknown = [f for f in fields if f not in known]
-            if unknown:
-                raise ValueError(f"unknown output fields {unknown}; "
-                                 f"choose from {sorted(known)}")
-            out_fields = [known[f] for f in fields]
+        out_fields = _select_fields(all_fields, fields)
         names = [f.name for f in out_fields]
+        want_mesh = "meshcode" in names
         want_quadkey = "quadkey" in names
         schema = StructType(out_fields)
 
@@ -293,8 +318,6 @@ class Engine:
             lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
             al = alt_s.to_numpy(dtype=np.float64, na_value=np.nan)
             out_la, out_lo, out_al, c = kernel.forward(la, lo, al, grid, strict_bounds=sb)
-            lat_d, lon_d, valid = mesh.point_to_digits(out_la, out_lo, unit)
-            code = mesh.digits_to_meshcode(lat_d, lon_d)
             cols: dict = {
                 f"{prefix}lat": out_la,
                 f"{prefix}lon": out_lo,
@@ -302,19 +325,19 @@ class Engine:
                 "status": c.status.astype(np.int32),
                 "err_meshcode": c.err_meshcode,
                 "err_corner": c.err_corner.astype(np.int32),
-                "meshcode": np.where(valid, code, -1),
             }
+            if want_mesh:
+                lat_d, lon_d, valid = mesh.point_to_digits(out_la, out_lo, unit, bounds)
+                code = mesh.digits_to_meshcode(lat_d, lon_d)
+                cols["meshcode"] = np.where(valid, code, -1)
             if want_quadkey:
                 cols["quadkey"] = mesh.quadkey(out_la, out_lo, level)
             return pd.DataFrame({n: cols[n] for n in names})
 
         alt_col = F.col(alt) if alt is not None and alt in df.columns else F.lit(0.0)
         new_names = {f.name for f in out_fields}
-        kept = [c for c in df.columns if c not in new_names]
-        return (
-            df.withColumn("_r", run(F.col(lat), F.col(lon), alt_col))
-            .select(*kept, "_r.*")
-        )
+        return _expand_struct(df, new_names,
+                              run(F.col(lat), F.col(lon), alt_col))
 
     @staticmethod
     def poly_mask_rows(df: DataFrame, polygons, mask_col: str = "poly_mask",
@@ -371,6 +394,7 @@ class Engine:
         bc = self._bc
         sb = self.strict_bounds
         unit = self.grid.mesh_unit
+        bounds = self._tile_bounds()
         polys = [[(float(a), float(b)) for a, b in ring] for _, ring in polygons]
         if len(polys) > 63:
             raise ValueError(
@@ -390,17 +414,10 @@ class Engine:
             StructField("quadkey", LongType(), False),
             StructField("poly_mask", LongType(), False),
         ]
-        if fields is None:
-            out_fields = all_fields
-        else:
-            known = {f.name: f for f in all_fields}
-            unknown = [f for f in fields if f not in known]
-            if unknown:
-                raise ValueError(f"unknown output fields {unknown}; "
-                                 f"choose from {sorted(known)}")
-            out_fields = [known[f] for f in fields]
+        out_fields = _select_fields(all_fields, fields)
         names = [f.name for f in out_fields]
-        want_tiles = "meshcode" in names or "quadkey" in names
+        want_mesh = "meshcode" in names
+        want_quadkey = "quadkey" in names
         schema = StructType(out_fields)
 
         @_no_duplicate
@@ -419,10 +436,11 @@ class Engine:
                 "err_meshcode": c.err_meshcode,
                 "err_corner": c.err_corner.astype(np.int32),
             }
-            if want_tiles:
-                lat_d, lon_d, valid = mesh.point_to_digits(out_la, out_lo, unit)
+            if want_mesh:
+                lat_d, lon_d, valid = mesh.point_to_digits(out_la, out_lo, unit, bounds)
                 code = mesh.digits_to_meshcode(lat_d, lon_d)
                 cols["meshcode"] = np.where(valid, code, -1)
+            if want_quadkey:
                 cols["quadkey"] = mesh.quadkey(out_la, out_lo, level)
             mask = np.zeros(la.shape[0], dtype=np.int64)
             for i, (ring, (la0, la1, lo0, lo1)) in enumerate(zip(polys, bboxes)):
@@ -436,8 +454,8 @@ class Engine:
 
         alt_col = F.col(alt) if alt is not None and alt in df.columns else F.lit(0.0)
         new_names = {f.name for f in out_fields}
-        kept = [c for c in df.columns if c not in new_names]
-        return df.withColumn("_r", run(F.col(lat), F.col(lon), alt_col)).select(*kept, "_r.*")
+        return _expand_struct(df, new_names,
+                              run(F.col(lat), F.col(lon), alt_col))
 
     def roundtrip_verify(self, df: DataFrame, lat: str = "lat", lon: str = "lon",
                          alt: str | None = "alt") -> DataFrame:
@@ -478,8 +496,8 @@ class Engine:
 
         alt_col = F.col(alt) if alt is not None and alt in df.columns else F.lit(0.0)
         new_names = {"out_lat", "out_lon", "out_alt", "roundtrip_exact", "status"}
-        kept = [c for c in df.columns if c not in new_names]
-        return df.withColumn("_r", run(F.col(lat), F.col(lon), alt_col)).select(*kept, "_r.*")
+        return _expand_struct(df, new_names,
+                              run(F.col(lat), F.col(lon), alt_col))
 
     # -- validation (pure Column, JVM-side) -------------------------------
 

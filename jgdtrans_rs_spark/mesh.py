@@ -50,6 +50,15 @@ UNIT_FIVE = 5
 BOUNDS_STRICT = "strict"
 BOUNDS_INCLUSIVE = "inclusive"
 BOUNDS_UNCHECKED = "unchecked"
+# * node — MeshNode::try_from_point parity (node.rs:269-287): the
+#   checked path at NODE level — inclusive coordinate bounds only, no
+#   cell-corner exclusions.  A point in the top latitude cell HAS a
+#   valid sw node ((99,7,bound)), and longitude exactly 180.0 IS the
+#   valid maximum node (80,0,0) — both fail only when a CELL must be
+#   built (BOUNDS_INCLUSIVE).  Tile assignment under reference parity
+#   (Engine strict_bounds=False) uses this mode: the reference assigns
+#   the tile and separately fails the transform, and so do we.
+BOUNDS_NODE = "node"
 
 
 def _as_f64(a) -> np.ndarray:
@@ -116,6 +125,16 @@ def point_bounds_mask(lat: np.ndarray, lon: np.ndarray, lat_digits, lon_digits,
     lonv = _as_f64(lon)
     if bounds == BOUNDS_UNCHECKED:
         return np.ones(latv.shape, dtype=bool)
+    if bounds == BOUNDS_NODE:
+        # inclusive coordinate bounds, no cell exclusions (node.rs
+        # try_from_point: only try_from_latitude/longitude can fail).
+        # latv == 100.0 exactly is unreachable (module header): the
+        # closed upper bound and `< 100.0` agree on every reachable
+        # double, and digits stay in range without a wrap branch.
+        return (
+            np.isfinite(latv) & (latv >= 0.0) & (latv <= 100.0)
+            & np.isfinite(lonv) & (lonv >= 100.0) & (lonv <= 180.0)
+        )
     if bounds == BOUNDS_INCLUSIVE:
         valid = (
             np.isfinite(latv) & (latv >= 0.0) & (latv <= 100.0)

@@ -508,3 +508,48 @@ def test_q4_chain_plan_shape(engine, points):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "BroadcastExchange" in line, plan
+
+
+def test_expand_struct_preserves_underscore_r_column(engine, spark):
+    """A passthrough column literally named `_r` must survive a kernel
+    transform unchanged (the internal struct temp name is chosen
+    collision-free)."""
+    df = spark.createDataFrame(
+        [(1, 36.09, 140.08, 10.0, "keepme")],
+        "pkey long, lat double, lon double, alt double, _r string")
+    row = engine.forward(df).collect()[0]
+    assert row["_r"] == "keepme"
+    assert row["status"] == 0 and row["out_lat"] is not None
+
+
+def test_tile_bounds_node_mode_reference_parity(spark, semidyna_grid):
+    """Tile assignment under strict_bounds=False follows
+    MeshNode::try_from_point (node-level bounds): longitude exactly
+    180.0 gets the (80,0,0) maximum node and a top-latitude-cell point
+    gets its valid sw node, while the strict default keeps lon 180.0
+    out of domain.  The transform kernels in the SAME parity engine
+    still fail those points (cell-level bounds) — matching the
+    reference, where node construction succeeds and cell construction
+    fails."""
+    ref = Engine(spark, semidyna_grid, strict_bounds=False)
+    strict = Engine(spark, semidyna_grid)
+    df = spark.createDataFrame(
+        [(1, 36.09, 180.0, 0.0), (2, 66.63, 140.1, 0.0), (3, 36.09, 140.08, 0.0)],
+        "pkey long, lat double, lon double, alt double")
+    t_ref = {r.pkey: r.meshcode for r in ref.assign_tiles(df).collect()}
+    t_strict = {r.pkey: r.meshcode for r in strict.assign_tiles(df).collect()}
+    # lon 180.0: node (80,0,0) under parity mode, out of domain strictly
+    assert t_strict[1] == -1
+    lon1 = (t_ref[1] // 10_000) % 100
+    lon2 = (t_ref[1] // 100) % 10
+    lon3 = t_ref[1] % 10
+    assert (lon1, lon2, lon3) == (80, 0, 0)
+    # top latitude cell: valid sw node in BOTH modes (strict accepts
+    # v < 100 here too); in-grid point identical in both
+    assert t_ref[2] == t_strict[2] != -1
+    assert t_ref[3] == t_strict[3] != -1
+    # but the parity engine's TRANSFORM still rejects both boundary
+    # points (cell-level inclusive bounds: lon_max node / top-lat cell
+    # -> OutOfBounds), while the in-grid point transforms fine
+    s_ref = {r.pkey: r.status for r in ref.forward_corr(df).collect()}
+    assert s_ref[1] == 1 and s_ref[2] == 1 and s_ref[3] == 0
