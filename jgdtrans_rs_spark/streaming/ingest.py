@@ -39,9 +39,17 @@ def stream_events_window(spark: SparkSession, events_dir: str, schema) -> DataFr
 def stream_pages_transform(engine: Engine, pages_stream: DataFrame,
                            lat: str = "lat", lon: str = "lon") -> DataFrame:
     """Forward-transform a streaming pages source (stateless map —
-    identical plan shape to batch)."""
-    valid, _ = engine.validate(pages_stream, lat, lon)
-    return engine.forward(valid, lat, lon, None)
+    identical plan shape to batch).
+
+    EVERY row flows through — rows failing ``Point::new`` bounds
+    (NULL/NaN/out-of-range coordinates) come out as dead-letter rows
+    (status = 1, NULL outputs) instead of being silently dropped: a
+    stream consumer must be able to SEE extraction degrade (the
+    engine-wide error contract — 'dead-letter columns, never task
+    failures').  The kernels are total over invalid inputs, so no
+    validate-gate is needed; batch pipelines that want the split use
+    ``engine.validate`` explicitly (scripts/run_pipeline.py)."""
+    return engine.forward(pages_stream, lat, lon, None)
 
 
 def stream_transform_tile_counts(engine: Engine, pages_stream: DataFrame,
@@ -59,17 +67,24 @@ def stream_transform_tile_counts(engine: Engine, pages_stream: DataFrame,
     bounded by (watermark horizon x distinct tiles).  At 100 TB-rate
     ingest the aggregation key (window, meshcode) is the shuffle key;
     tile skew (Tokyo) is the same skew the batch salted join handles,
-    and AQE handles it here."""
-    valid, _ = engine.validate(
-        pages_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")),
-        lat, lon)
-    tiled = engine.assign_tiles(engine.forward(valid, lat, lon, None),
+    and AQE handles it here.
+
+    Failed rows are NOT dropped: transform/extraction failures
+    aggregate under meshcode -1 (their outputs are NaN) and every
+    bucket reports ``n_failed`` — a coverage monitor that silently
+    discarded bad rows would undercount exactly when extraction
+    degrades."""
+    src = pages_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    tiled = engine.assign_tiles(engine.forward(src, lat, lon, None),
                                 lat="out_lat", lon="out_lon")
     return (
-        tiled.filter(F.col("status") == 0)
-        .withWatermark(ts_col, watermark)
+        tiled.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, "1 hour"), "meshcode")
-        .agg(F.count("*").alias("n_pages"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.when(F.col("status") != 0, 1).otherwise(0))
+            .cast("long").alias("n_failed"),
+        )
     )
 
 

@@ -54,7 +54,11 @@ def test_streaming_pages_transform(spark, semidyna_grid, tmp_path):
     eng = Engine(spark, semidyna_grid)
     batch = pages_src.extract_geotags(
         pages_src.synth_pages(spark, "/root/testdata/sf0.001")
-    ).select("url", "lat", "lon")
+    ).select("url", "lat", "lon").unionByName(spark.createDataFrame(
+        # dead-letter fixtures: NULL and out-of-range coordinates must
+        # come out as status rows, not vanish from the stream
+        [("bad://null", None, None), ("bad://oob", 12.0, 3.0)],
+        "url string, lat double, lon double"))
     src_dir = str(tmp_path / "pages_src")
     batch.write.mode("overwrite").parquet(src_dir)
 
@@ -66,10 +70,15 @@ def test_streaming_pages_transform(spark, semidyna_grid, tmp_path):
         .outputMode("append").trigger(availableNow=True).start()
     )
     q.awaitTermination(120)
-    got = spark.sql("SELECT count(*) AS n, sum(CASE WHEN status = 0 THEN 1 ELSE 0 END) AS ok FROM pages_tf").collect()[0]
-    exp = eng.forward(eng.validate(batch)[0], "lat", "lon", None)
-    assert got.n == exp.count()
+    got = spark.sql(
+        "SELECT count(*) AS n, "
+        "sum(CASE WHEN status = 0 THEN 1 ELSE 0 END) AS ok, "
+        "sum(CASE WHEN status <> 0 THEN 1 ELSE 0 END) AS bad "
+        "FROM pages_tf").collect()[0]
+    exp = eng.forward(batch, "lat", "lon", None)
+    assert got.n == exp.count() == batch.count()
     assert got.ok == exp.filter(F.col("status") == 0).count()
+    assert got.bad >= 2  # the injected dead-letter rows are visible
 
 
 def test_streaming_transform_tile_counts(spark, semidyna_grid, tmp_path):
@@ -99,19 +108,21 @@ def test_streaming_transform_tile_counts(spark, semidyna_grid, tmp_path):
     )
     q.awaitTermination(120)
 
-    # batch twin, same operators without the stream wrapper
+    # batch twin, same operators without the stream wrapper — failed
+    # rows aggregate under meshcode -1 with n_failed, not dropped
     b = batch.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
-    valid, _ = eng.validate(b)
-    tiled = eng.assign_tiles(eng.forward(valid, "lat", "lon", None),
+    tiled = eng.assign_tiles(eng.forward(b, "lat", "lon", None),
                              lat="out_lat", lon="out_lon")
     exp = (
-        tiled.filter(F.col("status") == 0)
-        .groupBy(F.window("warc_ts", "1 hour"), "meshcode")
-        .agg(F.count("*").alias("n_pages"))
+        tiled.groupBy(F.window("warc_ts", "1 hour"), "meshcode")
+        .agg(F.count("*").alias("n_pages"),
+             F.sum(F.when(F.col("status") != 0, 1).otherwise(0))
+             .cast("long").alias("n_failed"))
     )
-    got = {(r.window.start, r.meshcode): r.n_pages
+    got = {(r.window.start, r.meshcode): (r.n_pages, r.n_failed)
            for r in spark.table("tile_counts").collect()}
-    want = {(r.window.start, r.meshcode): r.n_pages for r in exp.collect()}
+    want = {(r.window.start, r.meshcode): (r.n_pages, r.n_failed)
+            for r in exp.collect()}
     assert got == want and len(want) > 0
 
 
