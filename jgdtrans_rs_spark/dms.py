@@ -56,9 +56,15 @@ def parse_dms_str(s: str):
     frac_part = frac_part.replace("_", "")
     if int_part == "" and frac_part == "":
         return None
-    if int_part and not int_part.isdigit():
+    # ASCII digits ONLY (the reference parses with u64::from_str /
+    # the ASCII fraction grammar): str.isdigit() alone also accepts
+    # Unicode decimals ('١٢٣') and numerals like '²' that int()/float()
+    # then reject — the former would parse where the reference errors,
+    # the latter would raise OUT of the UDF and kill the task
+    _ascii_digits = "0123456789"
+    if int_part and not all(c in _ascii_digits for c in int_part):
         return None
-    if frac_part and not frac_part.isdigit():
+    if frac_part and not all(c in _ascii_digits for c in frac_part):
         return None
     acc = int(int_part) if int_part else 0
     degree, rest = acc // 10_000, acc % 10_000

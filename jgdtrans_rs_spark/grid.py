@@ -229,6 +229,31 @@ class MeshGrid:
         ]
 
 
+_ASCII_DIGITS = frozenset("0123456789")
+
+
+def _u32_cast(raw: str) -> int:
+    """Rust ``u32::from_str`` parity: optional leading '+', ASCII
+    digits only, overflow errors.  Python's bare int() is looser — it
+    accepts '_' separators ('1_2' -> 12), Unicode decimal digits, and
+    negatives, all of which the reference rejects as ParseInt."""
+    s = raw[1:] if raw.startswith("+") else raw
+    if not s or not all(c in _ASCII_DIGITS for c in s):
+        raise ValueError(raw)
+    v = int(s)
+    if v > 4294967295:
+        raise ValueError(raw)
+    return v
+
+
+def _f64_cast(raw: str) -> float:
+    """Rust ``f64::from_str`` parity: no '_' separators, ASCII only
+    (Python float() accepts both)."""
+    if "_" in raw or not raw.isascii():
+        raise ValueError(raw)
+    return float(raw)
+
+
 def _parse_field(line: str, rng, lineno: int, column: str, caster):
     start, end = rng
     if end > len(line):
@@ -237,7 +262,7 @@ def _parse_field(line: str, rng, lineno: int, column: str, caster):
     try:
         return caster(raw)
     except ValueError:
-        kind = "ParseInt" if caster is int else "ParseFloat"
+        kind = "ParseInt" if caster is _u32_cast else "ParseFloat"
         raise ParseParError(kind, lineno, start, end, column) from None
 
 
@@ -265,10 +290,10 @@ def parse_par(text: str, format: str, description: str | None = None) -> MeshGri
     parameters: dict[int, tuple] = {}
     for off, line in enumerate(lines[header:]):
         lineno = header + off + 1
-        code = _parse_field(line, code_rng, lineno, "Meshcode", int)
-        lat = _parse_field(line, lat_rng, lineno, "Latitude", float) if lat_rng else 0.0
-        lon = _parse_field(line, lon_rng, lineno, "Longitude", float) if lon_rng else 0.0
-        alt = _parse_field(line, alt_rng, lineno, "Altitude", float) if alt_rng else 0.0
+        code = _parse_field(line, code_rng, lineno, "Meshcode", _u32_cast)
+        lat = _parse_field(line, lat_rng, lineno, "Latitude", _f64_cast) if lat_rng else 0.0
+        lon = _parse_field(line, lon_rng, lineno, "Longitude", _f64_cast) if lon_rng else 0.0
+        alt = _parse_field(line, alt_rng, lineno, "Altitude", _f64_cast) if alt_rng else 0.0
         parameters[code] = (lat, lon, alt)
 
     return MeshGrid.from_dict(parameters, format=format, description=description)

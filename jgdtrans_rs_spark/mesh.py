@@ -73,42 +73,45 @@ def lat_mesh_value(lat: np.ndarray) -> np.ndarray:
     return np.where(odd, np.nextafter(value, np.inf), value)
 
 
+_U32 = 1 << 32
+
+
+def _floor_as_u32(x: np.ndarray) -> np.ndarray:
+    """Rust's saturating ``f64 as u32`` of floor(x): NaN -> 0,
+    negatives -> 0, above u32::MAX -> u32::MAX (int64 result)."""
+    f = np.floor(x)
+    f = np.where(np.isnan(f), 0.0, f)
+    return np.clip(f, 0.0, 4294967295.0).astype(np.int64)
+
+
 def value_to_digits(value: np.ndarray, unit: int):
-    """``MeshCoord::from_degree`` (coord.rs:203-229), vectorized.
+    """``MeshCoord::from_degree`` (coord.rs:203-229) /
+    ``MeshCode::from_point`` (code.rs:16-57), vectorized.
 
     ``value`` must already be the mesh-value (lat: 3*lat/2 bumped,
     lon: the longitude itself).  Returns int64 digit arrays
     (first, second, third).  Caller is responsible for bounds.
-    """
+
+    Out-of-domain values reproduce the reference's UNCHECKED cast
+    semantics exactly (a diverged Newton iterate can sit anywhere, and
+    its digit-wrapped ParameterNotFound meshcode is part of the error
+    contract): Rust ``f64 as u32`` saturates (negative / NaN -> 0,
+    huge -> u32::MAX), the second/third arithmetic wraps in u32, and
+    the final ``as u8`` narrowing truncates mod 256 — all mirrored
+    below.  In-domain values (any checked mode) never touch the
+    saturation or wrap branches, so checked digits are unchanged."""
     value = _as_f64(value)
-    # floor can produce huge ints for garbage input; clip to keep the
-    # int64 cast defined (BOUNDS_UNCHECKED feeds arbitrary iterates in
-    # here — a diverged Newton step can sit at 1e300).  The clip is
-    # unreachable for any value either checked mode accepts; digits of
-    # clipped lanes are unspecified, matching the reference's
-    # 'behavior is not specified' contract for the unchecked path
-    # (trans.rs:683-687).
-    safe = np.where(np.isfinite(value), value, 0.0)
-    safe = np.clip(safe, -1.0e15, 1.0e15)
-    integer = np.floor(safe).astype(np.int64)
+    integer = _floor_as_u32(value)
     first = integer % 100
-    second = np.floor(8.0 * safe).astype(np.int64) - 8 * integer
-    third = np.floor(80.0 * safe).astype(np.int64) - 80 * integer - 10 * second
+    second = (_floor_as_u32(8.0 * value) - 8 * integer) % _U32
+    third = (_floor_as_u32(80.0 * value) - 80 * integer - 10 * second) % _U32
     if unit == UNIT_FIVE:
+        # unit-five collapse happens on the u32 third (code.rs:48-53)
         third = np.where(third < 5, 0, 5)
+    else:
+        third = third % 256  # `third as u8`
+    second = second % 256  # `second as u8`
     return first, second, third
-
-
-def lat_valid(lat: np.ndarray) -> np.ndarray:
-    """try_from_latitude bounds: mesh value in [0, 100] (coord.rs:278-280)."""
-    v = lat_mesh_value(lat)
-    return np.isfinite(v) & (v >= 0.0) & (v <= 100.0)
-
-
-def lon_valid(lon: np.ndarray) -> np.ndarray:
-    """try_from_longitude bounds: lon in [100, 180] (coord.rs:313-316)."""
-    lon = _as_f64(lon)
-    return np.isfinite(lon) & (lon >= 100.0) & (lon <= 180.0)
 
 
 def point_bounds_mask(lat: np.ndarray, lon: np.ndarray, lat_digits, lon_digits,
@@ -305,7 +308,7 @@ def normalize_longitude(t: np.ndarray) -> np.ndarray:
 # Secondary tile scheme: S2-style quadtree cell id (engine addition; the
 # reference has no equivalent — required by the north rule's H3/S2
 # re-encode).  Pure integer bit math so it is also expressible as a SQL
-# column expression (see plans/oracle.py::quadkey_sql).
+# column expression (SQL twin: the quadkey terms inside plans/oracle.py::tile_sql).
 # ---------------------------------------------------------------------------
 
 def quadkey(lat: np.ndarray, lon: np.ndarray, level: int = 15) -> np.ndarray:

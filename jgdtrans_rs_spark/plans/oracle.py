@@ -10,6 +10,16 @@ output succeeds exactly:
   float bit view in SQL) — it only matters for inputs sitting within
   one ulp of a node boundary, which the deterministic synthetic inputs
   never do.
+* Newton DIVERGED-lane error attribution: the kernel's verify step
+  runs the reference's UNCHECKED MeshCode path (trans.rs:658 — an
+  iterate that left the domain fails as ParameterNotFound with a
+  digit-wrapped meshcode), while backward_newton_sql's per-iteration
+  corr uses the strict digits/validity, reporting such a lane as
+  OutOfBounds with no code.  Reachable ONLY when Newton diverges
+  (never on real corrections — they are ~1e-5 deg; the kernel is the
+  production/reference-parity path, and the documented divergence is
+  pytest-pinned on a crafted pathological grid,
+  test_newton_verify_unchecked_parity).
 * node degrees: the pinned two-step rounding ``t*(1/80) + (s*0.125 + f)``
   (coord.rs:322-326).
 * bilinear: ``sw*(mx*my) + (se*(x*my) + (nw*(mx*y) + ne*x*y))``
@@ -72,7 +82,15 @@ def grid_values(rows: list[tuple]) -> str:
 
 def digits_select(lat: str = "lat", lon: str = "lon", unit: int = 5) -> str:
     """SELECT-list fragment computing digit columns + validity for the
-    south-west node of the containing cell (code.rs:16-57)."""
+    south-west node of the containing cell (code.rs:16-57).
+
+    Digit math runs over finite-guarded twins (latv_f / lonv_f: NaN
+    and Inf become 0.0, finite magnitude clamped to 1e15) so one
+    non-finite coordinate cannot abort the whole oracle statement —
+    DuckDB hard-errors on CAST(NaN AS BIGINT) while Spark yields 0.
+    Validity (mesh_valid) still tests the RAW values, so guarded lanes
+    are always invalid and their digits never surface (digits of
+    invalid lanes are unspecified, as in the numpy kernels)."""
     third_lat = "(flat3r)" if unit == 1 else "(CASE WHEN flat3r < 5 THEN 0 ELSE 5 END)"
     third_lon = "(flon3r)" if unit == 1 else "(CASE WHEN flon3r < 5 THEN 0 ELSE 5 END)"
     return f"""
@@ -83,20 +101,29 @@ def digits_select(lat: str = "lat", lon: str = "lon", unit: int = 5) -> str:
       FROM (
         SELECT *,
                (ilat % 100) AS lat1,
-               (CAST(floor(8.0e0 * latv) AS BIGINT) - 8 * ilat) AS lat2,
-               (CAST(floor(80.0e0 * latv) AS BIGINT) - 80 * ilat - 10 * (CAST(floor(8.0e0 * latv) AS BIGINT) - 8 * ilat)) AS flat3r,
+               (CAST(floor(8.0e0 * latv_f) AS BIGINT) - 8 * ilat) AS lat2,
+               (CAST(floor(80.0e0 * latv_f) AS BIGINT) - 80 * ilat - 10 * (CAST(floor(8.0e0 * latv_f) AS BIGINT) - 8 * ilat)) AS flat3r,
                (ilon % 100) AS lon1,
-               (CAST(floor(8.0e0 * lonv) AS BIGINT) - 8 * ilon) AS lon2,
-               (CAST(floor(80.0e0 * lonv) AS BIGINT) - 80 * ilon - 10 * (CAST(floor(8.0e0 * lonv) AS BIGINT) - 8 * ilon)) AS flon3r
+               (CAST(floor(8.0e0 * lonv_f) AS BIGINT) - 8 * ilon) AS lon2,
+               (CAST(floor(80.0e0 * lonv_f) AS BIGINT) - 80 * ilon - 10 * (CAST(floor(8.0e0 * lonv_f) AS BIGINT) - 8 * ilon)) AS flon3r
         FROM (
           SELECT *,
-                 CAST(floor(latv) AS BIGINT) AS ilat,
-                 CAST(floor(lonv) AS BIGINT) AS ilon
+                 CAST(floor(latv_f) AS BIGINT) AS ilat,
+                 CAST(floor(lonv_f) AS BIGINT) AS ilon
           FROM (
             SELECT *,
-                   3.0e0 * {lat} / 2.0e0 AS latv,
-                   {lon} AS lonv
-            FROM __IN__
+                   CASE WHEN latv - latv = 0.0e0
+                        THEN LEAST(GREATEST(latv, -1.0e15), 1.0e15)
+                        ELSE 0.0e0 END AS latv_f,
+                   CASE WHEN lonv - lonv = 0.0e0
+                        THEN LEAST(GREATEST(lonv, -1.0e15), 1.0e15)
+                        ELSE 0.0e0 END AS lonv_f
+            FROM (
+              SELECT *,
+                     3.0e0 * {lat} / 2.0e0 AS latv,
+                     {lon} AS lonv
+              FROM __IN__
+            ) _v0
           ) _v
         ) _i
       ) _d
@@ -170,6 +197,63 @@ def bilinear_expr(sw: str, se: str, nw: str, ne: str, y: str = "pos_y", x: str =
         f"({se} * ({x} * (1.0e0 - {y})) + "
         f"({nw} * ((1.0e0 - {x}) * {y}) + {ne} * {x} * {y})))"
     )
+
+
+def norm_lat_expr(e: str, s: str | None = None) -> str:
+    """``normalize_latitude`` (point.rs:9-19) as a dual-dialect SQL
+    expression — ``%`` on doubles is fmod (sign of dividend) in BOTH
+    Spark SQL and DuckDB.  Every Point+Correction add in the SQL twins
+    runs through this (the kernels' _add_normalized), so outputs match
+    bit-for-bit at the lat/lon wrap edges too; in-range values take
+    the identity branch.  The sign CASE vs the reference's copysign
+    differs only at s == -0.0, which cannot reach the wrapping
+    branches (they require |s| > 90).
+
+    PERF: pass ``e`` (and ideally ``s`` = e % 360) as plain COLUMN
+    references precomputed in an inner projection, not compound
+    expressions — the CASE references them ~8x, and inlining a large
+    expression that many times pushed the whole stage past Spark's
+    codegen limits (plan fell back to interpreted: measured 0.35 s ->
+    2.2 s at sf0.1 before the _add_normalized_select staging)."""
+    s = s or f"({e} % 360.0e0)"
+    return f"""
+      CASE WHEN isnan({e}) OR ({e} >= -90.0e0 AND {e} <= 90.0e0) THEN {e}
+           WHEN NOT ({s} >= -270.0e0 AND {s} <= 270.0e0)
+             THEN {s} - (CASE WHEN {s} >= 0.0e0 THEN 360.0e0 ELSE -360.0e0 END)
+           WHEN NOT ({s} >= -90.0e0 AND {s} <= 90.0e0)
+             THEN (CASE WHEN {s} >= 0.0e0 THEN 180.0e0 ELSE -180.0e0 END) - {s}
+           ELSE {s} END"""
+
+
+def norm_lon_expr(e: str, s: str | None = None) -> str:
+    """``normalize_longitude`` (point.rs:23-32), dual-dialect (see
+    norm_lat_expr for the column-reference performance contract)."""
+    s = s or f"({e} % 360.0e0)"
+    return f"""
+      CASE WHEN isnan({e}) OR ({e} >= -180.0e0 AND {e} <= 180.0e0) THEN {e}
+           WHEN NOT ({s} >= -180.0e0 AND {s} < 180.0e0)
+             THEN {s} - (CASE WHEN {s} >= 0.0e0 THEN 360.0e0 ELSE -360.0e0 END)
+           ELSE {s} END"""
+
+
+def _add_normalized_select(inner: str, lat_add: str, lon_add: str,
+                           keep: str, out_lat: str, out_lon: str,
+                           guard: str = "status = 0") -> str:
+    """``Point + Correction`` with wrapping normalize (the kernels'
+    _add_normalized) as a two-level SELECT: the adds and their moduli
+    are computed ONCE as inner columns, the outer normalize CASEs
+    reference only those attributes (codegen stays alive — see
+    norm_lat_expr).  ``keep`` = passthrough output columns."""
+    return f"""
+      SELECT {keep},
+             CASE WHEN {guard} THEN {norm_lat_expr('_nla', '_nsla')} END AS {out_lat},
+             CASE WHEN {guard} THEN {norm_lon_expr('_nlo', '_nslo')} END AS {out_lon}
+      FROM (
+        SELECT *, ({lat_add}) AS _nla, ({lat_add}) % 360.0e0 AS _nsla,
+               ({lon_add}) AS _nlo, ({lon_add}) % 360.0e0 AS _nslo
+        FROM {inner}
+      ) _nrm
+    """
 
 
 def _pipe(*stages: str) -> str:
@@ -248,14 +332,11 @@ def forward_sql(input_rel: str, grid_rel: str, unit: int, key: str = "pkey") -> 
     err_corner); coordinate outputs NULL unless status = 0.
     """
     c = corr_sql(input_rel, grid_rel, unit)
-    return f"""
-      SELECT {key},
-             CASE WHEN status = 0 THEN lat + dlat_deg END AS out_lat,
-             CASE WHEN status = 0 THEN lon + dlon_deg END AS out_lon,
-             CASE WHEN status = 0 THEN alt + dalt_m END AS out_alt,
-             status, err_meshcode, err_corner
-      FROM ({c}) _fwd
-    """
+    keep = (f"{key}, CASE WHEN status = 0 THEN alt + dalt_m END AS out_alt, "
+            "status, err_meshcode, err_corner")
+    return _add_normalized_select(
+        f"({c}) _fwd", "lat + dlat_deg", "lon + dlon_deg",
+        keep=keep, out_lat="out_lat", out_lon="out_lon")
 
 
 def forward_corr_only_sql(input_rel: str, grid_rel: str, unit: int, key: str = "pkey") -> str:
@@ -272,29 +353,28 @@ def backward_compat_sql(input_rel: str, grid_rel: str, unit: int, key: str = "pk
 
     ``lat - (1.0/300.0)`` is bit-identical to the kernel's
     ``lat + (-DELTA)`` (negation and subtraction are exact)."""
-    temporal = (
-        f"SELECT pkey, lat AS q_lat, lon AS q_lon, alt AS q_alt, "
-        f"lat - (1.0e0 / 300.0e0) AS lat, lon + (1.0e0 / 300.0e0) AS lon "
-        f"FROM {input_rel}"
-    )
+    temporal = _add_normalized_select(
+        f"(SELECT pkey, lat AS q_lat, lon AS q_lon, alt AS q_alt "
+        f"FROM {input_rel}) _t0",
+        "q_lat - (1.0e0 / 300.0e0)", "q_lon + (1.0e0 / 300.0e0)",
+        keep="pkey, q_lat, q_lon, q_alt",
+        out_lat="lat", out_lon="lon", guard="TRUE")
     c1 = corr_sql(f"({temporal}) _t1", grid_rel, unit)
-    ref = f"""
-      SELECT pkey, q_lat, q_lon, q_alt,
-             q_lat - dlat_deg AS lat, q_lon - dlon_deg AS lon,
-             status AS status1, err_meshcode AS err_meshcode1, err_corner AS err_corner1
-      FROM ({c1}) _r0
-    """
+    ref = _add_normalized_select(
+        f"({c1}) _r0", "q_lat - dlat_deg", "q_lon - dlon_deg",
+        keep=("pkey, q_lat, q_lon, q_alt, status AS status1, "
+              "err_meshcode AS err_meshcode1, err_corner AS err_corner1"),
+        out_lat="lat", out_lon="lon", guard="TRUE")
     c2 = corr_sql(f"({ref}) _r1", grid_rel, unit)
-    return f"""
-      SELECT pkey,
-             CASE WHEN status1 = 0 AND status = 0 THEN q_lat - dlat_deg END AS out_lat,
-             CASE WHEN status1 = 0 AND status = 0 THEN q_lon - dlon_deg END AS out_lon,
-             CASE WHEN status1 = 0 AND status = 0 THEN q_alt - dalt_m END AS out_alt,
-             CAST(CASE WHEN status1 <> 0 THEN status1 ELSE status END AS INTEGER) AS status,
-             CAST(CASE WHEN status1 <> 0 THEN err_meshcode1 ELSE err_meshcode END AS BIGINT) AS err_meshcode,
-             CAST(CASE WHEN status1 <> 0 THEN err_corner1 ELSE err_corner END AS INTEGER) AS err_corner
-      FROM ({c2}) _bc
-    """
+    keep = ("pkey, "
+            "CASE WHEN status1 = 0 AND status = 0 THEN q_alt - dalt_m END AS out_alt, "
+            "CAST(CASE WHEN status1 <> 0 THEN status1 ELSE status END AS INTEGER) AS status, "
+            "CAST(CASE WHEN status1 <> 0 THEN err_meshcode1 ELSE err_meshcode END AS BIGINT) AS err_meshcode, "
+            "CAST(CASE WHEN status1 <> 0 THEN err_corner1 ELSE err_corner END AS INTEGER) AS err_corner")
+    return _add_normalized_select(
+        f"({c2}) _bc", "q_lat - dlat_deg", "q_lon - dlon_deg",
+        keep=keep, out_lat="out_lat", out_lon="out_lon",
+        guard="status1 = 0 AND status = 0")
 
 
 STATE_COLS = ("q_lat, q_lon, q_alt, done, st, e_code, e_corner, "
@@ -331,14 +411,11 @@ def backward_newton_stages(input_rel: str, grid_rel: str, unit: int,
     stages = [_newton_state0(input_rel, key), _newton_prep0(grid_rel, unit, key)]
     for i in range(iterations):
         stages.append(_newton_iteration(grid_rel, unit, key, i))
-    stages.append(f"""
-      SELECT {key},
-             CASE WHEN st = 0 THEN q_lat + o_dlat END AS out_lat,
-             CASE WHEN st = 0 THEN q_lon + o_dlon END AS out_lon,
-             CASE WHEN st = 0 THEN q_alt + o_dalt END AS out_alt,
-             st AS status, e_code AS err_meshcode, e_corner AS err_corner
-      FROM __STATE__
-    """)
+    stages.append(_add_normalized_select(
+        "__STATE__", "q_lat + o_dlat", "q_lon + o_dlon",
+        keep=(f"{key}, CASE WHEN st = 0 THEN q_alt + o_dalt END AS out_alt, "
+              "st AS status, e_code AS err_meshcode, e_corner AS err_corner"),
+        out_lat="out_lat", out_lon="out_lon", guard="st = 0"))
     return stages
 
 
@@ -436,12 +513,23 @@ def _newton_iteration(grid_rel: str, unit: int, key: str, i: int) -> str:
 # ---------------------------------------------------------------------------
 
 def tile_sql(input_rel: str, unit: int, level: int = 15, key: str = "pkey") -> str:
-    """meshcode (floor path) + quadkey tile assignment."""
+    """meshcode (floor path) + quadkey tile assignment.
+
+    Non-finite coordinates substitute the domain corner (-90 / -180)
+    before the quadkey floor-cast — the exact rule mesh.quadkey uses —
+    so NaN/Inf lanes neither abort DuckDB (CAST(NaN AS BIGINT) errors
+    there) nor diverge between the engines; huge finite values clamp
+    in double space (numpy's int64 overflow there is unspecified
+    anyway, and such lanes are invalid in every bounds mode)."""
     cells = digits_select("lat", "lon", unit).replace("__IN__", input_rel)
     code = _code("lat1", "lat2", "lat3", "lon1", "lon2", "lon3")
     n = 1 << level
-    ix = f"LEAST(GREATEST(CAST(floor((lon + 180.0e0) / 360.0e0 * {n}.0e0) AS BIGINT), 0), {n - 1})"
-    iy = f"LEAST(GREATEST(CAST(floor((lat + 90.0e0) / 180.0e0 * {n}.0e0) AS BIGINT), 0), {n - 1})"
+    lon_g = ("(CASE WHEN lon - lon = 0.0e0 "
+             "THEN LEAST(GREATEST(lon, -1.0e6), 1.0e6) ELSE -180.0e0 END)")
+    lat_g = ("(CASE WHEN lat - lat = 0.0e0 "
+             "THEN LEAST(GREATEST(lat, -1.0e6), 1.0e6) ELSE -90.0e0 END)")
+    ix = f"LEAST(GREATEST(CAST(floor(({lon_g} + 180.0e0) / 360.0e0 * {n}.0e0) AS BIGINT), 0), {n - 1})"
+    iy = f"LEAST(GREATEST(CAST(floor(({lat_g} + 90.0e0) / 180.0e0 * {n}.0e0) AS BIGINT), 0), {n - 1})"
     terms = []
     for b in range(level):
         terms.append(f"((CAST(floor(_ix / {1 << b}.0e0) AS BIGINT) % 2) * {1 << (2 * b)})")

@@ -114,3 +114,13 @@ def test_column_formatter_matches_rust_display(spark):
     assert n_compact >= len(vals) - 4
     # ...and must NOT answer where shortest-roundtrip needs > 6 digits
     assert got[vals.index(36.103774791666666)][0] is None
+
+
+def test_parse_rejects_non_ascii_digits():
+    """The reference grammar is ASCII-only: Unicode decimals must not
+    parse, and numeric-looking characters that int() rejects must not
+    escape as exceptions (they would kill the Spark task)."""
+    assert dms.parse_dms_str("²") is None          # superscript two
+    assert dms.parse_dms_str("4²") is None
+    assert dms.parse_dms_str("١٢٣") is None  # Arabic-Indic 123
+    assert dms.parse_dms_str("123") == (1, 0, 1, 23, 0.0)

@@ -261,3 +261,30 @@ def test_grid_builder_engine(spark):
                           np.array([2.34]),
                           eng.grid)[0][0]
     assert r["out_lat"] == want
+
+
+def test_par_numeric_parsing_rust_strictness():
+    """Python's int()/float() are looser than Rust's u32/f64 parse:
+    underscore separators, Unicode digits, and negative meshcodes must
+    raise positional ParseParError instead of silently building a
+    grid."""
+    import pytest
+
+    from jgdtrans_rs_spark.grid import ParseParError, parse_par
+
+    header = "\n" * 2  # TKY2JGD: 2 header lines
+    ok = "12345678   1.00000   2.00000\n"
+
+    def line(code="12345678", lat="   1.00000", lon="   2.00000"):
+        return header + f"{code}{lat}{lon}\n"
+
+    parse_par(header + ok, "TKY2JGD")  # sanity: well-formed parses
+    with pytest.raises(ParseParError) as e:
+        parse_par(line(code="1_234567"), "TKY2JGD")
+    assert e.value.kind == "ParseInt"
+    with pytest.raises(ParseParError) as e:
+        parse_par(line(code="-1234567"), "TKY2JGD")
+    assert e.value.kind == "ParseInt"
+    with pytest.raises(ParseParError) as e:
+        parse_par(line(lat="    1_0.50"), "TKY2JGD")
+    assert e.value.kind == "ParseFloat"

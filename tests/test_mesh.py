@@ -141,3 +141,25 @@ def test_quadkey_locality():
     assert qk[0] == qk[1]            # near points share a cell
     assert qk[0] != qk[2]
     assert (qk >= 0).all() and (qk < (1 << 30)).all()
+
+
+def test_value_to_digits_unchecked_saturating_cast_parity():
+    """Out-of-domain values follow Rust's `f64 as u32` saturating cast
+    (code.rs:28: negative / NaN -> 0, huge -> u32::MAX) — NOT Python
+    modulo: a diverged Newton iterate at a negative mesh value must
+    report the same digit-wrapped meshcode the reference does."""
+    import numpy as np
+
+    from jgdtrans_rs_spark import mesh
+
+    f, s, t = mesh.value_to_digits(np.array([-0.5, float("nan")]), mesh.UNIT_ONE)
+    # negative: integer saturates to 0 -> first 0 (old Python-mod gave 99)
+    assert f[0] == 0 and f[1] == 0
+    # second for -0.5: floor(8*-0.5) as u32 saturates to 0 - 0 = 0
+    assert s[0] == 0 and t[0] == 0
+    # huge: integer saturates at u32::MAX -> first = 4294967295 % 100
+    f2, _, _ = mesh.value_to_digits(np.array([1.0e300]), mesh.UNIT_ONE)
+    assert f2[0] == 4294967295 % 100
+    # in-domain digits unchanged by the cast emulation
+    f3, s3, t3 = mesh.value_to_digits(np.array([54.135]), mesh.UNIT_ONE)
+    assert (f3[0], s3[0]) == (54, 1)

@@ -372,3 +372,20 @@ def test_dedup_components_crafted_graph(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup_ops.dedup_components(pairs, nodes, max_iter=1)
+
+
+def test_oracle_sql_survives_non_finite_rows(spark, duck):
+    """One NaN/Inf coordinate must not abort a whole oracle statement:
+    DuckDB hard-errors on CAST(NaN AS BIGINT), so the digit math runs
+    over finite-guarded twins while validity still tests the raw
+    values — both engines mark the lane invalid and keep running."""
+    from jgdtrans_rs_spark.plans import oracle as osql
+
+    src = ("(SELECT 1 AS pkey, CAST('nan' AS DOUBLE) AS lat, 140.0e0 AS lon, 0.0e0 AS alt "
+           "UNION ALL SELECT 2, 36.09e0, CAST('inf' AS DOUBLE), 0.0e0 "
+           "UNION ALL SELECT 3, 36.09e0, 140.08e0, 0.0e0) _nf")
+    sql = osql.tile_sql(src, 5)
+    a = {r.pkey: r.meshcode for r in spark.sql(sql).collect()}
+    b = {r[0]: r[1] for r in duck.sql(sql).fetchall()}
+    assert a == b
+    assert a[1] == -1 and a[2] == -1 and a[3] != -1

@@ -92,3 +92,27 @@ def test_transform_pip_jvm_only_and_matches_arrow_chain(engines, pts):
     want = {(r.pkey, r.poly_id) for r in spatial.point_in_polygon(
         fwd, entry_mod.POLYGONS, lat="out_lat", lon="out_lon").collect()}
     assert got == want and len(got) > 0
+
+
+def test_forward_normalizes_output_across_lon_wrap(spark):
+    """Point + Correction is a WRAPPING add (point.rs:90-151): a cell
+    at the lon-180 edge with a +0.02 deg correction must come out at
+    -179.99..., not 180.01 — in the Arrow kernel AND the SQL twin,
+    bit-identically (the SQL twins run every output add through
+    oracle.norm_lat_expr/norm_lon_expr)."""
+    from jgdtrans_rs_spark.grid import MeshGrid
+
+    # unit-one cell whose east corners sit exactly on the (80,0,0)
+    # maximum node; dlon = +72 sec = +0.02 deg pushes points past 180
+    grid = MeshGrid.from_dict({
+        54791729: (0.0, 72.0, 0.0), 54801020: (0.0, 72.0, 0.0),
+        54791739: (0.0, 72.0, 0.0), 54801030: (0.0, 72.0, 0.0),
+    }, "TKY2JGD")
+    eng, sql_eng = Engine(spark, grid), SqlEngine(spark, grid)
+    df = spark.createDataFrame(
+        [(1, 36.1, 179.99, 0.0)], "pkey long, lat double, lon double, alt double")
+    k = eng.forward(df).collect()[0]
+    s = sql_eng.forward(df).collect()[0]
+    assert k.status == 0 and s.status == 0
+    assert k.out_lon < -179.9  # wrapped, not 180.01
+    assert s.out_lon == k.out_lon and s.out_lat == k.out_lat  # bit-exact
