@@ -49,10 +49,13 @@ def list_min(l: str, d: str) -> str:
 
 
 def list_sum_int(l: str, d: str) -> str:
-    """Order-independent integer sum of a BIGINT list."""
+    """Order-independent integer sum of a BIGINT list; 0 for an empty
+    list in BOTH dialects (DuckDB's bare list_sum([]) is NULL while
+    Spark's aggregate seed makes it 0 — the COALESCE keeps the parity
+    promise for callers without a size guard)."""
     if d == SPARK:
         return f"aggregate({l}, 0L, (acc, x) -> acc + x)"
-    return f"CAST(list_sum({l}) AS BIGINT)"
+    return f"CAST(COALESCE(list_sum({l}), 0) AS BIGINT)"
 
 
 def range_list(a: str, b_exclusive: str, d: str) -> str:
@@ -66,6 +69,12 @@ def range_list(a: str, b_exclusive: str, d: str) -> str:
 
 
 def distinct(l: str, d: str) -> str:
+    """Distinct elements — SET parity only, NOT order parity: DuckDB's
+    list_distinct reorders (and drops NULLs) while Spark's
+    array_distinct keeps first-occurrence order.  Callers must reduce
+    the result order-insensitively (size / min / explode+aggregate —
+    all current uses); never emit or index the distinct list
+    directly in a hash-compared output."""
     return f"array_distinct({l})" if d == SPARK else f"list_distinct({l})"
 
 

@@ -38,8 +38,11 @@ def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemiDynaEXE fixture cell, 10% param-miss area, 10% hot cell, 10%
     out-of-domain).
     """
-    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
-    pts = spark.sql(points_sql("orders"))
+    # module-private view name: a source constructor must not clobber
+    # a caller's session-level `orders` view as a side effect
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("_pages_orders_src")
+    pts = spark.sql(points_sql("_pages_orders_src"))
     w = [F.lit(x) for x in _WORDS]
     nw = len(_WORDS)
     # deterministic 8-token body: word[(k * p_j) % nw] for primes p_j
@@ -51,8 +54,12 @@ def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     body = F.concat_ws(" ", *toks)
     return pts.select(
+        # 12-digit pad: Spark lpad TRUNCATES strings longer than the
+        # pad width, so 8 digits would collide order keys beyond 1e8
+        # (reached near SF17) and break the unique-url invariant; 12
+        # covers every conceivable SF
         F.concat(F.lit("https://example.jp/doc/"),
-                 F.lpad(F.col("pkey").cast("string"), 8, "0")).alias("url"),
+                 F.lpad(F.col("pkey").cast("string"), 12, "0")).alias("url"),
         (F.to_timestamp(F.lit("2023-01-01 00:00:00"))
          + F.make_interval(secs=F.col("pkey").cast("double"))).alias("warc_ts"),
         F.encode(
@@ -94,6 +101,10 @@ def extract_geotags(pages: DataFrame) -> DataFrame:
         "warc_ts",
         "lang",
         F.regexp_extract(doc, r"<body>(.*)</body>", 1).alias("text"),
-        F.regexp_extract(doc, geo, 1).cast("double").alias("lat"),
-        F.regexp_extract(doc, geo, 2).cast("double").alias("lon"),
+        # try_cast, NOT cast: under Spark 4's default ANSI mode a page
+        # with no geo tag (regexp_extract -> '') would otherwise abort
+        # the whole job with CAST_INVALID_INPUT; the dead-letter
+        # contract wants NULL coordinates -> quarantine instead
+        F.regexp_extract(doc, geo, 1).try_cast("double").alias("lat"),
+        F.regexp_extract(doc, geo, 2).try_cast("double").alias("lon"),
     )

@@ -44,12 +44,12 @@ def read_par_df(spark: SparkSession, path: str, format: str,
     all_lines = spark.createDataFrame(rdd, "value string, lineno long")
     if strict:
         # a file shorter than the header block is a Header error
-        # (par.rs:360-366), not an empty grid.  Error payload matches
-        # the driver-side twin grid.parse_par exactly: end = length of
-        # the LAST line (ADVICE r02) — one extra bounded action, only
-        # on the error path.
-        n_lines = all_lines.count()
-        if n_lines < header:
+        # (par.rs:360-366), not an empty grid.  The happy-path check is
+        # a bounded limit(header) probe (NOT a full count() — that was
+        # an extra whole-file pass per read); the exact line count and
+        # last-line length are only computed on the error path.
+        if len(all_lines.limit(header).collect()) < header:
+            n_lines = all_lines.count()
             last = (
                 all_lines.orderBy(F.desc("lineno"))
                 .select(F.regexp_replace(F.col("value"), "\r$", "").alias("v"))
@@ -97,13 +97,22 @@ def read_par_df(spark: SparkSession, path: str, format: str,
         # try_cast happens to parse the truncated text -> include the
         # length condition in the bad-line predicate
         max_end = max(rng[1] for _, rng, _ in checks)
+        # Meshcode is a u32 in the reference: try_cast('long') happily
+        # parses '-5030118' or 10^10 where u32::from_str raises
+        # ParseInt, so range-check it alongside NULLness
+        def _field_bad(field):
+            bad = F.col(field).isNull()
+            if field == "meshcode":
+                bad = bad | (F.col(field) < 0) | (F.col(field) > 4294967295)
+            return bad
+
         bad_pred = F.col("_len") < max_end
         for _, _, field in checks:
-            bad_pred = bad_pred | F.col(field).isNull()
+            bad_pred = bad_pred | _field_bad(field)
         bad = (
             df.filter(bad_pred).orderBy("lineno")  # earliest line first
             .select("lineno", "_len",
-                    *[F.col(f).isNull().alias(f"_bad_{f}") for _, _, f in checks])
+                    *[_field_bad(f).alias(f"_bad_{f}") for _, _, f in checks])
             .limit(1).collect()
         )
         if bad:

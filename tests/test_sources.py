@@ -265,3 +265,40 @@ def test_par_reader_header_error(spark, tmp_path):
         parse_par("only one line\n", "TKY2JGD")
     for attr in ("kind", "lineno", "start", "end", "column"):
         assert getattr(ei.value, attr) == getattr(ei2.value, attr), attr
+
+
+def test_extract_geotags_missing_tag_dead_letters(spark):
+    """A page without a geo tag (or with a garbage coordinate) must
+    yield NULL lat/lon — under Spark 4's default ANSI mode a plain
+    cast('') would abort the whole job with CAST_INVALID_INPUT."""
+    from jgdtrans_rs_spark.sources.pages import extract_geotags
+
+    rows = [
+        (1, "https://x/1", "<html><head></head><body>no tag here</body></html>"),
+        (2, "https://x/2", '<html><head><meta name="geo.position" '
+                           'content="36.5;140.25"></head><body>ok</body></html>'),
+    ]
+    df = spark.createDataFrame(rows, "pkey long, url string, html_s string") \
+        .select("pkey", "url", F.lit("2023-01-01").cast("timestamp").alias("warc_ts"),
+                F.lit("en").alias("lang"), F.encode("html_s", "UTF-8").alias("html"))
+    got = {r.pkey: (r.lat, r.lon) for r in
+           extract_geotags(df).withColumn("pkey", F.col("url").substr(-1, 1).cast("long")).collect()}
+    assert got[1] == (None, None)
+    assert got[2] == (36.5, 140.25)
+
+
+def test_par_reader_strict_rejects_u32_range_violations(tmp_path, spark):
+    """try_cast('long') happily parses negative / over-u32 meshcodes;
+    the reference's u32::from_str raises ParseInt — strict mode must
+    match (driver twin grid.parse_par already does)."""
+    import pytest
+
+    from jgdtrans_rs_spark.grid import ParseParError
+    from jgdtrans_rs_spark.sources.par import read_par_df
+
+    bad = "\n\n-5030118   1.00000   2.00000\n"
+    p = tmp_path / "neg.par"
+    p.write_text(bad)
+    with pytest.raises(ParseParError) as e:
+        read_par_df(spark, str(p), "TKY2JGD").collect()
+    assert e.value.kind == "ParseInt" and e.value.column == "Meshcode"
