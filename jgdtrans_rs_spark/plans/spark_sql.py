@@ -118,11 +118,24 @@ class SqlEngine:
         Catalyst broadcasts it); containment is the same crossing-
         number edge-parity SQL the DuckDB oracle runs
         (oracle.point_in_polygon_sql — identical float64 op order, so
-        the output is engine-independent)."""
+        the output is engine-independent).
+
+        The (key, lat, lon) probe input is PERSISTED before the join:
+        the nested-loop probe evaluates its condition once per
+        (point, edge) pair, and through a purely logical view Catalyst
+        inlines the transform's output expressions (bilinear CASE +
+        wrapping normalize) into that condition — measured 3.2 s vs
+        1.2 s at 600k x 20 edges once the normalize landed.  The
+        cached projection is 3 columns; at corpus scale this is the
+        stage boundary you would materialize anyway (the transform
+        output IS the dataset being spatially joined)."""
         fwd = self.forward(df, key)
         name = f"{self.grid_view}_fwd"  # fixed name, see _input_rel
         fwd.createOrReplaceTempView(name)
-        ok = (f"(SELECT {key}, out_lat AS lat, out_lon AS lon "
-              f"FROM {name} WHERE status = 0) _ok")
+        ok = self.spark.sql(
+            f"SELECT {key}, out_lat AS lat, out_lon AS lon "
+            f"FROM {name} WHERE status = 0").persist()
+        ok_name = f"{self.grid_view}_fwd_ok"
+        ok.createOrReplaceTempView(ok_name)
         edges = oracle.polygon_edges_values(list(polygons))
-        return self.spark.sql(oracle.point_in_polygon_sql(ok, edges, key))
+        return self.spark.sql(oracle.point_in_polygon_sql(ok_name, edges, key))
