@@ -389,3 +389,33 @@ def test_oracle_sql_survives_non_finite_rows(spark, duck):
     b = {r[0]: r[1] for r in duck.sql(sql).fetchall()}
     assert a == b
     assert a[1] == -1 and a[2] == -1 and a[3] != -1
+
+
+def test_norm_exprs_match_numpy_both_engines(spark, duck):
+    """The new SQL normalization (oracle.norm_lat_expr/norm_lon_expr —
+    every Point+Correction add in the SQL twins) must match
+    mesh.normalize_latitude/longitude bit-for-bit in BOTH engines over
+    a wild-angle sweep including NaN and near-multiples of 360."""
+    import numpy as np
+
+    from jgdtrans_rs_spark import mesh
+    from jgdtrans_rs_spark.plans import oracle as osql
+
+    spark.read.parquet(f"{SF_SMALL}/orders.parquet").createOrReplaceTempView("orders")
+    vals = ("SELECT k AS pkey, "
+            "CASE WHEN k % 97 = 0 THEN CAST('nan' AS DOUBLE) "
+            "ELSE (k * 0.37e0) - 1000.1e0 END AS v "
+            "FROM (SELECT o_orderkey AS k FROM orders) _w")
+    sql = (f"SELECT pkey, v, {osql.norm_lat_expr('v')} AS nlat, "
+           f"{osql.norm_lon_expr('v')} AS nlon FROM ({vals}) _v")
+    a = spark.sql(sql).toPandas().sort_values("pkey").reset_index(drop=True)
+    b = duck.sql(sql).df().sort_values("pkey").reset_index(drop=True)
+    v = a["v"].to_numpy(float)
+    exp_lat = mesh.normalize_latitude(v)
+    exp_lon = mesh.normalize_longitude(v)
+    for frame, eng in ((a, "spark"), (b, "duck")):
+        for col, exp in (("nlat", exp_lat), ("nlon", exp_lon)):
+            got = frame[col].to_numpy(float)
+            nn = ~np.isnan(exp)
+            assert (np.isnan(got) == np.isnan(exp)).all(), (eng, col)
+            assert (got[nn] == exp[nn]).all(), (eng, col)
