@@ -52,7 +52,7 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 def signature_buckets(df: DataFrame, dim: int = 64, n_planes: int = 12,
                       n_tables: int = 1,
-                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                      vec_col: str = "embedding") -> DataFrame:
     """Add LSH (table, bucket) rows: per table, sign bits against that
     table's fixed hyperplanes packed into an int (one output row per
     input row per table — OR-amplification across tables).
@@ -140,7 +140,7 @@ def ann_lsh_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
     # boundary is explicit like embedding_near_dup's.  Cache contract
     # in _persist_stage.
     b = _persist_stage(
-        signature_buckets(df, dim, n_planes, n_tables, vec_col, id_col),
+        signature_buckets(df, dim, n_planes, n_tables, vec_col),
         "_lsh_sigs")
     q = b.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
@@ -181,7 +181,10 @@ def train_ivf_centroids(df: DataFrame, n_lists: int = 8, dim: int = 64,
         .select(id_col, vec_col).collect()
     )
     sample.sort(key=lambda r: r[0])
-    mat = np.array([np.asarray(r[1], dtype=np.float64) for r in sample])
+    # degenerate rows (NULL / wrong length) are excluded from training
+    # rather than crashing the ragged np.array build
+    mat = np.array([np.asarray(r[1], dtype=np.float64) for r in sample
+                    if r[1] is not None and len(r[1]) == dim])
     if len(mat) < n_lists:
         raise ValueError(
             f"IVF training sample has {len(mat)} rows < n_lists={n_lists}; "
@@ -211,22 +214,37 @@ def ann_ivf_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
     """
     centroids = train_ivf_centroids(df, n_lists, dim, vec_col=vec_col, id_col=id_col)
 
+    def _mat_ok(vecs: pd.Series):
+        """Dense matrix + validity mask — NULL / wrong-length rows get
+        a zero vector and ok=False (a single ragged row would turn
+        np.array into an object array and crash the whole batch; same
+        sentinel policy as signature_buckets)."""
+        ok = np.array([v is not None and len(v) == dim for v in vecs], dtype=bool)
+        mat = np.array(
+            [np.asarray(v, dtype=np.float64) if good else np.zeros(dim)
+             for v, good in zip(vecs, ok)])
+        return mat, ok
+
     @F.pandas_udf(IntegerType())
     def assign_list(vecs: pd.Series) -> pd.Series:
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        if mat.size == 0:
+        if len(vecs) == 0:
             return pd.Series(np.array([], dtype=np.int32))
+        mat, ok = _mat_ok(vecs)
         d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+        out = d2.argmin(axis=1).astype(np.int32)
+        out[~ok] = -1  # degenerate rows land in a list no probe visits
+        return pd.Series(out)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_lists(vecs: pd.Series) -> pd.Series:
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        if mat.size == 0:
+        if len(vecs) == 0:
             return pd.Series([])
+        mat, ok = _mat_ok(vecs)
         d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         order = np.argsort(d2, axis=1)[:, :nprobe].astype(np.int32)
-        return pd.Series(list(order))
+        empty = np.empty(0, dtype=np.int32)
+        return pd.Series([row if good else empty
+                          for row, good in zip(order, ok)])
 
     corpus = df.withColumn("list_id", assign_list(F.col(vec_col)))
     queries = (
@@ -286,8 +304,13 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
     # (a self-join re-executes shared lineage), so caching saves two
     # recomputes.  Cache contract in _persist_stage (unique temp view
     # = the reclaim handle).
+    # degenerate rows (sentinel bucket -1) are dropped up front: they
+    # can never clear the cosine threshold, their (t, -1) buckets
+    # would self-join quadratically on a dirty corpus, and -1 makes
+    # the combined key below collide with table t-1's top bucket
     b = _persist_stage(
-        signature_buckets(df, dim, n_planes, n_tables, vec_col, id_col),
+        signature_buckets(df, dim, n_planes, n_tables, vec_col)
+        .filter(F.col("bucket") >= 0),
         "_nd_sigs")
     # combined (table, bucket) key fits an int64: bucket < 2^n_planes
     bkey = (F.col("table").cast("long") * (1 << n_planes) + F.col("bucket"))

@@ -216,6 +216,13 @@ def minhash_sigs_from(d: str, sints_rel: str) -> str:
 def minhash_pairs_from(d: str, sigs_rel: str, tau_pct: int = 60) -> str:
     """Stage 3: band-bucket candidates + exact-Jaccard verify from a
     materialized signatures relation (columns doc_id, sints, h0..h11)."""
+    return f"WITH {_minhash_pairs_ctes(d, sigs_rel, tau_pct)}"
+
+
+def _minhash_pairs_ctes(d: str, sigs_rel: str, tau_pct: int) -> str:
+    """WITH-body of the band join + verify — shared by the staged Spark
+    path (minhash_pairs_from) and the single-statement oracle
+    (minhash_pairs_sql), so the two dialects cannot drift."""
     nb = len(T.MINHASH_AB) // T.BAND_SIZE
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
@@ -231,7 +238,7 @@ def minhash_pairs_from(d: str, sigs_rel: str, tau_pct: int = 60) -> str:
     else:
         shingle_rows = f"SELECT doc_id, unnest(sints) AS s FROM {sigs_rel}"
     return f"""
-      WITH bands AS ({band_rows}),
+      bands AS ({band_rows}),
       cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y
@@ -269,60 +276,18 @@ def minhash_pairs_sql(d: str, docs: str = "documents", tau_pct: int = 60) -> str
     (operators/dedup.minhash_lsh_pairs) runs the staged builders with
     persisted stage boundaries instead — Catalyst's CollapseProject
     would otherwise inline the shingle pipeline into every minhash
-    column and every CTE reference.
+    column and every CTE reference.  COMPOSED from the same staged
+    builders (sints / sigs_from / the band-join CTE body), like every
+    sibling — a duplicated spelling here could silently drift from the
+    Spark path.  LSH bands are exploded to rows so the self-join is a
+    pure equi-join (an OR-of-bands predicate would degenerate to a
+    nested-loop join at scale).
     """
-    corpus = _dup_corpus(docs, d)
-    tids = T.tok_ids("text", d)
-    sints = f"{T.distinct(T.shingle_ints('_tids', d), d)}"
-    mh = T.minhash_exprs("sints", d)
-    sig_cols = ", ".join(f"{e} AS h{i}" for i, e in enumerate(mh))
-    nb = len(mh) // T.BAND_SIZE
-    # LSH bands exploded to rows so the self-join is a pure equi-join
-    # (hash/sort-merge joinable on the band key — an OR-of-bands
-    # predicate would degenerate to a nested-loop join at scale).
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        + ", ".join(f"h{b * T.BAND_SIZE + j} AS k{j}" for j in range(T.BAND_SIZE))
-        + " FROM sigs WHERE h0 <> -1"
-        for b in range(nb)
+    return (
+        f"WITH _mh_sints AS ({minhash_sints_sql(d, docs)}),\n"
+        f"_mh_sigs AS ({minhash_sigs_from(d, '_mh_sints')}),\n"
+        f"{_minhash_pairs_ctes(d, '_mh_sigs', tau_pct)}"
     )
-    band_key_eq = " AND ".join(f"x.k{j} = y.k{j}" for j in range(T.BAND_SIZE))
-    if d == SPARK:
-        shingle_rows = (
-            "SELECT doc_id, s FROM sigs LATERAL VIEW explode(sints) _e AS s"
-        )
-    else:
-        shingle_rows = "SELECT doc_id, unnest(sints) AS s FROM sigs"
-    return f"""
-      WITH corpus AS ({corpus}),
-      sigs AS (
-        SELECT doc_id, sints, {sig_cols}
-        FROM (SELECT doc_id, {sints} AS sints
-              FROM (SELECT doc_id, {tids} AS _tids FROM corpus) _t) _s
-      ),
-      bands AS ({band_rows}),
-      cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y
-          ON x.band = y.band AND {band_key_eq} AND x.doc_id < y.doc_id
-      ),
-      sizes AS (SELECT doc_id, {T.size('sints', d)} AS n FROM sigs),
-      sh AS ({shingle_rows}),
-      inter AS (
-        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter_n
-        FROM cand c
-        JOIN sh x ON x.doc_id = c.doc_a
-        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
-        GROUP BY c.doc_a, c.doc_b
-      )
-      SELECT i.doc_a, i.doc_b,
-             CAST(i.inter_n AS BIGINT) AS inter_n,
-             CAST(sa.n + sb.n - i.inter_n AS BIGINT) AS union_n
-      FROM inter i
-      JOIN sizes sa ON sa.doc_id = i.doc_a
-      JOIN sizes sb ON sb.doc_id = i.doc_b
-      WHERE i.inter_n * 100 >= (sa.n + sb.n - i.inter_n) * {tau_pct}
-    """
 
 
 def simhash_sql(d: str, docs: str = "documents") -> str:
@@ -399,10 +364,13 @@ def events_window_sql(d: str, events: str = "events") -> str:
 
 
 def ann_topk_sql(d: str, embeddings: str = "embeddings",
-                 n_queries: int = 10, k: int = 5) -> str:
+                 n_queries: int = 10, k: int = 5, dim: int = 64) -> str:
     """Brute-force cosine top-k neighbors for the first ``n_queries``
     vectors (rank output only — float sums differ across engines by
-    ulps, ranks don't).  Ties broken by neighbor id."""
+    ulps, ranks don't).  Ties broken by neighbor id.  ``dim`` must
+    match the embedding length for the DuckDB positional expansion
+    (Spark's posexplode adapts automatically; a silent 64 here would
+    truncate wider vectors in one dialect only)."""
     if d == SPARK:
         # Spark: posexplode is 0-based -> shift to 1-based
         pos = (
@@ -413,7 +381,7 @@ def ann_topk_sql(d: str, embeddings: str = "embeddings",
         pos = (
             f"SELECT vec_id, CAST(r.range AS INTEGER) AS i, "
             f"CAST(list_extract(embedding, r.range) AS DOUBLE) AS v "
-            f"FROM {embeddings}, range(1, 65) r"
+            f"FROM {embeddings}, range(1, {dim + 1}) r"
         )
     return f"""
       WITH pos AS ({pos}),
@@ -578,6 +546,17 @@ def source_stats_sql(d: str, docs: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 
 
+def _dlit(x: float) -> str:
+    """DOUBLE literal valid in both dialects for ANY float: repr()
+    already carries an exponent for tiny/huge magnitudes (E-notation
+    parses as DOUBLE everywhere); only plain decimals need the ``e0``
+    suffix to stop DECIMAL typing.  Blindly appending e0 to repr()
+    produced unparseable '3.0057e-05e0' whenever a seeded hyperplane
+    weight fell below 1e-4."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r or "n" in r) else r + "e0"
+
+
 def lsh_planes(dim: int, n_planes: int, seed: int):
     """The random-hyperplane matrix shared verbatim by the Spark
     operator (operators/similarity.signature_buckets) and the DuckDB
@@ -592,14 +571,14 @@ def _lsh_planes_values(dim: int, n_planes: int, n_tables: int) -> str:
     """(t, j, i, w) literal rows for every table's hyperplanes; i is
     1-based to join DuckDB's 1-based list positions.  repr() emits the
     shortest round-trip decimal (parses back to the identical double
-    in any correctly-rounded strtod); the e0 suffix stops DuckDB from
-    reading bare decimals as DECIMAL."""
+    in any correctly-rounded strtod); _dlit types it DOUBLE in both
+    dialects whatever its magnitude."""
     rows = []
     for t in range(n_tables):
         pl = lsh_planes(dim, n_planes, seed=42 + 101 * t)
         for j in range(n_planes):
             for i in range(dim):
-                rows.append(f"({t},{j},{i + 1},{pl[j, i]!r}e0)")
+                rows.append(f"({t},{j},{i + 1},{_dlit(pl[j, i])})")
     return ", ".join(rows)
 
 
@@ -683,7 +662,7 @@ cd AS (SELECT c.a, c.b, SUM(pa.v * pb.v) AS dot,
        JOIN pos pb ON pb.vec_id = c.b AND pb.i = pa.i
        GROUP BY c.a, c.b)
 SELECT a, b FROM cd
-WHERE na > 0.0e0 AND nb > 0.0e0 AND dot / (sqrt(na) * sqrt(nb)) >= {threshold!r}e0
+WHERE na > 0.0e0 AND nb > 0.0e0 AND dot / (sqrt(na) * sqrt(nb)) >= {_dlit(threshold)}
 """
 
 
@@ -1203,11 +1182,15 @@ def _audit_ctes_and_select(d: str, base_rel: str, holdout_mod: int) -> tuple[str
     else:
         sh_rows = (f"SELECT DISTINCT doc_id, s FROM "
                    f"(SELECT doc_id, unnest(_sints) AS s FROM {base_rel}) _u")
+    # NO length>0 filter here (unlike standalone quality_score_sql,
+    # whose punct_ratio divides by length): the audit must emit a
+    # verdict for EVERY document — an empty-text doc falls out of the
+    # bucket CASE as 1 ('too short') and gets reject_reason='quality'
+    # instead of silently vanishing through the inner-join chain.
     ctes = f"""
       q AS (
         SELECT doc_id, CAST({bucket} AS INTEGER) AS quality_bucket
         FROM {base_rel}
-        WHERE length(text) > 0
       ),
       rep AS (
         SELECT doc_id,

@@ -419,3 +419,37 @@ def test_norm_exprs_match_numpy_both_engines(spark, duck):
             nn = ~np.isnan(exp)
             assert (np.isnan(got) == np.isnan(exp)).all(), (eng, col)
             assert (got[nn] == exp[nn]).all(), (eng, col)
+
+
+def test_ann_ivf_degenerate_rows_do_not_crash(spark):
+    """NULL / wrong-length embeddings must not crash the IVF kernels
+    (a single ragged row turns the batch matrix into an object array):
+    degenerate corpus rows land in an unprobed list, degenerate query
+    rows probe nothing, and results for clean rows are unchanged."""
+    from jgdtrans_rs_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    junk = spark.createDataFrame(
+        [(3, None, 0), (900_000, [1.0, 2.0], 0)],
+        "vec_id long, embedding array<float>, label int")
+    # vec_id 3 NULL replaces nothing (ids disjoint from fixture? id 3
+    # exists in the corpus — union adds a second, degenerate row)
+    mixed = emb.unionByName(junk)
+    got = similarity.ann_ivf_topk(mixed, n_queries=5, k=3).toPandas()
+    assert len(got) > 0
+    assert 900_000 not in set(got["neighbor_id"])
+
+
+def test_double_literal_parses_at_any_magnitude():
+    """Float literals in generated SQL must parse whatever their
+    magnitude: blindly suffixing repr() with e0 produced '3e-05e0'
+    (a DuckDB parser error) for sub-1e-4 hyperplane weights."""
+    import duckdb as _duck
+
+    from jgdtrans_rs_spark.plans.webops import _dlit
+
+    for v in (0.5, -1.0, 3.0057e-05, -2.5e-20, 1.7976931348623157e+308):
+        lit = _dlit(v)
+        got = _duck.sql(f"SELECT {lit} AS v").fetchone()[0]
+        assert got == v, (v, lit)
