@@ -159,3 +159,35 @@ def test_bmp_decode_roundtrip_property(w, h, top_down, rnd):
     img = decode_bmp_np(_bmp_bytes(px, top_down=top_down))
     assert img is not None and img.shape == (h, w, 3)
     assert img.tolist() == [[list(p) for p in row] for row in px]
+
+
+@given(st.one_of(st.floats(min_value=-1e12, max_value=1e12, allow_nan=False),
+                 st.just(float('nan'))),
+       st.sampled_from([mesh.UNIT_ONE, mesh.UNIT_FIVE]))
+@settings(max_examples=400, deadline=None)
+def test_value_to_digits_matches_scalar_rust_model(v, unit):
+    """The vectorized digit extraction must equal a literal scalar
+    transcription of the reference's cast semantics (code.rs:16-57):
+    saturating f64-as-u32 of each floor, u32-wrapping arithmetic,
+    u8-truncating narrowing, unit-five collapse on the u32 third."""
+    import math
+
+    def as_u32(x):
+        if math.isnan(x):
+            return 0
+        f = math.floor(x)
+        return 0 if f < 0 else (4294967295 if f > 4294967295 else int(f))
+
+    U = 1 << 32
+    integer = as_u32(v)
+    first = integer % 100
+    second = (as_u32(8.0 * v) - 8 * integer) % U
+    third = (as_u32(80.0 * v) - 80 * integer - 10 * second) % U
+    if unit == mesh.UNIT_FIVE:
+        third = 0 if third < 5 else 5
+    else:
+        third %= 256
+    second %= 256
+
+    f, s, t = mesh.value_to_digits(np.array([v]), unit)
+    assert (int(f[0]), int(s[0]), int(t[0])) == (first, second, third), v
