@@ -102,14 +102,31 @@ def _sql_engine(spark: SparkSession):
     return _SQL_ENGINES[key]
 
 
+# Module-private temp-view names for the source tables (ADVICE r04:
+# registering plain 'orders'/'documents' clobbers any same-named view a
+# caller owns — same hazard fixed in sources/pages.py round 4).  The
+# shared-with-oracle SQL templates below carry a __SRC__ placeholder:
+# the Spark arm substitutes these names, the DuckDB oracle arm
+# substitutes the driver's pre-registered plain names.
+_ORDERS = "_entry_orders_src"
+_DOCS = "_entry_documents_src"
+_EMB = "_entry_embeddings_src"
+_EVENTS = "_entry_events_src"
+
+
+def _from_src(sql: str, view: str) -> str:
+    return sql.replace("__SRC__", view)
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
-    return spark.sql(oracle.points_sql("orders"))
+    _view(spark, sf_dir, "orders")
+    return spark.sql(oracle.points_sql(_ORDERS))
 
 
 def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
     for n in names:
-        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+        spark.read.parquet(f"{sf_dir}/{n}.parquet") \
+            .createOrReplaceTempView(f"_entry_{n}_src")
 
 
 def _null_unless_ok(df: DataFrame, cols=("out_lat", "out_lon", "out_alt")) -> DataFrame:
@@ -389,7 +406,7 @@ def _q_dms(spark, sf_dir):
 # small values, and the deg==0/minute==0 special forms.
 _DYADIC_DEG_SQL = (
     "SELECT o_orderkey AS pkey, "
-    "CAST((o_orderkey % 368641) - 184320 AS DOUBLE) / 1024.0e0 AS v FROM orders"
+    "CAST((o_orderkey % 368641) - 184320 AS DOUBLE) / 1024.0e0 AS v FROM __SRC__"
 )
 
 
@@ -400,8 +417,8 @@ def _q_dms_format(spark, sf_dir):
     round-trip parity vs the Rust Display UDF is pinned in pytest."""
     from jgdtrans_rs_spark.functions import columns as C
 
-    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
-    vals = spark.sql(_DYADIC_DEG_SQL)
+    _view(spark, sf_dir, "orders")
+    vals = spark.sql(_from_src(_DYADIC_DEG_SQL, _ORDERS))
     return vals.select("pkey", C.degree_to_dms_compact(F.col("v")).alias("dms_compact"))
 
 
@@ -422,14 +439,14 @@ def _q_pages_invariant(spark, sf_dir):
 _WILD_ANGLES_SQL = (
     "SELECT o_orderkey AS pkey, "
     "(o_orderkey % 1441) * 1.0e0 - 720.5e0 AS raw_lat, "
-    "(o_orderkey % 1441) * 1.25e0 - 900.25e0 AS raw_lon FROM orders"
+    "(o_orderkey % 1441) * 1.25e0 - 900.25e0 AS raw_lon FROM __SRC__"
 )
 
 
 def _q_normalize(spark, sf_dir):
     """Angle normalization (point.rs:9-32) on synthetic wild angles."""
-    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
-    raw = spark.sql(_WILD_ANGLES_SQL)
+    _view(spark, sf_dir, "orders")
+    raw = spark.sql(_from_src(_WILD_ANGLES_SQL, _ORDERS))
     from jgdtrans_rs_spark.functions import columns as C
     return raw.select(
         "pkey",
@@ -469,7 +486,7 @@ _BOUNDARY_PTS_SQL = (
     "WHEN k % 8 = 5 THEN 140.1e0 "
     "WHEN k % 8 = 6 THEN 140.1e0 "
     "ELSE 179.99e0 END AS lon "
-    "FROM (SELECT o_orderkey AS k FROM orders) _bk"
+    "FROM (SELECT o_orderkey AS k FROM __SRC__) _bk"
 )
 
 
@@ -486,8 +503,8 @@ def _q_boundary(spark, sf_dir):
     sw node and lon 180.0 IS the (80,0,0) maximum node), so under
     strict_bounds=False the meshcode diverges from strict exactly at
     lon 180.0 (node assigned vs -1)."""
-    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
-    raw = spark.sql(_BOUNDARY_PTS_SQL)
+    _view(spark, sf_dir, "orders")
+    raw = spark.sql(_from_src(_BOUNDARY_PTS_SQL, _ORDERS))
     eng_s, eng_r = _engine(spark), _engine_ref(spark)
     strict = eng_s.forward_corr(raw, "lat", "lon").select(
         "pkey",
@@ -508,11 +525,15 @@ def _q_boundary(spark, sf_dir):
     return strict.join(ref, "pkey").join(tiles_s, "pkey").join(tiles_r, "pkey")
 
 
-def _sql_q(builder):
+def _sql_q(builder, table: str = _DOCS, src: str = "documents"):
+    """Wrap a dual-dialect SQL builder as a contract query: register
+    the source parquet under its module-private view name and pass
+    that name as the builder's table argument (every webops builder
+    takes the table as its second positional parameter)."""
     def run(spark, sf_dir):
-        _view(spark, sf_dir, "documents", "embeddings", "events")
+        _view(spark, sf_dir, src)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        return spark.sql(builder(SPARK))
+        return spark.sql(builder(SPARK, table))
     return run
 
 
@@ -563,43 +584,43 @@ def _q_ngram_jaccard(spark, sf_dir):
     from jgdtrans_rs_spark.operators import dedup as dedup_ops
 
     _view(spark, sf_dir, "documents")
-    return dedup_ops.ngram_jaccard_pairs(spark)
+    return dedup_ops.ngram_jaccard_pairs(spark, docs=_DOCS)
 
 
 def _q_simhash_pairs(spark, sf_dir):
     from jgdtrans_rs_spark.operators import dedup as dedup_ops
 
     _view(spark, sf_dir, "documents")
-    return dedup_ops.simhash_pairs(spark)
+    return dedup_ops.simhash_pairs(spark, docs=_DOCS)
 
 
 def _q_winnowing(spark, sf_dir):
     from jgdtrans_rs_spark.operators import dedup as dedup_ops
 
     _view(spark, sf_dir, "documents")
-    return dedup_ops.winnowing_fingerprints(spark)
+    return dedup_ops.winnowing_fingerprints(spark, docs=_DOCS)
 
 
 def _q_boilerplate(spark, sf_dir):
     from jgdtrans_rs_spark.operators import text as text_ops
 
     _view(spark, sf_dir, "documents")
-    return text_ops.boilerplate_strip(spark)
+    return text_ops.boilerplate_strip(spark, docs=_DOCS)
 
 
 def _q_vocab(spark, sf_dir):
     from jgdtrans_rs_spark.operators import text as text_ops
 
     _view(spark, sf_dir, "documents")
-    return text_ops.vocab_topn(spark)
+    return text_ops.vocab_topn(spark, docs=_DOCS)
 
 
 def _q_url_normalize(spark, sf_dir):
     """URL canonicalization + exact-URL dedup keys over a messy-URL
     corpus (webops.url_normalize_sql): pure string/regexp Column
     space, one window shuffle on the canonical key."""
-    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
-    return spark.sql(webops.url_normalize_sql(SPARK))
+    _view(spark, sf_dir, "orders")
+    return spark.sql(webops.url_normalize_sql(SPARK, _ORDERS))
 
 
 def _q_dedup_components(spark, sf_dir):
@@ -612,8 +633,8 @@ def _q_dedup_components(spark, sf_dir):
     from jgdtrans_rs_spark.operators import dedup as dedup_ops
 
     _view(spark, sf_dir, "documents")
-    pairs = dedup_ops.simhash_pairs(spark)
-    nodes = spark.sql(webops.dup_corpus_sql(SPARK)).select("doc_id")
+    pairs = dedup_ops.simhash_pairs(spark, docs=_DOCS)
+    nodes = spark.sql(webops.dup_corpus_sql(SPARK, _DOCS)).select("doc_id")
     return dedup_ops.dedup_components(pairs, nodes)
 
 
@@ -621,7 +642,7 @@ def _q_minhash(spark, sf_dir):
     from jgdtrans_rs_spark.operators import dedup as dedup_ops
 
     _view(spark, sf_dir, "documents")
-    return dedup_ops.minhash_lsh_pairs(spark)
+    return dedup_ops.minhash_lsh_pairs(spark, docs=_DOCS)
 
 
 def _q_ann_lsh(spark, sf_dir):
@@ -646,9 +667,9 @@ def _q_ann_ivf(spark, sf_dir):
     quantity is this derived recall, pinned as data-keyed constants in
     the oracle (VERDICT r02 'Next round #1')."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    emb.createOrReplaceTempView("embeddings")
+    emb.createOrReplaceTempView(_EMB)
     approx = similarity.ann_ivf_topk(emb, n_queries=10, k=5)
-    brute = spark.sql(webops.ann_topk_sql(SPARK, "embeddings", 10, 5))
+    brute = spark.sql(webops.ann_topk_sql(SPARK, _EMB, 10, 5))
     hits = approx.join(
         brute.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
     return hits.agg(F.count("*").cast("long").alias("n_hits")).select(
@@ -678,7 +699,7 @@ def _q_dedup_incremental(spark, sf_dir):
 
     _view(spark, sf_dir, "documents")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return dedup_ops.dedup_incremental(spark)
+    return dedup_ops.dedup_incremental(spark, docs=_DOCS)
 
 
 def _q_text_profile(spark, sf_dir):
@@ -688,7 +709,7 @@ def _q_text_profile(spark, sf_dir):
 
     _view(spark, sf_dir, "documents")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return text_ops.text_profile(spark)
+    return text_ops.text_profile(spark, docs=_DOCS)
 
 
 def _q_decontaminate(spark, sf_dir):
@@ -697,7 +718,7 @@ def _q_decontaminate(spark, sf_dir):
 
     _view(spark, sf_dir, "documents")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return text_ops.decontaminate(spark)
+    return text_ops.decontaminate(spark, docs=_DOCS)
 
 
 def _q_corpus_audit(spark, sf_dir):
@@ -708,7 +729,7 @@ def _q_corpus_audit(spark, sf_dir):
 
     _view(spark, sf_dir, "documents")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return text_ops.corpus_filter_audit(spark)
+    return text_ops.corpus_filter_audit(spark, docs=_DOCS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -725,8 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_near_dup_emb,
-        "ann_cosine_topk": _sql_q(webops.ann_topk_sql),
-        "events_window": _sql_q(webops.events_window_sql),
+        "ann_cosine_topk": _sql_q(webops.ann_topk_sql, _EMB, "embeddings"),
+        "events_window": _sql_q(webops.events_window_sql, _EVENTS, "events"),
         "boundary_error_kinds": _q_boundary,
         # -- geodesy / tiling / spatial (engine kernels) --
         "forward_semidyna": _q_forward,
@@ -826,7 +847,7 @@ def oracle_sql() -> dict[str, str]:
                     THEN fmod(raw_lon, 360.0e0) - (CASE WHEN fmod(raw_lon, 360.0e0) >= 0 THEN 360.0e0 ELSE -360.0e0 END)
                   ELSE fmod(raw_lon, 360.0e0) END AS norm_lon
       FROM (__WILD__) _r
-    """.replace("__WILD__", _WILD_ANGLES_SQL)
+    """.replace("__WILD__", _from_src(_WILD_ANGLES_SQL, "orders"))
     # NB: DuckDB CAST(double AS BIGINT) rounds; Spark's cast truncates —
     # so the oracle uses trunc() explicitly.
     dms_sql = """
@@ -928,7 +949,7 @@ def oracle_sql() -> dict[str, str]:
           ) _h
         ) _i
       ) _j
-    """.replace("__VALS__", _DYADIC_DEG_SQL)
+    """.replace("__VALS__", _from_src(_DYADIC_DEG_SQL, "orders"))
     coverage_sql = f"""
       SELECT meshcode, CAST(COUNT(*) AS BIGINT) AS n_points
       FROM ({oracle.tile_sql(_P, _UNIT)}) _t
@@ -1066,7 +1087,7 @@ def oracle_sql() -> dict[str, str]:
                    AND NOT (lon1 = 80 AND lon2 = 0 AND lon3 = 0)) AS _incl,
                   (latv >= 0.0e0 AND latv < 100.0e0
                    AND lonv >= 100.0e0 AND lonv <= 180.0e0) AS _node
-        FROM ({oracle.corr_sql(f'({_BOUNDARY_PTS_SQL}) _bp', _GV, _UNIT)}) _c
+        FROM ({oracle.corr_sql(f'({_from_src(_BOUNDARY_PTS_SQL, "orders")}) _bp', _GV, _UNIT)}) _c
       ) _b
     """
     tile_of_fwd = oracle.tile_sql(

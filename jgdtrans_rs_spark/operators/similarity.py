@@ -22,18 +22,18 @@ from pyspark.sql.types import ArrayType, IntegerType, LongType
 from ..plans import webops
 from ..plans.textsql import SPARK
 
-_view_ids = __import__("itertools").count()
-
-
 def _persist_stage(df: DataFrame, base_name: str) -> DataFrame:
-    """Persist a stage AND register it under a unique temp view so the
-    documented reclaim route works for DataFrame-built stages too:
-    ``spark.table('<base_name>_<n>').unpersist()`` (or
-    ``spark.catalog.clearCache()``) — without the view, repeated
+    """Persist a stage AND register it in the shared stage registry
+    (operators/dedup._register_stage_view), so one
+    ``dedup.reclaim_stages(spark)`` call unpersists every staged block
+    and drops its temp view (ADVICE r04) — without it, repeated
     operator calls in a long session would pin blocks reachable only
-    through LRU eviction.  Same cache contract as operators/dedup."""
+    through LRU eviction and leave one view per call in the catalog.
+    Same cache contract as operators/dedup."""
+    from . import dedup as _dedup
+
     out = df.persist()
-    out.createOrReplaceTempView(f"{base_name}_{next(_view_ids)}")
+    _dedup._register_stage_view(out.sparkSession, out, base_name)
     return out
 
 

@@ -552,9 +552,17 @@ def _dlit(x: float) -> str:
     parses as DOUBLE everywhere); only plain decimals need the ``e0``
     suffix to stop DECIMAL typing.  Blindly appending e0 to repr()
     produced unparseable '3.0057e-05e0' whenever a seeded hyperplane
-    weight fell below 1e-4."""
-    r = repr(float(x))
-    return r if ("e" in r or "E" in r or "n" in r) else r + "e0"
+    weight fell below 1e-4.  Non-finite input raises: repr() would emit
+    'nan'/'inf', which Spark parses as a COLUMN REFERENCE, not a
+    literal — a silent wrong-answer trap (ADVICE r04).  No caller ever
+    passes non-finite constants (weights/thresholds are seeded
+    normals), so failing loudly is the right contract."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"_dlit: non-finite SQL double literal {v!r} "
+                         "(Spark would parse 'nan'/'inf' as a column name)")
+    r = repr(v)
+    return r if ("e" in r or "E" in r) else r + "e0"
 
 
 def lsh_planes(dim: int, n_planes: int, seed: int):
@@ -1187,6 +1195,10 @@ def _audit_ctes_and_select(d: str, base_rel: str, holdout_mod: int) -> tuple[str
     # verdict for EVERY document — an empty-text doc falls out of the
     # bucket CASE as 1 ('too short') and gets reject_reason='quality'
     # instead of silently vanishing through the inner-join chain.
+    # Holdout members (doc_id % holdout_mod = 0) also get a row: they
+    # ARE the benchmark, so is_contaminated is pinned TRUE for them —
+    # a pipeline must never pack benchmark docs into training data,
+    # and 'keep' must come out false regardless of their quality.
     ctes = f"""
       q AS (
         SELECT doc_id, CAST({bucket} AS INTEGER) AS quality_bucket
@@ -1204,9 +1216,10 @@ def _audit_ctes_and_select(d: str, base_rel: str, holdout_mod: int) -> tuple[str
       ),
       {_contamination_ctes(d, sh_rows, holdout_mod)},
       dec AS (
-        SELECT b.doc_id, (COALESCE(h.n_hit, 0) > 0) AS is_contaminated
+        SELECT b.doc_id,
+               CASE WHEN b.doc_id % {holdout_mod} = 0 THEN TRUE
+                    ELSE (COALESCE(h.n_hit, 0) > 0) END AS is_contaminated
         FROM {base_rel} b LEFT JOIN hits h ON h.doc_id = b.doc_id
-        WHERE b.doc_id % {holdout_mod} <> 0
       )"""
     select = f"""
       SELECT d0.doc_id, d0.source,

@@ -191,6 +191,72 @@ def test_checkpoint_resume_hadoop_fs_uri(engine, points, tmp_path):
     assert sink.read_resumed(engine.spark, out_dir).count() == points.count()
 
 
+def test_checkpoint_resume_after_partial_failure(engine, points, tmp_path):
+    """Fault injection (VERDICT r04 #1): a job killed MID-WRITE leaves
+    a bucket-group data directory in an arbitrary broken state — some
+    task files missing, a stray half-written extra file — and no
+    committed manifest.  Resume must (a) recompute exactly the
+    manifest-less groups, (b) fully REPLACE the broken partition
+    directory (dynamic partition overwrite — leftover garbage must not
+    survive into the read path), and (c) produce output identical to a
+    clean single-pass run."""
+    df = engine.assign_tiles(
+        engine.forward(points, "lat", "lon", "alt"), "lat", "lon")
+
+    # ground truth: one clean uninterrupted run
+    clean_dir = str(tmp_path / "clean")
+    sink.run_checkpointed(df, clean_dir, n_groups=4)
+    expect = sorted(
+        (r.pkey, r.meshcode, r.status)
+        for r in sink.read_resumed(engine.spark, clean_dir)
+        .select("pkey", "meshcode", "status").collect()
+    )
+
+    # the run we will injure
+    out_dir = str(tmp_path / "chaos")
+    m1 = sink.run_checkpointed(df, out_dir, n_groups=4)
+    assert len(m1) == 4
+
+    # kill scenario, via POSIX on the partition dir the way a real
+    # mid-job SIGKILL would leave it.  Injure the largest non-empty
+    # group (the fixture's meshcodes need not hit every residue class).
+    g = max(m1, key=lambda m: m["n_rows"])["bucket_group"]
+    assert max(m["n_rows"] for m in m1) > 0
+    gdir = os.path.join(out_dir, sink.DATA_DIR, f"bucket_group={g}")
+    parts = sorted(f for f in os.listdir(gdir) if f.endswith(".parquet"))
+    assert parts, f"fixture must produce at least one file in group {g}"
+    # (1) a stray half-written task attempt survives (valid parquet
+    # bytes under an uncommitted name — the worst case: readable
+    # garbage that would DOUBLE rows if merged instead of replaced)
+    stray = os.path.join(gdir, "part-99999-stray-attempt.c000.snappy.parquet")
+    with open(os.path.join(gdir, parts[-1]), "rb") as fsrc, open(stray, "wb") as fdst:
+        fdst.write(fsrc.read())
+    # (2) half the committed files vanish (all of them if only one)
+    for f in parts[: max(1, len(parts) // 2)]:
+        os.remove(os.path.join(gdir, f))
+    # (3) the group's manifest was never committed
+    os.remove(os.path.join(out_dir, sink.MANIFEST_DIR, f"part-{g}.json"))
+
+    # resume: exactly the injured group recomputes
+    m2 = sink.run_checkpointed(df, out_dir, n_groups=4)
+    assert [m["bucket_group"] for m in m2] == [g]
+    assert not os.path.exists(stray), "partition dir must be replaced, not merged"
+    # third run: nothing pending
+    assert sink.run_checkpointed(df, out_dir, n_groups=4) == []
+
+    got = sorted(
+        (r.pkey, r.meshcode, r.status)
+        for r in sink.read_resumed(engine.spark, out_dir)
+        .select("pkey", "meshcode", "status").collect()
+    )
+    assert got == expect
+    # the recomputed manifest matches the clean run's for that group
+    clean_m2 = [m for m in sink.run_checkpointed(df, str(tmp_path / "c2"), n_groups=4)
+                if m["bucket_group"] == g][0]
+    assert m2[0]["n_rows"] == clean_m2["n_rows"]
+    assert m2[0]["status_counts"] == clean_m2["status_counts"]
+
+
 def test_checkpoint_sink_single_pass(spark, points, tmp_path):
     """The sink must consume its input exactly once (the partitioned
     write), not once per bucket group: an accumulator inside a

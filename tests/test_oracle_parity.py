@@ -374,6 +374,55 @@ def test_dedup_components_crafted_graph(spark):
         dedup_ops.dedup_components(pairs, nodes, max_iter=1)
 
 
+def test_dedup_components_deep_graph_log_rounds(spark):
+    """Backpressure proof (VERDICT r04 #2): on a deliberately
+    pathological ~10^5-node topology — one 65,536-node chain (the
+    worst diameter a graph of that size can have), a 30,000-leaf star,
+    and 4,000 singletons — pointer-doubling must converge in
+    ~log2(diameter) rounds, not O(diameter).  Plain min-propagation
+    needs 65,535 rounds here; the doubling loop is asserted to finish
+    within log2(n)+c and to produce the exact clustering."""
+    import math
+    import time
+
+    from pyspark.sql import functions as F
+
+    from jgdtrans_rs_spark.operators import dedup as dedup_ops
+
+    chain_n, star_n, single_n = 65_536, 30_000, 4_000
+    chain = spark.range(chain_n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    star = spark.range(star_n - 1).select(
+        F.lit(100_000).alias("doc_a"), (F.col("id") + 100_001).alias("doc_b"))
+    pairs = chain.unionByName(star)
+    nodes = (
+        spark.range(chain_n).select(F.col("id").alias("doc_id"))
+        .unionByName(spark.range(star_n).select((F.col("id") + 100_000).alias("doc_id")))
+        .unionByName(spark.range(single_n).select((F.col("id") + 900_000).alias("doc_id")))
+    )
+    stats: dict = {}
+    t0 = time.monotonic()
+    out = dedup_ops.dedup_components(pairs, nodes, max_iter=25, stats=stats)
+    agg = {
+        (int(r["canonical_id"]), int(r["cluster_size"])): int(r["n"])
+        for r in out.groupBy("canonical_id", "cluster_size")
+        .agg(F.count("*").alias("n")).collect()
+        if int(r["cluster_size"]) > 1
+    }
+    wall = time.monotonic() - t0
+    # exact clustering: one chain component, one star component,
+    # singletons map to themselves
+    assert agg == {(0, chain_n): chain_n, (100_000, star_n): star_n}
+    assert out.count() == chain_n + star_n + single_n
+    bound = int(math.log2(chain_n)) + 4  # log2(diameter) + slack
+    assert stats["rounds"] <= bound, (
+        f"{stats['rounds']} rounds on a {chain_n}-chain (bound {bound}): "
+        f"doubling is broken; changed={stats['changed_per_round']}")
+    # convergence audit artifact for PLANS.md
+    print(f"\ndeep-graph components: rounds={stats['rounds']} "
+          f"wall={wall:.1f}s changed={stats['changed_per_round']}")
+
+
 def test_oracle_sql_survives_non_finite_rows(spark, duck):
     """One NaN/Inf coordinate must not abort a whole oracle statement:
     DuckDB hard-errors on CAST(NaN AS BIGINT), so the digit math runs
@@ -453,3 +502,39 @@ def test_double_literal_parses_at_any_magnitude():
         lit = _dlit(v)
         got = _duck.sql(f"SELECT {lit} AS v").fetchone()[0]
         assert got == v, (v, lit)
+
+
+def test_dlit_rejects_non_finite():
+    """Non-finite constants must fail LOUDLY at SQL-generation time:
+    repr(nan) would reach Spark as a bare 'nan' token, which parses as
+    a COLUMN REFERENCE — a silent wrong-answer, not an error
+    (ADVICE r04)."""
+    import math
+
+    import pytest as _pytest
+
+    from jgdtrans_rs_spark.plans.webops import _dlit
+
+    for v in (float("nan"), float("inf"), float("-inf")):
+        with _pytest.raises(ValueError, match="non-finite"):
+            _dlit(v)
+    assert math.isfinite(float(_dlit(1.5).rstrip("e0") or "1.5"))
+
+
+def test_contract_is_exactly_50_fully_oracled(contract):
+    """Invariance guard for the driver's per-round CORRECTNESS budget
+    (VERDICT r04 #7): the contract must stay at EXACTLY 50 queries —
+    round 3 silently grew past the cap and lost driver rows for five
+    entries — and every entry must keep its full DuckDB oracle twin
+    (no silent downgrades to the weaker rows-only check).  Growing the
+    operator inventory means CONSOLIDATING rows (see COVERAGE.md
+    'Round-4 contract consolidation'), not appending."""
+    queries, oracles = contract
+    assert len(queries) == 50, (
+        f"{len(queries)} queries: the driver records at most 50 rows/round; "
+        "merge entries instead of appending (COVERAGE.md)")
+    assert set(queries) == set(oracles), (
+        "every queries() entry needs an oracle_sql() twin: "
+        f"missing={sorted(set(queries) - set(oracles))} "
+        f"extra={sorted(set(oracles) - set(queries))}")
+    assert all(isinstance(s, str) and s.strip() for s in oracles.values())
