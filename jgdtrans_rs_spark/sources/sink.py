@@ -64,14 +64,14 @@ def _manifest_dir(out_dir: str) -> str:
     return f"{out_dir.rstrip('/')}/{MANIFEST_DIR}"
 
 
-def completed_groups(out_dir: str, spark: SparkSession | None = None) -> set[int]:
-    """Bucket groups with a committed manifest under ``out_dir`` (any
+def read_manifests(out_dir: str, spark: SparkSession | None = None) -> list[dict]:
+    """All committed manifest rows under ``out_dir`` (any
     Hadoop-visible filesystem)."""
     spark = spark or SparkSession.getActiveSession()
     jvm, fs, mdir = _hadoop(spark, _manifest_dir(out_dir))
-    done: set[int] = set()
+    rows: list[dict] = []
     if not fs.exists(mdir):
-        return done
+        return rows
     for st in fs.listStatus(mdir):
         name = st.getPath().getName()
         if not (name.startswith("part-") and name.endswith(".json")):
@@ -83,11 +83,36 @@ def completed_groups(out_dir: str, spark: SparkSession | None = None) -> set[int
             line = reader.readLine()
             while line is not None:
                 if line.strip():
-                    done.add(int(json.loads(line)["bucket_group"]))
+                    rows.append(json.loads(line))
                 line = reader.readLine()
         finally:
             stream.close()
-    return done
+    return rows
+
+
+def completed_groups(out_dir: str, spark: SparkSession | None = None) -> set[int]:
+    """Bucket groups with a committed manifest under ``out_dir``."""
+    return {int(m["bucket_group"]) for m in read_manifests(out_dir, spark)}
+
+
+def hot_codes_from_manifests(out_dir: str, spark: SparkSession | None = None,
+                             threshold: int = 50_000) -> list[int]:
+    """Dense tile codes recorded in the sink manifests — the
+    statistics feeder for ``spatial.bucketed_spatial_join(...,
+    hot_codes=)`` (VERDICT r04 #3): skew detection is paid ONCE at
+    write time (per-group top-tile counts over the freshly-written
+    columnar output), then every later salted join over that corpus
+    reads the hot set from the manifests with ZERO passes over the
+    data.  Codes whose recorded count exceeds ``threshold`` are
+    returned sorted; -1 (untiled/error rows) is never a join key and
+    is excluded."""
+    hot = {
+        int(code)
+        for m in read_manifests(out_dir, spark)
+        for code, n in m.get("top_tiles", [])
+        if int(n) > threshold and int(code) != -1
+    }
+    return sorted(hot)
 
 
 def _write_manifest(out_dir: str, manifest: dict, spark: SparkSession) -> None:
@@ -113,7 +138,7 @@ def _write_manifest(out_dir: str, manifest: dict, spark: SparkSession) -> None:
 
 def run_checkpointed(df: DataFrame, out_dir: str, mesh_col: str = "meshcode",
                      n_groups: int = 16, status_col: str = "status",
-                     sort_within: bool = False) -> list[dict]:
+                     sort_within: bool = False, top_tiles: int = 8) -> list[dict]:
     """Process + persist per bucket-group, skipping completed groups.
 
     ``df`` is the transformed DataFrame (already carrying tile + status
@@ -130,6 +155,14 @@ def run_checkpointed(df: DataFrame, out_dir: str, mesh_col: str = "meshcode",
     100 TB this is the difference between touching one row group and
     decompressing the whole corpus for a per-city query; the write
     cost is one in-memory sort per task.
+
+    ``top_tiles`` (0 disables): each manifest additionally records the
+    group's ``top_tiles`` — the N most populous (meshcode, n_rows)
+    pairs, computed by a one-column aggregation over the WRITTEN
+    parquet (map-side partials + a bounded n_groups×N driver collect).
+    This is the skew statistic ``hot_codes_from_manifests`` feeds to
+    ``spatial.bucketed_spatial_join``: detection paid once per write,
+    never re-aggregated at join time.
     """
     spark = df.sparkSession
     done = completed_groups(out_dir, spark)
@@ -165,6 +198,24 @@ def run_checkpointed(df: DataFrame, out_dir: str, mesh_col: str = "meshcode",
         s = int(r[status_col]) if has_status else 0
         by_group[g][s] = by_group[g].get(s, 0) + int(r["count"])
 
+    tiles_by_group: dict[int, list[list[int]]] = {g: [] for g in pending}
+    if top_tiles and mesh_col in df.columns:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("bucket_group").orderBy(
+            F.desc("count"), mesh_col)
+        tile_rows = (
+            spark.read.schema(part.schema).parquet(data_dir)
+            .filter(F.col("bucket_group").isin(pending))
+            .groupBy("bucket_group", mesh_col).count()
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= top_tiles)
+            .collect()
+        )
+        for r in tile_rows:
+            tiles_by_group[int(r["bucket_group"])].append(
+                [int(r[mesh_col]), int(r["count"])])
+
     written = []
     wall_ts = time.time()
     for g in pending:  # groups with zero rows still get a manifest
@@ -175,6 +226,7 @@ def run_checkpointed(df: DataFrame, out_dir: str, mesh_col: str = "meshcode",
             "n_rows": rows,
             "n_ok": by_status.get(0, 0) if has_status else rows,
             "status_counts": by_status if has_status else {},
+            "top_tiles": tiles_by_group.get(g, []),
             "wall_ts": wall_ts,
         }
         _write_manifest(out_dir, manifest, spark)

@@ -619,3 +619,79 @@ def test_tile_bounds_node_mode_reference_parity(spark, semidyna_grid):
     # -> OutOfBounds), while the in-grid point transforms fine
     s_ref = {r.pkey: r.status for r in ref.forward_corr(df).collect()}
     assert s_ref[1] == 1 and s_ref[2] == 1 and s_ref[3] == 0
+
+
+def test_salted_join_zero_extra_passes_with_stats(spark, engine, points):
+    """VERDICT r04 #3: with hot_codes supplied, bucketed_spatial_join
+    must consume its input exactly ONCE (the join itself) — the skew
+    detection aggregation must not run.  Without stats it is allowed
+    its one documented extra pass.  Counted with an accumulator inside
+    a pass-through pandas_udf on the tile column (detection groups by
+    exactly that column, so pruning cannot skip the probe)."""
+    import pandas as pd
+
+    polys = [("p0", [(36.0833, 140.0625), (36.0833, 140.125),
+                     (36.125, 140.125), (36.125, 140.0625)])]
+    tiled = engine.assign_tiles(points)
+    n = tiled.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.pandas_udf("long")
+    def counted(x: pd.Series) -> pd.Series:
+        acc.add(len(x))
+        return x
+
+    counted = counted.asNondeterministic()
+    probe = tiled.withColumn("meshcode", counted(F.col("meshcode")))
+
+    # stats supplied -> exactly one pass
+    out = spatial.bucketed_spatial_join(
+        probe, polys, 5, hot_threshold=10, num_salts=4,
+        hot_codes=[54401005])
+    rows_with = out.count()
+    assert acc.value == n, f"{acc.value / n:.1f} passes with stats supplied"
+
+    # auto-detection -> exactly one extra pass (the documented cost)
+    acc2 = spark.sparkContext.accumulator(0)
+
+    @F.pandas_udf("long")
+    def counted2(x: pd.Series) -> pd.Series:
+        acc2.add(len(x))
+        return x
+
+    counted2 = counted2.asNondeterministic()
+    probe2 = tiled.withColumn("meshcode", counted2(F.col("meshcode")))
+    out2 = spatial.bucketed_spatial_join(
+        probe2, polys, 5, hot_threshold=10, num_salts=4)
+    rows_without = out2.count()
+    assert acc2.value == 2 * n, f"{acc2.value / n:.1f} passes on auto-detect"
+    assert rows_with == rows_without > 0
+
+
+def test_hot_codes_from_manifests_feeds_salted_join(spark, engine, points, tmp_path):
+    """End-to-end statistics feeder: run_checkpointed records per-group
+    top-tile counts in the manifests; hot_codes_from_manifests reads
+    them back (zero passes over the corpus) and the salted join fed
+    with them reproduces the broadcast PIP oracle exactly."""
+    polys = [("p0", [(36.0833, 140.0625), (36.0833, 140.125),
+                     (36.125, 140.125), (36.125, 140.0625)])]
+    tiled = engine.assign_tiles(
+        engine.forward(points, "lat", "lon", "alt"), "lat", "lon")
+    out_dir = str(tmp_path / "stats_sink")
+    ms = sink.run_checkpointed(tiled, out_dir, n_groups=4, top_tiles=4)
+    assert all("top_tiles" in m for m in ms)
+    assert any(m["top_tiles"] for m in ms)
+    # recorded counts are real row counts per code
+    recorded = {c: k for m in ms for c, k in m["top_tiles"]}
+    sample_code = max(recorded, key=recorded.get)
+    true_n = tiled.filter(F.col("meshcode") == sample_code).count()
+    assert recorded[sample_code] == true_n
+
+    hot = sink.hot_codes_from_manifests(out_dir, spark, threshold=10)
+    assert hot and -1 not in hot
+    got = spatial.bucketed_spatial_join(
+        engine.assign_tiles(points), polys, 5, num_salts=4,
+        hot_codes=hot).toPandas()
+    want = spatial.point_in_polygon(points, polys).toPandas()
+    assert (set(map(tuple, got[["pkey", "poly_id"]].itertuples(index=False)))
+            == set(map(tuple, want[["pkey", "poly_id"]].itertuples(index=False))))
