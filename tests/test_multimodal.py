@@ -170,3 +170,51 @@ def test_resize_bytes_shape_and_values(spark):
     assert out[1] == [0.5, 2.5, 4.5, 6.5]
     assert out[2][:3] != [0.0, 0.0, 0.0]  # data present
     assert out[3] == [0.0] * 4 and out[4] == [0.0] * 4
+
+
+def test_decode_pnm_real(spark):
+    """The from-scratch Netpbm decoder (VERDICT r04 #5): exact pixels
+    for binary PPM (P6) with header comments, binary PGM (P5), and the
+    ASCII twins (P3/P2); NULL struct fields for malformed payloads;
+    the identical payload flows through the resize kernel — mirroring
+    test_decode_bmp_real."""
+    import numpy as np
+
+    px = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+          [(1, 2, 3), (4, 5, 6), (7, 8, 9)]]       # 3x2 RGB
+    flat_rgb = [float(v) for row in px for pix in row for v in pix]
+    raster = bytes(v for row in px for pix in row for v in pix)
+    p6 = b"P6\n# comment line\n3 2\n# another\n255\n" + raster
+    gray = [[10, 20, 30], [40, 50, 60]]
+    flat_gray = [float(v) for row in gray for v in row]
+    p5 = b"P5 3 2 255 " + bytes(v for row in gray for v in row)
+    p3 = ("P3\n3 2\n255\n" +
+          " ".join(str(v) for row in px for pix in row for v in pix)).encode()
+    p2 = ("P2  3\t2\n255\n" +
+          "\n".join(str(v) for row in gray for v in row)).encode()
+    rows = [
+        (1, p6), (2, p5), (3, p3), (4, p2),
+        (5, b"P6\n3 2\n255\n" + raster[:-1]),      # truncated raster
+        (6, b"P6\n3 2\n65535\n" + raster),          # 16-bit: unsupported
+        (7, b"P7 arbitrary"), (8, None),
+    ]
+    df = spark.createDataFrame(rows, "pkey long, html binary")
+    out = {r.pkey: r.pixels for r in
+           multimodal.decode_image(df, "html", format="ppm")
+           .select("pkey", "pixels").collect()}
+    assert out[1].width == 3 and out[1].height == 2 and out[1].channels == 3
+    assert list(out[1].pixels) == flat_rgb
+    assert out[2].width == 3 and out[2].height == 2 and out[2].channels == 1
+    assert list(out[2].pixels) == flat_gray
+    assert list(out[3].pixels) == flat_rgb and out[3].channels == 3
+    assert list(out[4].pixels) == flat_gray and out[4].channels == 1
+    for k in (5, 6, 7, 8):
+        assert out[k].width is None and out[k].pixels is None
+    # numpy kernel direct: P5 16-bit and header-garbage rejected
+    assert multimodal.decode_pnm_np(b"P5 3 2 999 " + b"\x00" * 12) is None
+    assert multimodal.decode_pnm_np(b"P6 3 -2 255 " + raster) is None
+    # P6 vs BMP decoder separation: a BMP payload is not a PNM
+    assert multimodal.decode_pnm_np(b"BM" + b"\x00" * 60) is None
+    # shared downstream plumbing
+    resized = multimodal.resize_bytes(df, k=8).select("pkey", "resized").collect()
+    assert all(len(r.resized) == 8 for r in resized)

@@ -321,11 +321,12 @@ def _sf01_probe(spark, pick: slice):
     print(f"sf0.1 probe slowest (spark-wall sec, {pick}):", top)
 
 
-# gate semantics: "1" -> half 1 only, "2" -> half 2 only, any OTHER
-# non-empty value ("all", "true", ...) -> both halves — so a habitual
-# SPARK_GRAFT_SLOW=true still probes the full contract instead of
-# silently skipping it
-@pytest.mark.skipif(not _SLOW or _SLOW == "2",
+# gate semantics: "1" -> half 1 only, "2" -> half 2 only, "3" -> the
+# synthetic big-SF tier only (test_heavy_oracles_bigsf), any OTHER
+# non-empty value ("all", "true", ...) -> both sf0.1 halves — so a
+# habitual SPARK_GRAFT_SLOW=true still probes the full contract
+# instead of silently skipping it
+@pytest.mark.skipif(not _SLOW or _SLOW in ("2", "3"),
                     reason="sf0.1 scale probe half 1 — SPARK_GRAFT_SLOW=1|all")
 def test_all_oracle_queries_sf01_half1(spark):
     """First half of the contract (dict order: the ANN/boundary block
@@ -334,7 +335,7 @@ def test_all_oracle_queries_sf01_half1(spark):
     _sf01_probe(spark, slice(0, 25))
 
 
-@pytest.mark.skipif(not _SLOW or _SLOW == "1",
+@pytest.mark.skipif(not _SLOW or _SLOW in ("1", "3"),
                     reason="sf0.1 scale probe half 2 — SPARK_GRAFT_SLOW=2|all")
 def test_all_oracle_queries_sf01_half2(spark):
     """Second half of the contract (spatial tail + the training-data
@@ -538,3 +539,177 @@ def test_contract_is_exactly_50_fully_oracled(contract):
         f"missing={sorted(set(queries) - set(oracles))} "
         f"extra={sorted(set(oracles) - set(queries))}")
     assert all(isinstance(s, str) and s.strip() for s in oracles.values())
+
+
+# ---------------------------------------------------------------------------
+# Synthetic big-SF tier (VERDICT r04 #4): the heaviest oracles at ~10x
+# sf0.1 (~sf1.0) to smoke out row-explosion bugs the small tiers can't
+# see — band-collision candidate growth in minhash/simhash is quadratic
+# in bucket size, and the x10 replication below deliberately creates
+# 10-member near-copy families (copy k appends ' v<k>') so every LSH
+# band bucket is 10x denser.  Deterministic, no external data: derived
+# from the sf0.1 fixtures per the BASELINE input hint.
+# ---------------------------------------------------------------------------
+
+_BIGSF_QUERIES = [
+    "dedup_minhash_lsh", "simhash_near_dup", "dedup_ngram_jaccard",
+    "dedup_incremental", "winnowing_fingerprint", "boilerplate_strip",
+    "corpus_filter_audit", "decontaminate", "repetition_stats",
+    "pack_chunks", "embedding_near_dup", "roundtrip_verify",
+]
+
+
+def _make_bigsf(tmpdir: str, factor: int = 10) -> str:
+    """Write a deterministic ~sf1.0 tier derived from sf0.1: every
+    table the heavy queries read, replicated ``factor`` times into
+    fresh id spaces.  Copies 0-2 of each document are NEAR-COPIES
+    (trailing ' v<k>' suffix — 3-member near-dup families that densify
+    every LSH band bucket 3x), copies 3+ are token-interleaved
+    rewrites (a copy-specific filler between every original token —
+    every shingle changes, Jaccard vs the base ~0) so corpus volume
+    grows 10x while pair volume grows linearly, not quadratically.
+    The all-near 10-member variant was measured too: parity held at
+    485,580 minhash pairs but the verify wall (125 s Spark / 424 s
+    DuckDB ngram) blows the probe budget — see PLANS.md."""
+    import os
+
+    src = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    # the interleaving filler is PER (base doc, copy) — a shared filler
+    # ('w3' in every copy-3 doc) made all 5000 copy-3 docs one simhash
+    # family: C(5000,2) pairs, a measured JVM OOM.  Distinct fillers
+    # keep copies >= 3 distinct from everything.
+    filler = "'w' || c.copy || 'x' || CAST(d.doc_id % 9973 AS VARCHAR)"
+    big_text = ("CASE WHEN c.copy = 0 THEN d.text "
+                "WHEN c.copy < 3 THEN d.text || ' v' || c.copy "
+                f"ELSE {filler} || ' ' || "
+                f"replace(d.text, ' ', ' ' || {filler} || ' ') END")
+    con.sql(f"""
+      COPY (
+        SELECT d.doc_id + c.copy * 1000000 AS doc_id,
+               {big_text} AS text,
+               d.lang, d.source,
+               length({big_text}) AS n_chars
+        FROM '{src}/documents.parquet' d,
+             (SELECT unnest(range({factor})) AS copy) c
+      ) TO '{tmpdir}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+      COPY (
+        SELECT e.vec_id + c.copy * 1000000 AS vec_id,
+               CAST(CASE WHEN c.copy < 3
+                    THEN list_transform(e.embedding, x -> x + c.copy * 0.001)
+                    ELSE list_transform(e.embedding,
+                         x -> sin(x * (c.copy * 7.0 + 1.0)))
+                    END AS FLOAT[]) AS embedding,
+               e.label
+        FROM '{src}/embeddings.parquet' e,
+             (SELECT unnest(range({factor})) AS copy) c
+      ) TO '{tmpdir}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+      COPY (
+        SELECT o.o_orderkey + c.copy * 10000000 AS o_orderkey,
+               o.o_custkey, o.o_orderstatus, o.o_totalprice,
+               o.o_orderdate, o.o_orderpriority
+        FROM '{src}/orders.parquet' o,
+             (SELECT unnest(range({factor})) AS copy) c
+      ) TO '{tmpdir}/orders.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("events", "region", "nation", "customer", "supplier",
+              "part", "lineitem"):
+        if os.path.exists(f"{src}/{t}.parquet"):
+            con.sql(f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                    f"TO '{tmpdir}/{t}.parquet' (FORMAT PARQUET)")
+    return tmpdir
+
+
+def _bigsf_oracle_df(con, name: str, sql: str):
+    """DuckDB arm for the big tier.  The dup-family oracles are STAGED
+    through temp tables built from the same `_from` builders the Spark
+    operators stage through persisted views: the single-statement
+    forms re-execute the tokenize/signature pipeline per CTE reference
+    in BOTH engines, and at 50k densified docs the DuckDB
+    single-statement minhash arm ran >7 min at 12+ GB RSS (measured)
+    while the staged twin computes its stages in ~3 s.  Values are
+    identical — staging only materializes; the sf0.01 driver gate
+    keeps exercising the single-statement forms."""
+    from jgdtrans_rs_spark.plans import webops as W
+    from jgdtrans_rs_spark.plans.textsql import DUCK as D
+
+    def tmp(t, body):
+        con.sql(f"DROP TABLE IF EXISTS {t}")
+        con.sql(f"CREATE TEMP TABLE {t} AS {body}")
+        return t
+
+    if name == "dedup_minhash_lsh":
+        s = tmp("_bs_mh_sints", W.minhash_sints_sql(D, "documents"))
+        g = tmp("_bs_mh_sigs", W.minhash_sigs_from(D, s))
+        return con.sql(W.minhash_pairs_from(D, g)).df()
+    if name == "simhash_near_dup":
+        g = tmp("_bs_sh_sigs", W.simhash_sigs_sql(D, "documents"))
+        return con.sql(W.simhash_pairs_from(D, g)).df()
+    if name == "dedup_ngram_jaccard":
+        b = tmp("_bs_ng_base", W.ngram_base_sql(D, "documents"))
+        return con.sql(W.ngram_pairs_from(D, b)).df()
+    if name == "winnowing_fingerprint":
+        b = tmp("_bs_win_base", W.winnowing_base_sql(D, "documents"))
+        return con.sql(W.winnowing_from(D, b)).df()
+    if name == "boilerplate_strip":
+        b = tmp("_bs_seg", W.boiler_segments_sql(D, "documents"))
+        return con.sql(W.boilerplate_from(D, b)).df()
+    if name == "decontaminate":
+        p = tmp("_bs_perdoc", W.decontaminate_perdoc_sql(D, "documents"))
+        return con.sql(f"WITH {W.decontaminate_from(D, p).lstrip()}").df()
+    if name == "corpus_filter_audit":
+        b = tmp("_bs_audit_base", W.corpus_audit_base_sql(D, "documents"))
+        return con.sql(W.corpus_filter_audit_from(D, b)).df()
+    if name == "dedup_incremental":
+        s = tmp("_bs_inc_sints", W.dedup_incremental_sints_sql(D, "documents"))
+        g = tmp("_bs_inc_sigs", W.dedup_incremental_sigs_from(D, s))
+        return con.sql(f"WITH {W.dedup_incremental_from(D, g, s).lstrip()}").df()
+    return con.sql(sql).df()
+
+
+@pytest.mark.skipif(_SLOW != "3",
+                    reason="synthetic big-SF tier — SPARK_GRAFT_SLOW=3")
+def test_heavy_oracles_bigsf(spark, tmp_path_factory):
+    """Run the 12 heaviest oracles at the synthetic ~sf1.0 tier with
+    full value parity and a per-query wall budget.  DuckDB runs on a
+    worker thread concurrently with Spark (the sf0.1 probe trick)."""
+    import threading
+    import time
+
+    import __spark_entry__ as m
+
+    big = _make_bigsf(str(tmp_path_factory.mktemp("bigsf")))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{big}/{t}.parquet'")
+    queries, oracles = m.queries(), m.oracle_sql()
+    timings: dict[str, float] = {}
+    for name in _BIGSF_QUERIES:
+        box: dict = {}
+        sql = oracles[name]
+
+        def duck_run():
+            try:
+                box["b"] = _bigsf_oracle_df(con, name, sql)
+            except BaseException as exc:
+                box["err"] = exc
+
+        th = threading.Thread(target=duck_run)
+        t0 = time.perf_counter()
+        th.start()
+        a = queries[name](spark, big).toPandas()
+        spark_s = time.perf_counter() - t0
+        th.join()
+        if "err" in box:
+            raise AssertionError(f"{name}@bigsf: oracle failed") from box["err"]
+        _compare(a, box["b"], f"{name}@bigsf")
+        timings[name] = round(spark_s, 1)
+        # a quadratic blow-up shows up as minutes, not seconds
+        assert spark_s < 150, (name, spark_s)
+        print(f"bigsf {name}: rows={len(a)} spark={spark_s:.1f}s", flush=True)
+    print("bigsf spark-wall sec:",
+          sorted(timings.items(), key=lambda kv: -kv[1]))
