@@ -10,16 +10,16 @@ output succeeds exactly:
   float bit view in SQL) — it only matters for inputs sitting within
   one ulp of a node boundary, which the deterministic synthetic inputs
   never do.
-* Newton DIVERGED-lane error attribution: the kernel's verify step
-  runs the reference's UNCHECKED MeshCode path (trans.rs:658 — an
-  iterate that left the domain fails as ParameterNotFound with a
-  digit-wrapped meshcode), while backward_newton_sql's per-iteration
-  corr uses the strict digits/validity, reporting such a lane as
-  OutOfBounds with no code.  Reachable ONLY when Newton diverges
-  (never on real corrections — they are ~1e-5 deg; the kernel is the
-  production/reference-parity path, and the documented divergence is
-  pytest-pinned on a crafted pathological grid,
-  test_newton_verify_unchecked_parity).
+* Newton DIVERGED-lane error attribution — CLOSED in round 5: the
+  verify corr of every iteration now runs the reference's UNCHECKED
+  MeshCode path in SQL too (corr_sql(newton_verify=True) over
+  digits_select_unchecked — saturating f64-as-u32, u32 wrap, as-u8
+  truncation), so an iterate that left the domain fails as
+  ParameterNotFound with the bit-identical digit-wrapped meshcode,
+  never OutOfBounds; the next iteration's checked prepare verdict
+  (kernel._rebound_cell) rides along as status_p/ec_p/eco_p.
+  Pinned on the crafted pathological grid by BOTH arms of
+  test_newton_verify_unchecked_parity (kernel + DuckDB SQL).
 * node degrees: the pinned two-step rounding ``t*(1/80) + (s*0.125 + f)``
   (coord.rs:322-326).
 * bilinear: ``sw*(mx*my) + (se*(x*my) + (nw*(mx*y) + ne*x*y))``
@@ -79,6 +79,68 @@ def grid_values(rows: list[tuple]) -> str:
 # ---------------------------------------------------------------------------
 # Mesh digit / meshcode fragments
 # ---------------------------------------------------------------------------
+
+def _u32sat(e: str) -> str:
+    """Rust's saturating ``f64 as u32`` of floor(e) as dual-dialect SQL
+    (mesh._floor_as_u32 twin): NaN -> 0, -inf/negative -> 0,
+    +inf/huge -> u32::MAX.  isnan() is the ONLY portable NaN test here
+    — both engines treat NaN as equal to itself AND greater than every
+    number, so neither ``e <> e`` nor ``e > 0`` can distinguish it."""
+    return (f"CAST(CASE WHEN isnan({e}) THEN 0.0e0 "
+            f"ELSE LEAST(GREATEST(floor({e}), 0.0e0), 4294967295.0e0) END AS BIGINT)")
+
+
+def _pm32(e: str) -> str:
+    """u32 wrap of an int64 expression (numpy ``% 2**32`` with
+    Python-sign semantics, mesh.value_to_digits twin): both engines'
+    native ``%`` follows the dividend's sign, so the wrap is explicit."""
+    return f"((({e}) % 4294967296 + 4294967296) % 4294967296)"
+
+
+def digits_select_unchecked(lat: str = "lat", lon: str = "lon",
+                            unit: int = 5) -> str:
+    """digits_select twin for the UNCHECKED MeshCode path
+    (code.rs:16-57 / mesh.value_to_digits out-of-domain semantics):
+    saturating f64-as-u32 casts, u32 wrap on the second/third digit
+    arithmetic, final as-u8 truncation (mod 256).  In-domain values
+    take none of the saturation/wrap branches, so checked and
+    unchecked digits agree wherever mesh_valid is true; mesh_valid
+    itself still tests the raw values (the Newton loop's REBOUND view
+    needs it for the next iteration's checked prepare)."""
+    third_lat = "(flat3r % 256)" if unit == 1 else "(CASE WHEN flat3r < 5 THEN 0 ELSE 5 END)"
+    third_lon = "(flon3r % 256)" if unit == 1 else "(CASE WHEN flon3r < 5 THEN 0 ELSE 5 END)"
+    return f"""
+      SELECT *,
+             {third_lat} AS lat3,
+             {third_lon} AS lon3,
+             (lat2u % 256) AS lat2,
+             (lon2u % 256) AS lon2,
+             (latv >= 0.0e0 AND latv < 100.0e0 AND {lon} >= 100.0e0 AND {lon} < 180.0e0) AS mesh_valid
+      FROM (
+        SELECT *,
+               (ilat % 100) AS lat1,
+               {_pm32(f"{_u32sat('80.0e0 * latv')} - 80 * ilat - 10 * lat2u")} AS flat3r,
+               (ilon % 100) AS lon1,
+               {_pm32(f"{_u32sat('80.0e0 * lonv')} - 80 * ilon - 10 * lon2u")} AS flon3r
+        FROM (
+          SELECT *,
+                 {_pm32(f"{_u32sat('8.0e0 * latv')} - 8 * ilat")} AS lat2u,
+                 {_pm32(f"{_u32sat('8.0e0 * lonv')} - 8 * ilon")} AS lon2u
+          FROM (
+            SELECT *,
+                   {_u32sat('latv')} AS ilat,
+                   {_u32sat('lonv')} AS ilon
+            FROM (
+              SELECT *,
+                     3.0e0 * {lat} / 2.0e0 AS latv,
+                     {lon} AS lonv
+              FROM __IN__
+            ) _v0
+          ) _i
+        ) _s
+      ) _d
+    """
+
 
 def digits_select(lat: str = "lat", lon: str = "lon", unit: int = 5) -> str:
     """SELECT-list fragment computing digit columns + validity for the
@@ -266,7 +328,8 @@ def _pipe(*stages: str) -> str:
 
 def corr_sql(input_rel: str, grid_rel: str, unit: int,
              lat: str = "lat", lon: str = "lon",
-             expose_params: bool = False) -> str:
+             expose_params: bool = False,
+             newton_verify: bool = False) -> str:
     """forward_corr (trans.rs:428-451) over ``input_rel`` (an aliased
     relation with ``lat``/``lon`` + passthrough columns), joined against
     ``grid_rel`` (un-aliased; columns meshcode, dlat_sec, dlon_sec,
@@ -274,19 +337,36 @@ def corr_sql(input_rel: str, grid_rel: str, unit: int,
 
     Emits the input columns + dlat_deg/dlon_deg/dalt_m (NULL unless
     OK) + status/err_meshcode/err_corner.
+
+    ``newton_verify=True`` is the UNCHECKED twin for the Newton verify
+    step (trans.rs:657-668 — kernel._resolve_cell with
+    bounds='unchecked'): digits come from digits_select_unchecked
+    (saturate + wrap, so a diverged iterate fails as ParameterNotFound
+    with the digit-WRAPPED meshcode, never OutOfBounds), the corner
+    joins probe regardless of validity, values are computed whenever
+    all four corners are found, and status/err_* carry the VERIFY
+    verdict (no OOB lane).  The CHECKED verdict for the next
+    iteration's prepare (kernel._rebound_cell) is additionally emitted
+    as status_p/ec_p/eco_p — OOB when out of bounds (no meshcode
+    attribution), else the same missing-corner classes (in-domain
+    unchecked digits equal checked digits, so those codes agree).
+    This closes the r03/r04 documented divergence: SQL-Newton now
+    reports diverged lanes exactly like the kernel
+    (test_newton_verify_unchecked_parity's SQL arm).
     """
+    dig = (digits_select_unchecked(lat, lon, unit) if newton_verify
+           else digits_select(lat, lon, unit))
     cells = _pipe(
-        digits_select(lat, lon, unit).replace("__IN__", input_rel),
+        dig.replace("__IN__", input_rel),
         corners_select(unit),
         position_select(lat, lon, unit),
     )
     b_lat = bilinear_expr("psw.dlat_sec", "pse.dlat_sec", "pnw.dlat_sec", "pne.dlat_sec")
     b_lon = bilinear_expr("psw.dlon_sec", "pse.dlon_sec", "pnw.dlon_sec", "pne.dlon_sec")
     b_alt = bilinear_expr("psw.dalt_m", "pse.dalt_m", "pnw.dalt_m", "pne.dalt_m")
-    ok = (
-        "c.mesh_valid AND psw.meshcode IS NOT NULL AND pse.meshcode IS NOT NULL "
-        "AND pnw.meshcode IS NOT NULL AND pne.meshcode IS NOT NULL"
-    )
+    found = ("psw.meshcode IS NOT NULL AND pse.meshcode IS NOT NULL "
+             "AND pnw.meshcode IS NOT NULL AND pne.meshcode IS NOT NULL")
+    ok = found if newton_verify else f"c.mesh_valid AND {found}"
     params_cols = ""
     if expose_params:
         # corner parameter values for the Newton Jacobian
@@ -296,32 +376,45 @@ def corr_sql(input_rel: str, grid_rel: str, unit: int,
         )
     # error priority: OOB, then first missing corner sw, se, nw, ne
     # (trans.rs:76-87)
+    pnf_status = """CASE WHEN psw.meshcode IS NULL OR pse.meshcode IS NULL
+                    OR pnw.meshcode IS NULL OR pne.meshcode IS NULL THEN 2
+                  ELSE 0 END"""
+    pnf_code = """CASE WHEN psw.meshcode IS NULL THEN c.sw_code
+                  WHEN pse.meshcode IS NULL THEN c.se_code
+                  WHEN pnw.meshcode IS NULL THEN c.nw_code
+                  WHEN pne.meshcode IS NULL THEN c.ne_code
+                  ELSE -1 END"""
+    pnf_corner = """CASE WHEN psw.meshcode IS NULL THEN 0
+                  WHEN pse.meshcode IS NULL THEN 1
+                  WHEN pnw.meshcode IS NULL THEN 2
+                  WHEN pne.meshcode IS NULL THEN 3
+                  ELSE -1 END"""
+    if newton_verify:
+        status_cols = f"""
+             CAST({pnf_status} AS INTEGER) AS status,
+             CAST({pnf_code} AS BIGINT) AS err_meshcode,
+             CAST({pnf_corner} AS INTEGER) AS err_corner,
+             CAST(CASE WHEN NOT c.mesh_valid THEN 1 ELSE {pnf_status} END AS INTEGER) AS status_p,
+             CAST(CASE WHEN NOT c.mesh_valid THEN -1 ELSE {pnf_code} END AS BIGINT) AS ec_p,
+             CAST(CASE WHEN NOT c.mesh_valid THEN -1 ELSE {pnf_corner} END AS INTEGER) AS eco_p"""
+        join_on = ""
+    else:
+        status_cols = f"""
+             CAST(CASE WHEN NOT c.mesh_valid THEN 1 ELSE {pnf_status} END AS INTEGER) AS status,
+             CAST(CASE WHEN NOT c.mesh_valid THEN -1 ELSE {pnf_code} END AS BIGINT) AS err_meshcode,
+             CAST(CASE WHEN NOT c.mesh_valid THEN -1 ELSE {pnf_corner} END AS INTEGER) AS err_corner"""
+        join_on = "c.mesh_valid AND "
     return f"""
       SELECT c.*{params_cols},
              CASE WHEN {ok} THEN {b_lat} / 3600.0e0 END AS dlat_deg,
              CASE WHEN {ok} THEN {b_lon} / 3600.0e0 END AS dlon_deg,
              CASE WHEN {ok} THEN {b_alt} END AS dalt_m,
-             CAST(CASE WHEN NOT c.mesh_valid THEN 1
-                  WHEN psw.meshcode IS NULL OR pse.meshcode IS NULL
-                    OR pnw.meshcode IS NULL OR pne.meshcode IS NULL THEN 2
-                  ELSE 0 END AS INTEGER) AS status,
-             CAST(CASE WHEN NOT c.mesh_valid THEN -1
-                  WHEN psw.meshcode IS NULL THEN c.sw_code
-                  WHEN pse.meshcode IS NULL THEN c.se_code
-                  WHEN pnw.meshcode IS NULL THEN c.nw_code
-                  WHEN pne.meshcode IS NULL THEN c.ne_code
-                  ELSE -1 END AS BIGINT) AS err_meshcode,
-             CAST(CASE WHEN NOT c.mesh_valid THEN -1
-                  WHEN psw.meshcode IS NULL THEN 0
-                  WHEN pse.meshcode IS NULL THEN 1
-                  WHEN pnw.meshcode IS NULL THEN 2
-                  WHEN pne.meshcode IS NULL THEN 3
-                  ELSE -1 END AS INTEGER) AS err_corner
+             {status_cols}
       FROM ({cells}) c
-      LEFT JOIN {grid_rel} AS psw(meshcode, dlat_sec, dlon_sec, dalt_m) ON c.mesh_valid AND psw.meshcode = c.sw_code
-      LEFT JOIN {grid_rel} AS pse(meshcode, dlat_sec, dlon_sec, dalt_m) ON c.mesh_valid AND pse.meshcode = c.se_code
-      LEFT JOIN {grid_rel} AS pnw(meshcode, dlat_sec, dlon_sec, dalt_m) ON c.mesh_valid AND pnw.meshcode = c.nw_code
-      LEFT JOIN {grid_rel} AS pne(meshcode, dlat_sec, dlon_sec, dalt_m) ON c.mesh_valid AND pne.meshcode = c.ne_code
+      LEFT JOIN {grid_rel} AS psw(meshcode, dlat_sec, dlon_sec, dalt_m) ON {join_on}psw.meshcode = c.sw_code
+      LEFT JOIN {grid_rel} AS pse(meshcode, dlat_sec, dlon_sec, dalt_m) ON {join_on}pse.meshcode = c.se_code
+      LEFT JOIN {grid_rel} AS pnw(meshcode, dlat_sec, dlon_sec, dalt_m) ON {join_on}pnw.meshcode = c.nw_code
+      LEFT JOIN {grid_rel} AS pne(meshcode, dlat_sec, dlon_sec, dalt_m) ON {join_on}pne.meshcode = c.ne_code
     """
 
 
@@ -384,6 +477,16 @@ STATE_COLS = ("q_lat, q_lon, q_alt, done, st, e_code, e_corner, "
 # a corr_sql(expose_params=True) output
 PREP_COLS = """dlat_deg AS corr_y, dlon_deg AS corr_x,
              status AS st1, err_meshcode AS ec1, err_corner AS eco1,
+             sw_lat_sec AS swla, se_lat_sec AS sela,
+             nw_lat_sec AS nwla, ne_lat_sec AS nela,
+             sw_lon_sec AS swlo, se_lon_sec AS selo,
+             nw_lon_sec AS nwlo, ne_lon_sec AS nelo"""
+
+# the verify corr's next-prepare verdict is the CHECKED (rebound) view
+# — status_p/ec_p/eco_p (kernel._rebound_cell), while status/err_*
+# carry the unchecked verify verdict consumed in this iteration
+PREP_COLS_V = """dlat_deg AS corr_y, dlon_deg AS corr_x,
+             status_p AS st1, ec_p AS ec1, eco_p AS eco1,
              sw_lat_sec AS swla, se_lat_sec AS sela,
              nw_lat_sec AS nwla, ne_lat_sec AS nela,
              sw_lon_sec AS swlo, se_lon_sec AS selo,
@@ -481,8 +584,11 @@ def _newton_iteration(grid_rel: str, unit: int, key: str, i: int) -> str:
                   ELSE xn - (fy_y * fx - fx_y * fy) / (fx_x * fy_y + (-fx_y) * fy_x) END AS xn
       FROM ({jac}) _u{i}
     """
+    # verification corr is UNCHECKED (trans.rs:658, kernel parity):
+    # diverged iterates fail as ParameterNotFound with wrapped codes;
+    # the carried next-prepare verdict (st1) is the rebound CHECKED one
     c2 = corr_sql(f"(SELECT *, yn AS lat, xn AS lon FROM ({upd}) _p{i}) _pl{i}",
-                  grid_rel, unit, expose_params=True)
+                  grid_rel, unit, expose_params=True, newton_verify=True)
     return f"""
       SELECT {key}, q_lat, q_lon, q_alt, yn, xn,
              (done OR st1 <> 0 OR status <> 0 OR _conv) AS done,
@@ -498,7 +604,7 @@ def _newton_iteration(grid_rel: str, unit: int, key: str, i: int) -> str:
              CASE WHEN _conv THEN -dlat_deg ELSE o_dlat END AS o_dlat,
              CASE WHEN _conv THEN -dlon_deg ELSE o_dlon END AS o_dlon,
              CASE WHEN _conv THEN -dalt_m ELSE o_dalt END AS o_dalt,
-             {PREP_COLS}
+             {PREP_COLS_V}
       FROM (
         SELECT *, (NOT done AND st1 = 0 AND status = 0
                    AND abs(q_lat - (yn + dlat_deg)) < 5e-14

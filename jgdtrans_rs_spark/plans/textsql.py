@@ -128,7 +128,15 @@ def minhash_exprs(sints: str, d: str) -> list[str]:
     return out
 
 
-SIMHASH_BITS = 32  # 16-bit fingerprints birthday-collide at ~300 docs
+# 60 bits = 4 bands x 15 bits: the band join's bucket count is
+# 2^band_bits, and candidate volume grows O(n^2 / 2^band_bits) — with
+# the old 32-bit/8-bit-band geometry the 256 buckets per band produced
+# 489M candidate pairs at just 67k docs (measured, round-5 big-SF
+# tier), a hard scale wall long before 100 TB.  15-bit bands give 32k
+# buckets (128x fewer collisions); 60 bits still fits BIGINT with
+# headroom and the tau<=3 4-band pigeonhole guarantee is unchanged.
+# (16-bit fingerprints birthday-collide at ~300 docs; 32-bit at ~80k.)
+SIMHASH_BITS = 60
 
 
 def simhash_expr(tids: str, d: str, bits: int = SIMHASH_BITS) -> str:

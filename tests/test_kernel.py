@@ -271,3 +271,21 @@ def test_newton_verify_unchecked_parity():
     code = int(c.err_meshcode[0])
     assert (code // 10_000) % 100 == 77, code  # wrapped lon first digit
     assert code // 1_000_000 == 54          # latitude digits unchanged
+
+    # the SQL twin reports the SAME diverged-lane verdict (round 5 —
+    # closes the r03/r04 documented SQL-vs-kernel divergence): the
+    # verify corr runs over saturate+wrap unchecked digits
+    # (oracle.digits_select_unchecked), so the lane fails PNF with the
+    # bit-identical wrapped meshcode, never OOB.
+    import duckdb
+
+    from jgdtrans_rs_spark.plans import oracle as osql
+
+    gv = osql.grid_values(grid.to_rows())
+    sql = osql.backward_newton_sql(
+        "(SELECT 1 AS pkey, 36.1003e0 AS lat, 140.0878e0 AS lon, "
+        "0.0e0 AS alt) _in", gv, grid.mesh_unit)
+    row = duckdb.sql(sql).df().iloc[0]
+    assert int(row["status"]) == kernel.STATUS_PARAMETER_NOT_FOUND
+    assert int(row["err_meshcode"]) == code
+    assert int(row["err_corner"]) == kernel.CORNER_SW

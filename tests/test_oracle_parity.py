@@ -555,8 +555,17 @@ _BIGSF_QUERIES = [
     "dedup_minhash_lsh", "simhash_near_dup", "dedup_ngram_jaccard",
     "dedup_incremental", "winnowing_fingerprint", "boilerplate_strip",
     "corpus_filter_audit", "decontaminate", "repetition_stats",
-    "pack_chunks", "embedding_near_dup", "roundtrip_verify",
+    "pack_chunks", "ann_lsh_topk", "ann_cosine_topk", "roundtrip_verify",
 ]
+# NOT in the tier (no silent caps — say what was dropped and why):
+# * embedding_near_dup — its full-replication oracle is a single
+#   statement with no staged `_from` builder; at 20k vectors the
+#   DuckDB arm re-executes the augmentation+signature CTEs per
+#   reference and ran >13 min (measured).  The operator's dense-tier
+#   behavior is covered by the dedup band-join probes above and by
+#   its own sf0.01 oracle + recall gates.
+# * ann_ivf_topk — its oracle pins data-fingerprint-keyed recall
+#   constants that only exist for the three driver fixtures.
 
 
 def _make_bigsf(tmpdir: str, factor: int = 10) -> str:
@@ -575,15 +584,24 @@ def _make_bigsf(tmpdir: str, factor: int = 10) -> str:
 
     src = "/root/testdata/sf0.1"
     con = duckdb.connect()
-    # the interleaving filler is PER (base doc, copy) — a shared filler
-    # ('w3' in every copy-3 doc) made all 5000 copy-3 docs one simhash
-    # family: C(5000,2) pairs, a measured JVM OOM.  Distinct fillers
-    # keep copies >= 3 distinct from everything.
-    filler = "'w' || c.copy || 'x' || CAST(d.doc_id % 9973 AS VARCHAR)"
+    # copies >= 3 are alphabet-ROTATED (translate by copy index):
+    # every token changes, so the rewrite shares no shingles with the
+    # base and keeps a normal token distribution.  Two rejected
+    # designs, both measured: a shared interleaving filler ('w3' in
+    # every copy-3 doc) made all 5000 copy-3 docs one simhash family
+    # (C(5000,2) pairs, JVM OOM); per-doc fillers still left every
+    # rewrite DOMINATED by one repeated token, so its simhash
+    # collapsed to the filler's hash bits — 5994-member clusters,
+    # 46.9M hamming<=1 pairs (the keyword-stuffing degeneracy, real
+    # but not what this tier is for).
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rot_arms = " ".join(
+        f"WHEN c.copy = {k} THEN translate(d.text, '{alpha}', "
+        f"'{alpha[k:] + alpha[:k]}')"
+        for k in range(3, factor))
     big_text = ("CASE WHEN c.copy = 0 THEN d.text "
                 "WHEN c.copy < 3 THEN d.text || ' v' || c.copy "
-                f"ELSE {filler} || ' ' || "
-                f"replace(d.text, ' ', ' ' || {filler} || ' ') END")
+                f"{rot_arms} ELSE d.text END")
     con.sql(f"""
       COPY (
         SELECT d.doc_id + c.copy * 1000000 AS doc_id,
