@@ -23,8 +23,17 @@ SEMIDYNA = {
 def spark():
     from pyspark.sql import SparkSession
 
+    builder = SparkSession.builder.master("local[4]")
+    if os.environ.get("SPARK_GRAFT_SLOW"):
+        # the scale probes (sf0.1 halves, big-SF tier) collect
+        # million-row results and join dense dup families — the 1g
+        # default driver heap OOMs there; the gate only fires in
+        # probe-only pytest processes, so the bump never affects the
+        # regular suite
+        builder = (SparkSession.builder.master("local[8]")
+                   .config("spark.driver.memory", "8g"))
     s = (
-        SparkSession.builder.master("local[4]")
+        builder
         .appName("jgdtrans_rs_spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
