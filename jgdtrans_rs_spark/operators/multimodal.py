@@ -197,7 +197,10 @@ def decode_pnm_np(buf: bytes):
             if len(samples) < count:
                 return None
             img = np.array([int(s) for s in samples[:count]], dtype=np.int64)
-        except ValueError:
+        except (ValueError, OverflowError):
+            # OverflowError: a token wider than int64 (e.g. a 20-digit
+            # run in a corrupt payload) must dead-letter like any other
+            # malformed sample, not kill the Arrow task
             return None
         if img.min() < 0 or img.max() > maxval:
             return None

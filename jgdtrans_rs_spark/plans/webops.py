@@ -497,10 +497,20 @@ def simhash_pairs_from(d: str, sigs_rel: str, tau: int = 1) -> str:
     measured 26 s -> ~2 s at 5k docs)."""
     assert tau <= 3, "4-band pigeonhole guarantee only holds for tau <= 3"
     band_bits = T.SIMHASH_BITS // 4
+    # Band extraction MUST stay in integer space: the former
+    # float-division form (floor(simhash / 2^s.0e0)) promotes the
+    # 60-bit fingerprint to DOUBLE, whose ulp near 2^60 is 64 — a
+    # fingerprint >= 2^53 is rounded BEFORE banding, so a Hamming-1
+    # pair could share zero computed bands and the candidate join
+    # silently dropped true near-dups.  Both engines shared the bug,
+    # so parity could never catch it (round-5 self-review).
+    mask = (1 << band_bits) - 1
     bands = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, "
-        f"CAST(floor(simhash / {1 << (band_bits * b)}.0e0) AS BIGINT) % {1 << band_bits} "
-        f"AS nib FROM sigs"
+        + (f"(shiftright(simhash, {band_bits * b}) & {mask}) "
+           if d == SPARK else
+           f"((simhash >> {band_bits * b}) & {mask}) ")
+        + "AS nib FROM sigs"
         for b in range(4)
     )
     return f"""

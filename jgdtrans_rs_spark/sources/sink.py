@@ -105,13 +105,35 @@ def hot_codes_from_manifests(out_dir: str, spark: SparkSession | None = None,
     reads the hot set from the manifests with ZERO passes over the
     data.  Codes whose recorded count exceeds ``threshold`` are
     returned sorted; -1 (untiled/error rows) is never a join key and
-    is excluded."""
-    hot = {
-        int(code)
-        for m in read_manifests(out_dir, spark)
-        for code, n in m.get("top_tiles", [])
-        if int(n) > threshold and int(code) != -1
-    }
+    is excluded.
+
+    The manifests record only the top-N tiles per group, and that cap
+    must not be silent: a group's hidden tiles all have counts <= the
+    smallest RECORDED count (top-N is by count), so the hot set is
+    provably complete whenever each truncated group's smallest
+    recorded count is <= ``threshold``.  When a truncated group's
+    recorded floor is still above the threshold, hotter-than-threshold
+    tiles may be hidden — that exact condition raises a warning naming
+    the groups (re-run the sink with a larger ``top_tiles`` or use
+    ``spatial.skew_topk`` for a full pass)."""
+    hot: set[int] = set()
+    suspect: list[int] = []
+    for m in read_manifests(out_dir, spark):
+        tiles = m.get("top_tiles", [])
+        hot.update(int(code) for code, n in tiles
+                   if int(n) > threshold and int(code) != -1)
+        truncated = int(m.get("n_tiles", len(tiles))) > len(tiles)
+        if truncated and tiles and min(int(n) for _, n in tiles) > threshold:
+            suspect.append(int(m["bucket_group"]))
+    if suspect:
+        import warnings
+
+        warnings.warn(
+            f"hot_codes_from_manifests({out_dir}): groups {sorted(suspect)} "
+            f"were truncated at top_tiles with every recorded count above "
+            f"threshold={threshold}; hotter-than-threshold tiles may be "
+            f"missing — raise top_tiles at write time or run a full "
+            f"skew_topk pass", stacklevel=2)
     return sorted(hot)
 
 
@@ -181,40 +203,61 @@ def run_checkpointed(df: DataFrame, out_dir: str, mesh_col: str = "meshcode",
         .parquet(data_dir)
     )
 
-    # metrics pass over the written output (2-column columnar scan)
+    # metrics pass over the written output: ONE columnar scan feeds
+    # both the status counts and the top-tile skew statistics (the
+    # finest-grain aggregate is computed once and both rollups derive
+    # from it distributedly — at 100 TB a second full scan per sink
+    # run is real wasted IO, round-5 self-review)
     has_status = status_col in df.columns
     group_cols = ["bucket_group"] + ([status_col] if has_status else [])
     # explicit schema: an all-empty pending write leaves only _SUCCESS
     # in data_dir, where schema inference would fail — with the schema
     # given, the read yields an empty frame and zero-row manifests
-    counts = (
+    read = (
         spark.read.schema(part.schema).parquet(data_dir)
         .filter(F.col("bucket_group").isin(pending))
-        .groupBy(*group_cols).count().collect()
     )
+    want_tiles = bool(top_tiles) and mesh_col in df.columns
+    tiles_by_group: dict[int, list[list[int]]] = {g: [] for g in pending}
+    n_tiles_by_group: dict[int, int] = {g: 0 for g in pending}
+    if want_tiles:
+        from pyspark.sql.window import Window
+
+        base = (
+            read.groupBy(*group_cols, mesh_col).count()
+            .persist()
+        )
+        counts = (
+            base.groupBy(*group_cols)
+            .agg(F.sum("count").alias("count")).collect()
+        )
+        w = Window.partitionBy("bucket_group").orderBy(
+            F.desc("count"), mesh_col)
+        per_tile = (
+            base.groupBy("bucket_group", mesh_col)
+            .agg(F.sum("count").alias("count"))
+        )
+        tile_rows = (
+            per_tile.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= top_tiles)
+            .collect()
+        )
+        # distinct-tile count per group: lets the read side decide
+        # whether the top-N list was truncated (and whether that
+        # truncation can hide a hot tile) — no silent caps
+        for r in per_tile.groupBy("bucket_group").count().collect():
+            n_tiles_by_group[int(r["bucket_group"])] = int(r["count"])
+        base.unpersist()
+        for r in tile_rows:
+            tiles_by_group[int(r["bucket_group"])].append(
+                [int(r[mesh_col]), int(r["count"])])
+    else:
+        counts = read.groupBy(*group_cols).count().collect()
     by_group: dict[int, dict[int, int]] = {g: {} for g in pending}
     for r in counts:
         g = int(r["bucket_group"])
         s = int(r[status_col]) if has_status else 0
         by_group[g][s] = by_group[g].get(s, 0) + int(r["count"])
-
-    tiles_by_group: dict[int, list[list[int]]] = {g: [] for g in pending}
-    if top_tiles and mesh_col in df.columns:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("bucket_group").orderBy(
-            F.desc("count"), mesh_col)
-        tile_rows = (
-            spark.read.schema(part.schema).parquet(data_dir)
-            .filter(F.col("bucket_group").isin(pending))
-            .groupBy("bucket_group", mesh_col).count()
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= top_tiles)
-            .collect()
-        )
-        for r in tile_rows:
-            tiles_by_group[int(r["bucket_group"])].append(
-                [int(r[mesh_col]), int(r["count"])])
 
     written = []
     wall_ts = time.time()
@@ -227,6 +270,7 @@ def run_checkpointed(df: DataFrame, out_dir: str, mesh_col: str = "meshcode",
             "n_ok": by_status.get(0, 0) if has_status else rows,
             "status_counts": by_status if has_status else {},
             "top_tiles": tiles_by_group.get(g, []),
+            "n_tiles": n_tiles_by_group.get(g, 0),
             "wall_ts": wall_ts,
         }
         _write_manifest(out_dir, manifest, spark)

@@ -695,3 +695,34 @@ def test_hot_codes_from_manifests_feeds_salted_join(spark, engine, points, tmp_p
     want = spatial.point_in_polygon(points, polys).toPandas()
     assert (set(map(tuple, got[["pkey", "poly_id"]].itertuples(index=False)))
             == set(map(tuple, want[["pkey", "poly_id"]].itertuples(index=False))))
+
+
+def test_hot_codes_truncation_is_loud(spark, tmp_path):
+    """The manifests' top-N tile cap must never be a SILENT performance
+    cliff: when a group records fewer tiles than it holds (n_tiles >
+    len(top_tiles)) AND every recorded count is above the read-side
+    threshold, hotter-than-threshold tiles may be hidden — exactly that
+    condition warns.  When the recorded floor is <= threshold the hot
+    set is provably complete (hidden tiles are all <= the floor) and no
+    warning fires."""
+    import warnings
+
+    # 3 tiles, all congruent mod 4 -> one group holds all of them; the
+    # cap of 1 must truncate and say so (counts 30/20/10 rows)
+    rows = [(i, code, 0) for code, n in ((54400000, 30), (54400004, 20),
+                                         (54400008, 10))
+            for i in range(n)]
+    tiled = spark.createDataFrame(
+        rows, "pkey long, meshcode long, status int")
+    out_dir = str(tmp_path / "trunc_sink")
+    ms = sink.run_checkpointed(tiled, out_dir, n_groups=4, top_tiles=1)
+    assert all("n_tiles" in m for m in ms)
+    assert any(m["n_tiles"] > len(m["top_tiles"]) for m in ms)
+    # threshold below every recorded count -> incomplete-set hazard
+    with pytest.warns(UserWarning, match="truncated at top_tiles"):
+        sink.hot_codes_from_manifests(out_dir, spark, threshold=0)
+    # threshold at/above the recorded floor -> provably complete, quiet
+    floor = min(n for m in ms for _, n in m["top_tiles"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sink.hot_codes_from_manifests(out_dir, spark, threshold=floor)

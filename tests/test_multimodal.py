@@ -197,6 +197,9 @@ def test_decode_pnm_real(spark):
         (5, b"P6\n3 2\n255\n" + raster[:-1]),      # truncated raster
         (6, b"P6\n3 2\n65535\n" + raster),          # 16-bit: unsupported
         (7, b"P7 arbitrary"), (8, None),
+        # ASCII sample wider than int64: OverflowError (NOT a
+        # ValueError subclass) must dead-letter, not kill the task
+        (9, b"P2 1 1 255 99999999999999999999"),
     ]
     df = spark.createDataFrame(rows, "pkey long, html binary")
     out = {r.pkey: r.pixels for r in
@@ -208,7 +211,7 @@ def test_decode_pnm_real(spark):
     assert list(out[2].pixels) == flat_gray
     assert list(out[3].pixels) == flat_rgb and out[3].channels == 3
     assert list(out[4].pixels) == flat_gray and out[4].channels == 1
-    for k in (5, 6, 7, 8):
+    for k in (5, 6, 7, 8, 9):
         assert out[k].width is None and out[k].pixels is None
     # numpy kernel direct: P5 16-bit and header-garbage rejected
     assert multimodal.decode_pnm_np(b"P5 3 2 999 " + b"\x00" * 12) is None

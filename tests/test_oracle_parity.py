@@ -254,6 +254,31 @@ def test_simhash_pairs_recall_exact_copies(spark):
     assert exact <= got0
 
 
+def test_simhash_band_extraction_exact_above_2_53(spark, duck):
+    """Band keys must be computed in INTEGER space.  The former
+    float-division band extraction (floor(simhash / 2^s.0e0)) promoted
+    the 60-bit fingerprint to DOUBLE (ulp 64 near 2^60): this
+    Hamming-1 pair at the top of the space then shared ZERO computed
+    bands and the candidate join silently missed it — in BOTH engines
+    identically, so the parity gate could never catch it (round-5
+    self-review find).  Pins the shiftright/& form in both dialects."""
+    from jgdtrans_rs_spark.plans import webops
+    from jgdtrans_rs_spark.plans.textsql import DUCK as DK
+    from jgdtrans_rs_spark.plans.textsql import SPARK as SP
+
+    a = (1 << 60) - 64  # rounds UP to 2^60 as a double
+    b = a ^ 64          # exactly representable; Hamming distance 1
+    lit = (f"SELECT CAST(1 AS BIGINT) AS doc_id, "
+           f"CAST({a} AS BIGINT) AS simhash "
+           f"UNION ALL SELECT CAST(2 AS BIGINT), CAST({b} AS BIGINT)")
+    for d, run in ((SP, lambda q: spark.sql(q).toPandas()),
+                   (DK, lambda q: duck.sql(q).df())):
+        pairs = run(webops.simhash_pairs_from(d, f"({lit})"))
+        got = {(int(r.doc_a), int(r.doc_b), int(r.hamming))
+               for r in pairs.itertuples(index=False)}
+        assert (1, 2, 1) in got, (d, got)
+
+
 def test_ann_zero_norm_vector_never_ranks(spark):
     """A zero-norm embedding produces NaN cosines; it must never enter
     the top-k (Spark sorts NaN above every double, so an unguarded
@@ -692,7 +717,7 @@ def _bigsf_oracle_df(con, name: str, sql: str):
 @pytest.mark.skipif(_SLOW != "3",
                     reason="synthetic big-SF tier — SPARK_GRAFT_SLOW=3")
 def test_heavy_oracles_bigsf(spark, tmp_path_factory):
-    """Run the 12 heaviest oracles at the synthetic ~sf1.0 tier with
+    """Run the 13 heaviest oracles at the synthetic ~sf1.0 tier with
     full value parity and a per-query wall budget.  DuckDB runs on a
     worker thread concurrently with Spark (the sf0.1 probe trick)."""
     import threading
