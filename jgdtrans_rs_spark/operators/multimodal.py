@@ -12,12 +12,15 @@ with typed metadata, per the training-data-pipeline requirements:
 * ``sample_offsets`` — deterministic "frame sampling": n evenly
   spaced byte offsets per payload (the video-frame-sampling shape
   without a video decoder).
-* ``decode_image`` — the genuine decode step: uncompressed 24-bit
-  BMP is implemented FROM SCRATCH in numpy (``decode_bmp_np`` — no
-  codec library needed), with undecodable payloads yielding NULL
-  struct fields instead of failing the job; compressed formats
-  (png/jpeg) need an imaging library absent from this container and
-  stay stubbed behind an import guard with the identical plumbing.
+* ``decode_image`` — the genuine decode step, all FROM SCRATCH with
+  no codec library: uncompressed 24-bit BMP (``decode_bmp_np``), the
+  Netpbm family (``decode_pnm_np``), and — since PNG's only
+  compression is stdlib-``zlib`` DEFLATE — real compressed PNG
+  (``decode_png_np``: chunk walk, CRC verify, inflate, scanline
+  filter reconstruction).  Undecodable payloads yield NULL struct
+  fields instead of failing the job; jpeg (entropy coding needs a
+  real codec) stays stubbed behind an import guard with the
+  identical plumbing.
 """
 
 from __future__ import annotations
@@ -208,34 +211,148 @@ def decode_pnm_np(buf: bytes):
     return np.ascontiguousarray(img.reshape(h, w, channels))
 
 
+def decode_png_np(buf: bytes):
+    """From-scratch PNG decoder — the 'compressed image decode'
+    gap closed without a codec library: PNG's only compression is
+    DEFLATE, and ``zlib`` is in the Python stdlib, so the full
+    chunk-walk + inflate + per-scanline filter reconstruction is
+    implementable from the spec (RFC 2083 / W3C PNG).
+
+    Supported: 8-bit-per-sample, non-interlaced greyscale (color type
+    0), RGB (2), grey+alpha (4), RGBA (6) — i.e. everything except
+    palette, 16-bit, and Adam7, which return None like any other
+    unsupported payload.  Chunk CRCs are verified (a corrupt chunk is
+    a dead letter, not a crash); IDAT may span multiple chunks.
+
+    Returns (H, W, C) uint8 with C in {1, 2, 3, 4}, or None.
+
+    Performance note: filter types 0 (None), 1 (Sub) and 2 (Up)
+    reconstruct fully vectorized (Sub is a per-lane prefix sum mod
+    256); 3 (Average) and 4 (Paeth) are inherently serial along the
+    scanline and fall back to a per-pixel loop — per-payload codec
+    work like the BMP row handling, acceptable for the pipeline
+    plumbing this implements; a production deployment would swap in a
+    native codec behind the same kernel signature."""
+    import zlib
+
+    if buf is None or len(buf) < 57:  # magic + IHDR + empty IDAT + IEND
+        return None
+    buf = bytes(buf)
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, n = 8, len(buf)
+    w = h = ctype = None
+    idat = []
+    while pos + 12 <= n:
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = buf[pos + 4:pos + 8]
+        data_end = pos + 8 + ln
+        if data_end + 4 > n:
+            return None  # truncated chunk (or CRC cut off)
+        data = buf[pos + 8:data_end]
+        crc = int.from_bytes(buf[data_end:data_end + 4], "big")
+        if zlib.crc32(buf[pos + 4:data_end]) & 0xFFFFFFFF != crc:
+            return None  # corrupt chunk -> dead letter
+        if typ == b"IHDR":
+            if ln != 13 or w is not None:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, comp, filt, interlace = data[8:13]
+            if comp != 0 or filt != 0 or interlace != 0:
+                return None  # Adam7 / nonstandard out of scope
+            if depth != 8 or ctype not in (0, 2, 4, 6):
+                return None  # palette / 16-bit out of scope
+            if w <= 0 or h <= 0 or w * h > (1 << 26):
+                return None  # decompression-bomb guard
+        elif typ == b"IDAT":
+            if w is None:
+                return None  # IDAT before IHDR
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos = data_end + 4
+    if w is None or not idat:
+        return None
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    if (ftypes > 4).any():
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        line = raw[y, 1:]
+        f = int(ftypes[y])
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 1:
+            # Sub: rec[x] = line[x] + rec[x-bpp]  ==  per-lane prefix
+            # sum mod 256 (uint8 cumsum wraps exactly like the spec's
+            # mod-256 arithmetic after casting through int64)
+            lanes = line.reshape(w, bpp).astype(np.int64)
+            out[y] = (np.cumsum(lanes, axis=0) & 0xFF).astype(
+                np.uint8).reshape(stride)
+        elif f == 2:
+            out[y] = line + prev  # uint8 wraps = mod 256
+        else:
+            rec = out[y]
+            pv = prev.astype(np.int64)
+            ln_ = line.astype(np.int64)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(pv[x])
+                if f == 3:  # Average
+                    pred = (a + b) >> 1
+                else:       # Paeth
+                    c = int(pv[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                rec[x] = (ln_[x] + pred) & 0xFF
+    return np.ascontiguousarray(out.reshape(h, w, channels))
+
+
 def decode_image(df: DataFrame, col: str = "html", out: str = "pixels",
                  format: str = "bmp") -> DataFrame:
     """Image decode as a vectorized Arrow kernel.
 
-    The uncompressed family is fully implemented from scratch
-    (no codec library): ``format='bmp'`` (decode_bmp_np, 24-bit
-    BI_RGB) and ``format='pnm'``/``'ppm'``/``'pgm'`` (decode_pnm_np,
-    Netpbm P6/P5 binary + P3/P2 ASCII).  Adds a struct column (width,
-    height, channels, pixels) with pixels the row-major flattened
-    samples as doubles; payloads that don't decode yield a NULL-field
-    struct (errors are data, like the transform kernels' status
-    columns — a corrupt image must not kill a 10^12-row job).
-    Compressed formats (png/jpeg/...) require an imaging library that
-    is not in this container and stay stubbed behind the import guard
-    with the identical plumbing."""
+    Implemented from scratch (no codec library): ``format='bmp'``
+    (decode_bmp_np, 24-bit BI_RGB), ``format='pnm'``/``'ppm'``/
+    ``'pgm'`` (decode_pnm_np, Netpbm P6/P5 binary + P3/P2 ASCII),
+    and ``format='png'`` (decode_png_np — stdlib-zlib inflate +
+    filter reconstruction, so even the compressed format is real).
+    Adds a struct column (width, height, channels, pixels) with
+    pixels the row-major flattened samples as doubles; payloads that
+    don't decode yield a NULL-field struct (errors are data, like the
+    transform kernels' status columns — a corrupt image must not kill
+    a 10^12-row job).  jpeg (arithmetic/Huffman entropy coding) needs
+    an imaging library that is not in this container and stays
+    stubbed behind the import guard with the identical plumbing."""
     if format in ("pnm", "ppm", "pgm"):
         kernel_np = decode_pnm_np
     elif format == "bmp":
         kernel_np = decode_bmp_np
+    elif format == "png":
+        kernel_np = decode_png_np
     else:
         try:
             import PIL.Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
                 f"{format} decode requires PIL/cv2 (absent in this sandbox); "
-                "the uncompressed family (format='bmp'/'pnm'/'ppm'/'pgm') "
-                "is implemented from scratch, and "
-                "byte_histogram_features is the deterministic stand-in"
+                "bmp/pnm/ppm/pgm AND png (stdlib-zlib inflate) are "
+                "implemented from scratch, and byte_histogram_features "
+                "is the deterministic stand-in"
             ) from exc
         raise NotImplementedError("wire PIL decode kernel here")
 

@@ -43,6 +43,30 @@ def ann_brute_topk(spark: SparkSession, embeddings: str = "embeddings",
     return spark.sql(webops.ann_topk_sql(SPARK, embeddings, n_queries, k))
 
 
+def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Modal vector length over a bounded (1024-row) prefix sample —
+    one tiny job, never a full pass.  This backs the operators'
+    ``dim=None`` default: previously ``dim`` defaulted to 64, so a
+    caller with (say) 768-dim embeddings who didn't pass it got EVERY
+    vector tagged wrong-length (sentinel bucket -1) and silently empty
+    results.  An explicit ``dim=`` still wins; mixed-length corpora
+    resolve to the most common length (ties to the smaller) and the
+    minority lengths keep the documented sentinel policy."""
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("_d"))
+        .filter(F.col("_d") > 0)
+        .limit(1024)
+        .groupBy("_d").count()
+        .orderBy(F.desc("count"), F.asc("_d")).take(1)
+    )
+    if not rows:
+        raise ValueError(
+            f"infer_dim: no non-empty '{vec_col}' vectors to sample — "
+            f"pass dim= explicitly")
+    return int(rows[0]["_d"])
+
+
 def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     # single source of truth with the DuckDB oracle's hyperplane
     # literals (webops._lsh_planes_values) — one generator, two
@@ -50,8 +74,8 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return webops.lsh_planes(dim, n_planes, seed)
 
 
-def signature_buckets(df: DataFrame, dim: int = 64, n_planes: int = 12,
-                      n_tables: int = 1,
+def signature_buckets(df: DataFrame, dim: int | None = None,
+                      n_planes: int = 12, n_tables: int = 1,
                       vec_col: str = "embedding") -> DataFrame:
     """Add LSH (table, bucket) rows: per table, sign bits against that
     table's fixed hyperplanes packed into an int (one output row per
@@ -69,6 +93,8 @@ def signature_buckets(df: DataFrame, dim: int = 64, n_planes: int = 12,
     re-rank drops them anyway) instead of crashing the batch or — the
     subtler failure — tripping the result-length check when a whole
     batch is degenerate."""
+    if dim is None:
+        dim = infer_dim(df, vec_col)
     all_planes = [_planes(dim, n_planes, seed=42 + 101 * t) for t in range(n_tables)]
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -121,7 +147,7 @@ def _rank_topk(joined: DataFrame, k: int, vec_col: str, id_col: str) -> DataFram
 
 
 def ann_lsh_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
-                 dim: int = 64, n_planes: int = 4, n_tables: int = 8,
+                 dim: int | None = None, n_planes: int = 4, n_tables: int = 8,
                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Approximate top-k: candidates = union over hash tables of the
     query's bucket, exact cosine re-rank on the (deduplicated)
@@ -156,7 +182,8 @@ def ann_lsh_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
     return _rank_topk(joined, k, vec_col, id_col)
 
 
-def train_ivf_centroids(df: DataFrame, n_lists: int = 8, dim: int = 64,
+def train_ivf_centroids(df: DataFrame, n_lists: int = 8,
+                        dim: int | None = None,
                         sample_rows: int = 2000, iters: int = 10,
                         vec_col: str = "embedding", id_col: str = "vec_id",
                         seed: int = 42) -> np.ndarray:
@@ -169,6 +196,8 @@ def train_ivf_centroids(df: DataFrame, n_lists: int = 8, dim: int = 64,
     quantizer at scale, and unlike ``sample``, whose per-partition RNG
     changes with the split).  numpy Lloyd iterations with fixed seed —
     reproducible across runs."""
+    if dim is None:
+        dim = infer_dim(df, vec_col)
     n = df.count()
     m = max(1, n // sample_rows)
     # no limit() after the filter: the hash predicate alone decides
@@ -202,7 +231,7 @@ def train_ivf_centroids(df: DataFrame, n_lists: int = 8, dim: int = 64,
 
 
 def ann_ivf_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
-                 n_lists: int = 8, nprobe: int = 2, dim: int = 64,
+                 n_lists: int = 8, nprobe: int = 2, dim: int | None = None,
                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into inverted
     lists, probe the query's ``nprobe`` nearest lists, exact cosine
@@ -212,6 +241,8 @@ def ann_ivf_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
     nprobe/n_lists of the corpus.  Centroids are trained once on a
     driver-side sample and broadcast via closure.
     """
+    if dim is None:
+        dim = infer_dim(df, vec_col)
     centroids = train_ivf_centroids(df, n_lists, dim, vec_col=vec_col, id_col=id_col)
 
     def _mat_ok(vecs: pd.Series):
@@ -282,7 +313,8 @@ def augment_with_near_dups(df: DataFrame, every: int = 17, id_offset: int = 1_00
 
 
 def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
-                       dim: int = 64, n_planes: int = 6, n_tables: int = 4,
+                       dim: int | None = None, n_planes: int = 6,
+                       n_tables: int = 4,
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        hot_threshold: int = 5_000, num_salts: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) above threshold,

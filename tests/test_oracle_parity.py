@@ -136,6 +136,44 @@ def test_embedding_near_dup_recall_vs_brute(spark):
     assert recall >= 0.9, recall
 
 
+def test_ann_dim_autodetect_non_64(spark):
+    """The ANN operators must work on a corpus whose embedding
+    dimensionality is NOT the former hard default of 64.  Before the
+    ``dim=None`` auto-detect, a 32-dim corpus run without ``dim=``
+    tagged every vector wrong-length (sentinel bucket -1) and returned
+    silently EMPTY results — the worst failure mode for a screen.
+    Auto-detected results must equal the explicit ``dim=32`` run."""
+    from pyspark.sql import functions as F
+
+    from jgdtrans_rs_spark.operators import similarity
+
+    emb32 = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    )
+    assert similarity.infer_dim(emb32) == 32
+
+    auto = similarity.ann_lsh_topk(emb32, n_queries=5, k=3).toPandas()
+    explicit = similarity.ann_lsh_topk(
+        emb32, n_queries=5, k=3, dim=32).toPandas()
+    assert len(auto) > 0
+    key = ["query_id", "rank", "neighbor_id"]
+    assert (auto[key].sort_values(key).values
+            == explicit[key].sort_values(key).values).all()
+
+    nd_auto = similarity.embedding_near_dup(
+        similarity.augment_with_near_dups(emb32), threshold=0.9).toPandas()
+    assert len(nd_auto) > 0  # the augmented copies must be found
+
+    ivf = similarity.ann_ivf_topk(emb32, n_queries=5, k=3).toPandas()
+    assert len(ivf) > 0
+
+    # empty/degenerate corpus: loud, not a silent 64 fallback
+    empty = emb32.filter(F.col("vec_id") < -1)
+    with pytest.raises(ValueError, match="infer_dim"):
+        similarity.infer_dim(empty)
+
+
 def test_embedding_near_dup_salting_preserves_output(spark):
     """Forcing every bucket hot (hot_threshold=0) must not change the
     pair set — salting only splits the reducer work."""

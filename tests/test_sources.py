@@ -302,3 +302,64 @@ def test_par_reader_strict_rejects_u32_range_violations(tmp_path, spark):
     with pytest.raises(ParseParError) as e:
         read_par_df(spark, str(p), "TKY2JGD").collect()
     assert e.value.kind == "ParseInt" and e.value.column == "Meshcode"
+
+
+def test_streaming_restart_from_checkpoint_exactly_once(
+        spark, semidyna_grid, tmp_path):
+    """Checkpointed streaming recovery — the property a 100-TB ingest
+    leans on: a stopped (or killed) query restarted with the SAME
+    checkpointLocation must resume from the recorded source offsets and
+    the file sink's commit log must keep the output exactly-once.
+    Drive: run availableNow over batch A, stop; append batch B to the
+    source; restart the identical query.  The restart must process
+    ONLY B (offsets prove the checkpoint was read), the sink must hold
+    A union B with every url exactly once, and a third restart with no
+    new data must add nothing."""
+    from jgdtrans_rs_spark.sources import pages as pages_src
+    from jgdtrans_rs_spark.streaming.ingest import stream_pages_transform
+
+    eng = Engine(spark, semidyna_grid)
+    ex = pages_src.extract_geotags(
+        pages_src.synth_pages(spark, "/root/testdata/sf0.001")
+    ).select("url", "lat", "lon")
+    half_a = ex.filter(F.crc32(F.col("url")) % 2 == 0).cache()
+    half_b = ex.filter(F.crc32(F.col("url")) % 2 == 1).cache()
+    n_a, n_b = half_a.count(), half_b.count()
+    assert n_a > 0 and n_b > 0
+
+    src_dir = str(tmp_path / "restart_src")
+    out_dir = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+    half_a.write.mode("overwrite").parquet(src_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(half_a.schema).parquet(src_dir)
+        q = (
+            stream_pages_transform(eng, stream)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    assert run_once() == n_a
+    out1 = spark.read.parquet(out_dir)
+    assert out1.count() == n_a
+
+    # "crash" happened after commit; new data lands, query restarts
+    half_b.write.mode("append").parquet(src_dir)
+    assert run_once() == n_b  # ONLY the new files — offsets resumed
+    out2 = spark.read.parquet(out_dir).cache()
+    assert out2.count() == n_a + n_b
+    # exactly-once: every url appears once, nothing reprocessed/lost
+    assert out2.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+    assert (set(r.url for r in out2.select("url").collect())
+            == set(r.url for r in ex.select("url").collect()))
+
+    # idle restart: checkpoint says everything is done
+    assert run_once() == 0
+    assert spark.read.parquet(out_dir).count() == n_a + n_b
+    for df in (half_a, half_b, out2):
+        df.unpersist()
