@@ -342,3 +342,81 @@ def test_decode_png_real(spark):
     assert out[2].width is None and out[3].pixels is None
     resized = multimodal.resize_bytes(df, k=8).select("resized").collect()
     assert all(len(r.resized) == 8 for r in resized)
+
+
+def _wav_bytes(samples, rate=16000, bits=16, extra_chunk=True,
+               fmt_tag=1):
+    """Minimal RIFF/WAVE PCM encoder for the decoder test: ``samples``
+    is an (n_frames, n_channels) float array in [-1, 1]."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    ch = arr.shape[1]
+    if bits == 16:
+        raw = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(
+            "<i2").tobytes()
+    else:
+        raw = (np.clip(np.round(arr * 128.0 + 128.0), 0, 255)
+               .astype(np.uint8).tobytes())
+    fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate,
+                      rate * ch * bits // 8, ch * bits // 8, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # unknown chunk with odd length: word-align skip
+        chunks += b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_real(spark):
+    """The from-scratch RIFF/WAVE PCM decoder: exact samples for
+    16-bit stereo (with an unknown odd-length chunk exercising RIFF
+    word alignment) and 8-bit mono; NULL structs for compressed
+    formats, truncation, and non-WAV payloads; decoded samples flow
+    through the frame-RMS feature kernel."""
+    import numpy as np
+
+    t = np.arange(64) / 16000.0
+    stereo = np.stack([np.sin(2 * np.pi * 440 * t),
+                       np.cos(2 * np.pi * 220 * t)], axis=1) * 0.5
+    mono = (np.sin(2 * np.pi * 100 * t) * 0.25).reshape(-1, 1)
+
+    dec = multimodal.decode_wav_np(_wav_bytes(stereo))
+    assert dec is not None
+    rate, mat = dec
+    assert rate == 16000 and mat.shape == (64, 2)
+    # bit-exact round trip through the int16 quantizer
+    want = np.round(np.clip(stereo * 32768.0, -32768, 32767)) / 32768.0
+    assert (mat == want).all()
+
+    rate8, mat8 = multimodal.decode_wav_np(_wav_bytes(mono, bits=8))
+    assert mat8.shape == (64, 1)
+    want8 = (np.clip(np.round(mono * 128.0 + 128.0), 0, 255) - 128.0) / 128.0
+    assert (mat8 == want8).all()
+
+    # rejects: compressed fmt tag, truncated data, not RIFF, 24-bit
+    assert multimodal.decode_wav_np(_wav_bytes(mono, fmt_tag=85)) is None
+    assert multimodal.decode_wav_np(_wav_bytes(stereo)[:-9]) is None
+    assert multimodal.decode_wav_np(b"OggS" + b"\x00" * 60) is None
+    assert multimodal.decode_wav_np(None) is None
+
+    rows = [(1, _wav_bytes(stereo)), (2, _wav_bytes(mono, bits=8)),
+            (3, b"not audio"), (4, None)]
+    df = spark.createDataFrame(rows, "pkey long, html binary")
+    decoded = multimodal.decode_audio(df, "html")
+    out = {r.pkey: r.audio for r in decoded.select("pkey", "audio").collect()}
+    assert out[1].sample_rate == 16000 and out[1].n_channels == 2
+    assert out[1].n_frames == 64 and len(out[1].samples) == 128
+    assert list(out[1].samples) == [float(v) for v in want.ravel()]
+    assert out[2].n_channels == 1
+    assert out[3].sample_rate is None and out[4].samples is None
+
+    featd = multimodal.audio_frame_features(decoded, n_frames=4)
+    f = {r.pkey: r.audio_features
+         for r in featd.select("pkey", "audio_features").collect()}
+    assert len(f[1]) == 4 and all(v > 0 for v in f[1])
+    # hand-check frame 0: RMS of the first 32 interleaved samples
+    exp0 = float(np.sqrt((want.ravel()[:32] ** 2).mean()))
+    assert abs(f[1][0] - exp0) < 1e-12
+    assert f[3] is None and f[4] is None  # dead letters propagate
