@@ -267,8 +267,8 @@ def decode_png_np(buf: bytes):
                 return None  # Adam7 / nonstandard out of scope
             if depth != 8 or ctype not in (0, 2, 4, 6):
                 return None  # palette / 16-bit out of scope
-            if w <= 0 or h <= 0 or w * h > (1 << 26):
-                return None  # decompression-bomb guard
+            if w <= 0 or h <= 0 or w * h > (1 << 24):
+                return None  # dimension guard (16M px, <=80 MB raster)
         elif typ == b"IDAT":
             if w is None:
                 return None  # IDAT before IHDR
@@ -279,12 +279,16 @@ def decode_png_np(buf: bytes):
     if w is None or not idat:
         return None
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    stride = w * channels
+    want = h * (stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # max_length-capped inflate: a decompression bomb (tiny IDAT,
+        # huge DEFLATE expansion) stops at want+1 bytes instead of
+        # materializing the whole stream before the size check
+        raw = zlib.decompressobj().decompress(b"".join(idat), want + 1)
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if len(raw) != want:
         return None
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = raw[:, 0]
