@@ -375,7 +375,12 @@ def decode_wav_np(buf: bytes):
     if fmt is None or data is None:
         return None
     audio_fmt, channels, rate, bits = fmt
-    if audio_fmt != 1 or channels < 1 or rate <= 0:
+    # rate is 4 unsigned LE header bytes; the decode_audio struct
+    # declares sample_rate int32, so a hostile header >= 2^31 must
+    # dead-letter here — otherwise the Arrow cast wraps it negative
+    # (or kills the task under safe-cast), breaking the errors-are-data
+    # contract
+    if audio_fmt != 1 or channels < 1 or rate <= 0 or rate > 0x7FFFFFFF:
         return None
     if bits == 16:
         usable = len(data) - (len(data) % (2 * channels))
@@ -427,6 +432,20 @@ def decode_audio(df: DataFrame, col: str = "html",
     return df.withColumn(out, decode(F.col(col)))
 
 
+def _block_means(arr: np.ndarray, k: int) -> np.ndarray:
+    """Mean of ``arr`` over ``k`` equal blocks (block i covers
+    [i*n/k, (i+1)*n/k)) — the shared area-interpolation kernel behind
+    ``resize_bytes`` and ``audio_frame_features``.  When n < k the
+    boundary list has duplicate starts; np.add.reduceat yields the
+    single element at a duplicated index (not 0) and the width clamp
+    keeps the divisor 1, so short inputs stretch instead of divide by
+    zero.  Requires arr.size >= 1 (callers dead-letter empties)."""
+    bounds = (np.arange(k + 1, dtype=np.int64) * arr.size) // k
+    sums = np.add.reduceat(arr, bounds[:-1])
+    widths = np.maximum(np.diff(bounds), 1)
+    return sums / widths
+
+
 def audio_frame_features(df: DataFrame, audio_col: str = "audio",
                          n_frames: int = 8,
                          out: str = "audio_features") -> DataFrame:
@@ -443,12 +462,8 @@ def audio_frame_features(df: DataFrame, audio_col: str = "audio",
             if s is None or len(s) == 0:
                 outs.append(None)
                 continue
-            arr = np.asarray(s, dtype=np.float64) ** 2
-            bounds = (np.arange(n_frames + 1, dtype=np.int64)
-                      * arr.size) // n_frames
-            sums = np.add.reduceat(arr, np.maximum(bounds[:-1], 0))
-            widths = np.maximum(np.diff(bounds), 1)
-            outs.append(np.sqrt(sums / widths))
+            outs.append(np.sqrt(_block_means(
+                np.asarray(s, dtype=np.float64) ** 2, n_frames)))
         return pd.Series(outs)
 
     return df.withColumn(out, feats(F.col(f"{audio_col}.samples")))
@@ -528,11 +543,7 @@ def resize_bytes(df: DataFrame, col: str = "html", k: int = 32,
                 outs.append(np.zeros(k))
                 continue
             arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
-            # block boundaries: pixel i covers [i*n/k, (i+1)*n/k)
-            bounds = (np.arange(k + 1, dtype=np.int64) * arr.size) // k
-            sums = np.add.reduceat(arr, bounds[:-1])
-            widths = np.maximum(np.diff(bounds), 1)
-            outs.append(sums / widths)
+            outs.append(_block_means(arr, k))
         return pd.Series(outs)
 
     return df.withColumn(out, resize(F.col(col)))

@@ -44,19 +44,26 @@ def ann_brute_topk(spark: SparkSession, embeddings: str = "embeddings",
 
 
 def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
-    """Modal vector length over a bounded (1024-row) prefix sample —
-    one tiny job, never a full pass.  This backs the operators'
-    ``dim=None`` default: previously ``dim`` defaulted to 64, so a
-    caller with (say) 768-dim embeddings who didn't pass it got EVERY
-    vector tagged wrong-length (sentinel bucket -1) and silently empty
-    results.  An explicit ``dim=`` still wins; mixed-length corpora
-    resolve to the most common length (ties to the smaller) and the
+    """Modal vector length — one narrow deterministic pass (group on
+    ``size(vec_col)``; the aggregate is a handful of distinct lengths).
+    This backs the operators' ``dim=None`` default: previously ``dim``
+    defaulted to 64, so a caller with (say) 768-dim embeddings who
+    didn't pass it got EVERY vector tagged wrong-length (sentinel
+    bucket -1) and silently empty results.
+
+    Why a full pass and not ``limit(1024)``: limit takes whichever
+    rows the scan produces first, so on a mixed-length corpus the
+    inferred dim would flip with partitioning/file order — the exact
+    nondeterminism ``train_ivf_centroids`` documents avoiding.  Every
+    caller invokes this immediately before a full signature pass over
+    the same frame, so the extra scan is a small constant factor; at
+    corpus scale pass ``dim=`` explicitly and pay nothing.  Mixed
+    lengths resolve to the most common (ties to the smaller) and the
     minority lengths keep the documented sentinel policy."""
     rows = (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.size(vec_col).alias("_d"))
         .filter(F.col("_d") > 0)
-        .limit(1024)
         .groupBy("_d").count()
         .orderBy(F.desc("count"), F.asc("_d")).take(1)
     )

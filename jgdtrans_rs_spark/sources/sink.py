@@ -119,11 +119,15 @@ def hot_codes_from_manifests(out_dir: str, spark: SparkSession | None = None,
     hot: set[int] = set()
     suspect: list[int] = []
     for m in read_manifests(out_dir, spark):
-        tiles = m.get("top_tiles", [])
-        hot.update(int(code) for code, n in tiles
-                   if int(n) > threshold and int(code) != -1)
+        # manifests written since round 5 never record the -1 sentinel
+        # (excluded at write time); the code != -1 guards keep older
+        # manifests honest — the sentinel must neither enter the hot
+        # set nor count toward the truncation floor
+        tiles = [(int(code), int(n)) for code, n in m.get("top_tiles", [])
+                 if int(code) != -1]
+        hot.update(code for code, n in tiles if n > threshold)
         truncated = int(m.get("n_tiles", len(tiles))) > len(tiles)
-        if truncated and tiles and min(int(n) for _, n in tiles) > threshold:
+        if truncated and tiles and min(n for _, n in tiles) > threshold:
             suspect.append(int(m["bucket_group"]))
     if suspect:
         import warnings
@@ -233,24 +237,35 @@ def run_checkpointed(df: DataFrame, out_dir: str, mesh_col: str = "meshcode",
         )
         w = Window.partitionBy("bucket_group").orderBy(
             F.desc("count"), mesh_col)
+        # sentinel -1 (untiled/error rows) is excluded from the tile
+        # statistics entirely: it is never a join key, and recording it
+        # would both waste a top_tiles slot and poison the read side's
+        # truncation proof (a floor/hidden-tile that is really just the
+        # error bucket would trigger a spurious hot-tile warning).
+        # Error volume is still fully visible via status_counts.
         per_tile = (
-            base.groupBy("bucket_group", mesh_col)
+            base.filter(F.col(mesh_col).isNotNull() & (F.col(mesh_col) != -1))
+            .groupBy("bucket_group", mesh_col)
             .agg(F.sum("count").alias("count"))
         )
+        # distinct-tile count rides the same window pass (unordered
+        # partition count) instead of a third job over `base`: the
+        # read side uses it to decide whether the top-N list was
+        # truncated (and whether that truncation can hide a hot tile)
+        # — no silent caps
         tile_rows = (
-            per_tile.withColumn("_rk", F.row_number().over(w))
+            per_tile
+            .withColumn("_nt", F.count("*").over(
+                Window.partitionBy("bucket_group")))
+            .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= top_tiles)
             .collect()
         )
-        # distinct-tile count per group: lets the read side decide
-        # whether the top-N list was truncated (and whether that
-        # truncation can hide a hot tile) — no silent caps
-        for r in per_tile.groupBy("bucket_group").count().collect():
-            n_tiles_by_group[int(r["bucket_group"])] = int(r["count"])
         base.unpersist()
         for r in tile_rows:
-            tiles_by_group[int(r["bucket_group"])].append(
-                [int(r[mesh_col]), int(r["count"])])
+            g = int(r["bucket_group"])
+            n_tiles_by_group[g] = int(r["_nt"])
+            tiles_by_group[g].append([int(r[mesh_col]), int(r["count"])])
     else:
         counts = read.groupBy(*group_cols).count().collect()
     by_group: dict[int, dict[int, int]] = {g: {} for g in pending}

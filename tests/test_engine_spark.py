@@ -726,3 +726,30 @@ def test_hot_codes_truncation_is_loud(spark, tmp_path):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         sink.hot_codes_from_manifests(out_dir, spark, threshold=floor)
+
+
+def test_sink_tile_stats_exclude_error_sentinel(spark, tmp_path):
+    """meshcode -1 (dead-lettered rows) is never a join key, so it must
+    not occupy a top_tiles slot, count toward n_tiles, or poison the
+    truncation proof: a group whose dominant 'tile' is the error bucket
+    must still record its real tiles and stay warning-free, with the
+    error volume visible in status_counts instead."""
+    import warnings
+
+    rows = ([(i, -1, 1) for i in range(50)]          # dominant error mass
+            + [(100 + i, 54400000, 0) for i in range(8)]
+            + [(200 + i, 54400004, 0) for i in range(3)])
+    tiled = spark.createDataFrame(
+        rows, "pkey long, meshcode long, status int")
+    out_dir = str(tmp_path / "sentinel_sink")
+    ms = sink.run_checkpointed(tiled, out_dir, n_groups=1, top_tiles=2)
+    (m,) = ms
+    assert [c for c, _ in m["top_tiles"]] == [54400000, 54400004]
+    assert m["n_tiles"] == 2                     # sentinel not a tile
+    assert m["status_counts"].get("1", m["status_counts"].get(1)) == 50
+    # sentinel-heavy group must not trip the truncation warning: the
+    # recorded set IS complete over real tiles
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        hot = sink.hot_codes_from_manifests(out_dir, spark, threshold=5)
+    assert hot == [54400000]

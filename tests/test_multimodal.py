@@ -361,7 +361,8 @@ def _wav_bytes(samples, rate=16000, bits=16, extra_chunk=True,
         raw = (np.clip(np.round(arr * 128.0 + 128.0), 0, 255)
                .astype(np.uint8).tobytes())
     fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate,
-                      rate * ch * bits // 8, ch * bits // 8, bits)
+                      (rate * ch * bits // 8) & 0xFFFFFFFF,
+                      ch * bits // 8, bits)
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     if extra_chunk:  # unknown chunk with odd length: word-align skip
         chunks += b"LIST" + struct.pack("<I", 3) + b"abc\x00"
@@ -400,6 +401,10 @@ def test_decode_wav_real(spark):
     assert multimodal.decode_wav_np(_wav_bytes(stereo)[:-9]) is None
     assert multimodal.decode_wav_np(b"OggS" + b"\x00" * 60) is None
     assert multimodal.decode_wav_np(None) is None
+    # hostile header: rate is 4 unsigned LE bytes but the decode_audio
+    # struct is int32 — >= 2^31 must dead-letter, never wrap negative
+    assert multimodal.decode_wav_np(_wav_bytes(mono, rate=3_000_000_000)) is None
+    assert multimodal.decode_wav_np(_wav_bytes(mono, rate=2**31 - 1)) is not None
 
     rows = [(1, _wav_bytes(stereo)), (2, _wav_bytes(mono, bits=8)),
             (3, b"not audio"), (4, None)]

@@ -341,7 +341,12 @@ def test_streaming_restart_from_checkpoint_exactly_once(
             .option("path", out_dir)
             .outputMode("append").trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        finished = q.awaitTermination(120)
+        if not finished:  # timed-out query must not masquerade as a
+            q.stop()      # partial-progress "result" (noisy host)
+            raise AssertionError(
+                "availableNow batch did not finish within 120s — "
+                "host stall, not an exactly-once regression")
         return sum(p["numInputRows"] for p in q.recentProgress)
 
     assert run_once() == n_a
