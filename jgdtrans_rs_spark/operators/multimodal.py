@@ -14,13 +14,15 @@ with typed metadata, per the training-data-pipeline requirements:
   without a video decoder).
 * ``decode_image`` — the genuine decode step, all FROM SCRATCH with
   no codec library: uncompressed 24-bit BMP (``decode_bmp_np``), the
-  Netpbm family (``decode_pnm_np``), and — since PNG's only
-  compression is stdlib-``zlib`` DEFLATE — real compressed PNG
-  (``decode_png_np``: chunk walk, CRC verify, inflate, scanline
-  filter reconstruction).  Undecodable payloads yield NULL struct
-  fields instead of failing the job; jpeg (entropy coding needs a
-  real codec) stays stubbed behind an import guard with the
-  identical plumbing.
+  Netpbm family (``decode_pnm_np``), real compressed PNG
+  (``decode_png_np``: chunk walk, CRC verify, stdlib-``zlib``
+  inflate, scanline filter reconstruction), and baseline JPEG
+  (``decode_jpeg_np``: T.81 marker walk, canonical Huffman entropy
+  decode, dequantize, separable IDCT, chroma upsample, JFIF
+  YCbCr->RGB).  Undecodable payloads yield NULL struct fields
+  instead of failing the job; formats that genuinely need an
+  imaging library (webp/gif/progressive jpeg) stay stubbed behind
+  an import guard with the identical plumbing.
 * ``decode_audio`` — the audio twin (``decode_wav_np``: RIFF/WAVE
   PCM from scratch, 8/16-bit, any channel count), with
   ``audio_frame_features`` (block RMS) as the waveform analogue of
@@ -330,6 +332,295 @@ def decode_png_np(buf: bytes):
     return np.ascontiguousarray(out.reshape(h, w, channels))
 
 
+# ITU-T T.81 zigzag scan order: ZIGZAG[k] = natural (row*8+col) index
+# of the k-th coefficient in transmission order (a spec constant, like
+# the par-layout byte ranges)
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# 8-point IDCT basis: _JPEG_IDCT_A[u, x] = C(u)/2 * cos((2x+1)u*pi/16),
+# so the 2-D IDCT of coefficient block F is A.T @ F @ A (separable)
+_JPEG_IDCT_A = np.array(
+    [[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+      * np.cos((2 * x + 1) * u * np.pi / 16.0)
+      for x in range(8)] for u in range(8)])
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment.  The
+    segment bytes arrive already cleaned: `_jpeg_entropy_segments`
+    collapses stuffed 0xFF00 pairs and splits at RST markers."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("entropy data exhausted")
+        out = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return out
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_huff_table(counts: list, symbols: list) -> dict:
+    """Canonical Huffman per T.81 Annex C: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(bits: "_JpegBits", table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | bits.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the n received magnitude bits to the
+    signed coefficient value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def decode_jpeg_np(buf: bytes):
+    """From-scratch baseline JPEG (ITU-T T.81) decoder — the last
+    compressed-image gap closed without a codec library: marker walk,
+    canonical Huffman entropy decode with byte-stuffing and restart
+    markers, dequantization, separable float IDCT, nearest-neighbor
+    chroma upsampling, JFIF YCbCr->RGB.
+
+    Supported: SOF0 baseline sequential, 8-bit precision, 1 or 3
+    components, any sampling factors with Hmax/Vmax <= 2 (4:4:4,
+    4:2:2, 4:2:0), 8-bit DQT tables, DRI/RSTn restart intervals.
+    Progressive (SOF2), arithmetic coding (SOF9+), 12-bit, 16-bit
+    quantizers, hierarchical, and truncated/corrupt streams return
+    None — dead letters, like every other decoder here.
+
+    Pixel convention (mirrored by the test oracle): component planes
+    stay float through IDCT, upsampling, and color conversion; one
+    final np.round + clip to [0, 255].  Returns (h, w, 1) grayscale
+    or (h, w, 3) RGB uint8."""
+    if buf is None or len(buf) < 4:
+        return None
+    buf = bytes(buf)
+    if buf[:2] != b"\xFF\xD8":  # SOI
+        return None
+    try:
+        return _decode_jpeg_inner(buf)
+    except (ValueError, IndexError, KeyError, ZeroDivisionError):
+        return None  # malformed stream -> dead letter
+
+
+def _decode_jpeg_inner(buf: bytes):
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple, dict] = {}  # (class 0=DC/1=AC, id) -> table
+    frame = None
+    dri = 0
+    pos = 2
+    n = len(buf)
+    while pos + 4 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = buf[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # SOI/TEM/RST carry no segment body
+            continue
+        if marker == 0xD9:  # EOI before scan
+            raise ValueError("no SOS")
+        seg_len = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        body = buf[pos + 4:pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    return None  # 16-bit quantizers: not baseline
+                qtables[tq] = np.frombuffer(
+                    body[b + 1:b + 65], dtype=np.uint8).astype(np.float64)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                counts = list(body[b + 1:b + 17])
+                nsym = sum(counts)
+                symbols = list(body[b + 17:b + 17 + nsym])
+                huff[(tc, th)] = _jpeg_huff_table(counts, symbols)
+                b += 17 + nsym
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                return None  # 12-bit precision
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if h <= 0 or w <= 0 or nc not in (1, 3) or w * h > (1 << 24):
+                return None
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # extended/progressive/lossless/arithmetic
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = {}
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i:3 + 2 * i]
+                scan[cid] = (tt >> 4, tt & 0xF)
+            return _jpeg_scan(buf, pos + 2 + seg_len, frame, scan,
+                              qtables, huff, dri)
+        # APPn/COM/other: skip
+        pos += 2 + seg_len
+    raise ValueError("no SOS marker")
+
+
+def _jpeg_entropy_segments(buf: bytes, pos: int):
+    """Split the entropy-coded data at ``pos`` into per-restart-interval
+    byte segments (stuffed 0xFF00 collapsed to 0xFF), ending at EOI or
+    any non-RST marker."""
+    segs, cur = [], bytearray()
+    n = len(buf)
+    while pos < n:
+        byte = buf[pos]
+        if byte != 0xFF:
+            cur.append(byte)
+            pos += 1
+            continue
+        nxt = buf[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # EOI or stray marker ends the scan
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _jpeg_scan(buf, pos, frame, scan, qtables, huff, dri):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        return None
+    for c in comps:
+        if c["h"] < 1 or c["v"] < 1 or c["tq"] not in qtables \
+                or c["id"] not in scan:
+            raise ValueError("bad component setup")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+              for c in comps]
+    segs = _jpeg_entropy_segments(buf, pos)
+    bits = _JpegBits(segs[0])
+    seg_i = 0
+    pred = [0] * len(comps)
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if dri and m and m % dri == 0:  # restart: next segment, reset DC
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart segment")
+            bits = _JpegBits(segs[seg_i])
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            dc_tab = huff.get((0, scan[c["id"]][0]))
+            ac_tab = huff.get((1, scan[c["id"]][1]))
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("missing Huffman table")
+            q = qtables[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64)
+                    t = _jpeg_huff_decode(bits, dc_tab)
+                    if t > 11:
+                        raise ValueError("DC category out of range")
+                    pred[ci] += _jpeg_extend(bits.receive(t), t)
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(bits, ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        zz[k] = _jpeg_extend(bits.receive(s), s)
+                        k += 1
+                    coef = np.zeros(64)
+                    coef[_JPEG_ZIGZAG] = zz * q  # dequantize in zigzag order
+                    block = (_JPEG_IDCT_A.T @ coef.reshape(8, 8)
+                             @ _JPEG_IDCT_A) + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+    # upsample each component to full resolution (sample replication)
+    # and crop to the declared frame size
+    full = []
+    for c, p in zip(comps, planes):
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = full[0][:, :, None]
+    else:  # JFIF YCbCr -> RGB
+        y, cb, cr = full
+        out = np.stack([
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def decode_wav_np(buf: bytes):
     """From-scratch RIFF/WAVE PCM decoder — the audio twin of the
     image decoders: uncompressed PCM needs no codec library, so the
@@ -476,14 +767,15 @@ def decode_image(df: DataFrame, col: str = "html", out: str = "pixels",
     Implemented from scratch (no codec library): ``format='bmp'``
     (decode_bmp_np, 24-bit BI_RGB), ``format='pnm'``/``'ppm'``/
     ``'pgm'`` (decode_pnm_np, Netpbm P6/P5 binary + P3/P2 ASCII),
-    and ``format='png'`` (decode_png_np — stdlib-zlib inflate +
-    filter reconstruction, so even the compressed format is real).
-    Adds a struct column (width, height, channels, pixels) with
-    pixels the row-major flattened samples as doubles; payloads that
-    don't decode yield a NULL-field struct (errors are data, like the
-    transform kernels' status columns — a corrupt image must not kill
-    a 10^12-row job).  jpeg (arithmetic/Huffman entropy coding) needs
-    an imaging library that is not in this container and stays
+    ``format='png'`` (decode_png_np — stdlib-zlib inflate + filter
+    reconstruction), and ``format='jpeg'``/``'jpg'`` (decode_jpeg_np
+    — baseline T.81 Huffman + IDCT, so both compressed families are
+    real).  Adds a struct column (width, height, channels, pixels)
+    with pixels the row-major flattened samples as doubles; payloads
+    that don't decode yield a NULL-field struct (errors are data,
+    like the transform kernels' status columns — a corrupt image must
+    not kill a 10^12-row job).  Formats outside these (webp/gif/...)
+    need an imaging library that is not in this container and stay
     stubbed behind the import guard with the identical plumbing."""
     if format in ("pnm", "ppm", "pgm"):
         kernel_np = decode_pnm_np
@@ -491,15 +783,18 @@ def decode_image(df: DataFrame, col: str = "html", out: str = "pixels",
         kernel_np = decode_bmp_np
     elif format == "png":
         kernel_np = decode_png_np
+    elif format in ("jpeg", "jpg"):
+        kernel_np = decode_jpeg_np
     else:
         try:
             import PIL.Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
                 f"{format} decode requires PIL/cv2 (absent in this sandbox); "
-                "bmp/pnm/ppm/pgm AND png (stdlib-zlib inflate) are "
-                "implemented from scratch, and byte_histogram_features "
-                "is the deterministic stand-in"
+                "bmp/pnm/ppm/pgm, png (stdlib-zlib inflate), and baseline "
+                "jpeg (from-scratch Huffman+IDCT) are implemented from "
+                "scratch, and byte_histogram_features is the "
+                "deterministic stand-in"
             ) from exc
         raise NotImplementedError("wire PIL decode kernel here")
 

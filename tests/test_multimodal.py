@@ -55,11 +55,12 @@ def test_sample_offsets(pages):
 
 
 def test_decode_image_stub_for_codec_formats(pages):
-    """jpeg (entropy-coded) still requires an imaging library (absent
-    here) — the stub with real plumbing remains.  png no longer stubs:
-    it decodes from scratch via stdlib zlib (test_decode_png_real)."""
+    """Formats that genuinely need an imaging library (webp/gif) keep
+    the import-guard stub with real plumbing.  png and baseline jpeg
+    no longer stub: both decode from scratch (test_decode_png_real,
+    test_decode_jpeg_real)."""
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(pages, "html", format="jpeg")
+        multimodal.decode_image(pages, "html", format="webp")
 
 
 def _bmp_bytes(pixels, top_down=False, pad_garbage=b"\x00"):
@@ -275,6 +276,32 @@ def _png_bytes(img, ctype, filters, split_idat=False):
     return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idat + chunk(b"IEND", b"")
 
 
+def test_png_roundtrip_property():
+    """Property check against the independent reference encoder:
+    random dims (including 1-wide / 1-tall, where the Paeth/Sub left
+    neighbor and the Up row are all-zero), random per-row filter
+    schedules, every color type — decode must reproduce the pixels
+    bit-exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(w=st.integers(1, 12), h=st.integers(1, 12),
+           ctype=st.sampled_from([0, 2, 4, 6]),
+           filters=st.lists(st.integers(0, 4), min_size=1, max_size=8),
+           seed=st.integers(0, 2**31 - 1))
+    def check(w, h, ctype, filters, seed):
+        c = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        img = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, c)).astype(np.uint8)
+        got = multimodal.decode_png_np(_png_bytes(img, ctype, filters=filters))
+        assert got is not None and got.shape == img.shape
+        assert (got == img).all()
+
+    check()
+
+
 def test_decode_png_real(spark):
     """The from-scratch PNG decoder: exact round-trip through a
     reference encoder for every filter type and every supported color
@@ -331,6 +358,26 @@ def test_decode_png_real(spark):
     assert multimodal.decode_png_np(b"BM" + b"\x00" * 64) is None
     assert multimodal.decode_png_np(None) is None
 
+    # decompression bomb: declared dims past the pixel guard must be
+    # rejected from the HEADER (no inflate attempt) — and a stream
+    # whose DEFLATE output overruns the declared raster must stop at
+    # the max_length cap, not materialize first (the capped
+    # decompressobj path); both are dead letters
+    bomb_hdr = struct.pack(">IIBBBBB", 1 << 13, 1 << 13, 8, 2, 0, 0, 0)
+    bomb = (ok[:8] + struct.pack(">I", 13) + b"IHDR" + bomb_hdr
+            + struct.pack(">I", _z.crc32(b"IHDR" + bomb_hdr) & 0xFFFFFFFF)
+            + ok[8 + 25:])
+    assert multimodal.decode_png_np(bomb) is None
+    # 5x6 header but a 4 MB inflated payload in a ~4 KB IDAT: the
+    # capped inflate stops at want+1 and the length check dead-letters
+    overrun_raw = _z.compress(b"\x07" * (4 << 20), 9)
+    over = (ok[:8] + ok[8:8 + 25]
+            + struct.pack(">I", len(overrun_raw)) + b"IDAT" + overrun_raw
+            + struct.pack(">I", _z.crc32(b"IDAT" + overrun_raw) & 0xFFFFFFFF)
+            + ok[-12:])
+    assert len(over) < 100_000  # the attack payload really is small
+    assert multimodal.decode_png_np(over) is None
+
     # Spark plumbing: format='png' through decode_image + resize
     rows = [(1, _png_bytes(rgb, 2, filters=[0, 1, 2, 3, 4])),
             (2, corrupt), (3, None)]
@@ -368,6 +415,326 @@ def _wav_bytes(samples, rate=16000, bits=16, extra_chunk=True,
         chunks += b"LIST" + struct.pack("<I", 3) + b"abc\x00"
     chunks += b"data" + struct.pack("<I", len(raw)) + raw
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ---------------------------------------------------------------------------
+# JPEG: independent reference encoder + direct-sum IDCT oracle.  The
+# encoder huffman-codes GIVEN quantized coefficients (its canonical
+# code construction, bit packing, and stuffing are written from the
+# spec, separately from the decoder's table parse); the oracle
+# reconstructs pixels with the O(64^2) textbook IDCT sum via einsum —
+# a different computation path from the decoder's separable matrix
+# product — plus the same documented rounding convention.
+# ---------------------------------------------------------------------------
+
+_TZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+
+def _thuff_codes(symbols, length):
+    """All-same-length canonical table: (counts16, symbols,
+    {sym: (len, code)}).  Valid when len(symbols) < 2^length."""
+    counts = [0] * 16
+    counts[length - 1] = len(symbols)
+    return counts, list(symbols), {s: (length, i)
+                                   for i, s in enumerate(symbols)}
+
+
+class _TBitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def bytes_stuffed(self):
+        bits = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def _tcat(v):
+    """Coefficient category (bit length of |v|) per T.81 F.1.2.1."""
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _jpeg_bytes(blocks_per_comp, q_per_comp, w, h, sampling, dri=0,
+                sof=0xC0, precision=8, pq=0):
+    """blocks_per_comp[ci][mcu_index][block_index] = 64 quantized
+    coefficients in ZIGZAG order; sampling = [(h, v), ...]."""
+    import struct
+
+    dc_counts, dc_syms, dc_code = _thuff_codes(range(12), 4)
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s
+                              for r in range(16) for s in range(1, 11)]
+    ac_counts, ac_syms, ac_code = _thuff_codes(ac_syms, 8)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xFF\xD8"
+    for tq, q in enumerate(q_per_comp):
+        if pq == 0:
+            out += seg(0xDB, bytes([tq]) + bytes(int(x) for x in q))
+        else:  # 16-bit table: decoder must reject
+            out += seg(0xDB, bytes([(1 << 4) | tq])
+                       + b"".join(struct.pack(">H", int(x)) for x in q))
+    ncomp = len(blocks_per_comp)
+    sof_body = struct.pack(">BHHB", precision, h, w, ncomp)
+    for ci in range(ncomp):
+        sof_body += bytes([ci + 1, (sampling[ci][0] << 4) | sampling[ci][1],
+                           min(ci, len(q_per_comp) - 1)])
+    out += seg(sof, sof_body)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    if dri:
+        out += seg(0xDD, struct.pack(">H", dri))
+    sos_body = bytes([ncomp])
+    for ci in range(ncomp):
+        sos_body += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos_body += bytes([0, 63, 0])
+    out += seg(0xDA, sos_body)
+
+    n_mcu = len(blocks_per_comp[0])
+    pred = [0] * ncomp
+    wtr = _TBitWriter()
+    entropy = b""
+    for m in range(n_mcu):
+        if dri and m and m % dri == 0:
+            entropy += wtr.bytes_stuffed()
+            entropy += bytes([0xFF, 0xD0 + ((m // dri - 1) % 8)])
+            wtr = _TBitWriter()
+            pred = [0] * ncomp
+        for ci in range(ncomp):
+            for zz in blocks_per_comp[ci][m]:
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s = _tcat(diff)
+                ln, code = dc_code[s]
+                wtr.put(code, ln)
+                if s:
+                    wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_code[0xF0]
+                        wtr.put(code, ln)
+                        run -= 16
+                    s = _tcat(v)
+                    ln, code = ac_code[(run << 4) | s]
+                    wtr.put(code, ln)
+                    wtr.put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    ln, code = ac_code[0x00]
+                    wtr.put(code, ln)
+    entropy += wtr.bytes_stuffed()
+    return out + entropy + b"\xFF\xD9"
+
+
+def _jpeg_oracle(blocks_per_comp, q_per_comp, w, h, sampling):
+    """Direct-formula reconstruction of the expected pixels."""
+    import numpy as np
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    u = np.arange(8)
+    cu = np.where(u == 0, np.sqrt(0.5), 1.0)
+    cos = np.cos((2 * u[:, None] + 1) * u[None, :] * np.pi / 16)  # [x, u]
+    planes = []
+    for ci, (sh, sv) in enumerate(sampling):
+        plane = np.zeros((mcuy * sv * 8, mcux * sh * 8))
+        q = np.asarray(q_per_comp[min(ci, len(q_per_comp) - 1)], dtype=float)
+        for m, mblocks in enumerate(blocks_per_comp[ci]):
+            my, mx = divmod(m, mcux)
+            for bi, zz in enumerate(mblocks):
+                by, bx = divmod(bi, sh)
+                coef = np.zeros(64)
+                dq = np.asarray(zz, dtype=float) * q
+                for k in range(64):
+                    coef[_TZZ[k]] = dq[k]
+                F = coef.reshape(8, 8)
+                # f(x,y) = 1/4 sum_uv C(u)C(v) F[u,v] cos_x cos_y
+                f = 0.25 * np.einsum("u,v,uv,xu,yv->xy", cu, cu, F, cos, cos)
+                plane[(my * sv + by) * 8:(my * sv + by) * 8 + 8,
+                      (mx * sh + bx) * 8:(mx * sh + bx) * 8 + 8] = f + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // sv, axis=0),
+                          hmax // sh, axis=1)[:h, :w]
+        planes.append(plane)
+    if len(planes) == 1:
+        out = planes[0][:, :, None]
+    else:
+        y, cb, cr = planes
+        out = np.stack([y + 1.402 * (cr - 128.0),
+                        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                        y + 1.772 * (cb - 128.0)], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _rand_blocks(rng, n_mcu, blocks_per_mcu, density=8, dc_range=40):
+    """Sparse random quantized coefficient blocks in zigzag order."""
+    out = []
+    for _ in range(n_mcu):
+        mb = []
+        for _ in range(blocks_per_mcu):
+            zz = [0] * 64
+            zz[0] = int(rng.randint(-dc_range, dc_range + 1))
+            for _ in range(density):
+                k = int(rng.randint(1, 64))
+                zz[k] = int(rng.randint(-20, 21))
+            mb.append(zz)
+        out.append(mb)
+    return out
+
+
+def test_jpeg_roundtrip_property():
+    """Property check: random sparse quantized coefficients, random
+    dims (crops included), grayscale / 4:4:4 / 4:2:0 / 4:2:2, random
+    restart intervals — decode must match the direct-sum IDCT oracle
+    pixel-exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(wm=st.integers(1, 3), hm=st.integers(1, 3),
+           crop_x=st.integers(0, 7), crop_y=st.integers(0, 7),
+           mode=st.sampled_from(["gray", "444", "420", "422"]),
+           dri=st.sampled_from([0, 1, 2]),
+           seed=st.integers(0, 2**31 - 1))
+    def check(wm, hm, crop_x, crop_y, mode, dri, seed):
+        rng = np.random.RandomState(seed)
+        q = [int(v) for v in rng.randint(1, 40, size=64)]
+        if mode == "gray":
+            smp, lb, nc = [(1, 1)], 1, 1
+        elif mode == "444":
+            smp, lb, nc = [(1, 1)] * 3, 1, 3
+        elif mode == "422":
+            smp, lb, nc = [(2, 1), (1, 1), (1, 1)], 2, 3
+        else:
+            smp, lb, nc = [(2, 2), (1, 1), (1, 1)], 4, 3
+        hmax = max(s[0] for s in smp)
+        vmax = max(s[1] for s in smp)
+        w = wm * 8 * hmax - crop_x
+        h = hm * 8 * vmax - crop_y
+        n_mcu = wm * hm
+        blocks = [_rand_blocks(rng, n_mcu, lb)] + [
+            _rand_blocks(rng, n_mcu, 1) for _ in range(nc - 1)]
+        jpg = _jpeg_bytes(blocks, [q] * nc, w, h, smp, dri=dri)
+        got = multimodal.decode_jpeg_np(jpg)
+        want = _jpeg_oracle(blocks, [q] * nc, w, h, smp)
+        assert got is not None and got.shape == want.shape
+        assert (got == want).all()
+
+    check()
+
+
+def test_decode_jpeg_real(spark):
+    """The from-scratch baseline JPEG decoder against the independent
+    encoder + direct-IDCT oracle: grayscale, 4:4:4 color, 4:2:0 color,
+    non-multiple-of-8 crops, restart intervals, and the reject matrix
+    (progressive, 12-bit, 16-bit quantizers, truncation, garbage)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    q_lum = [16] * 64
+    q_chroma = [24] * 64
+
+    # grayscale 24x13 (width pads to 3 MCUs, height crops mid-block)
+    w, h = 24, 13
+    blocks = [_rand_blocks(rng, 3 * 2, 1)]
+    jpg = _jpeg_bytes(blocks, [q_lum], w, h, [(1, 1)])
+    got = multimodal.decode_jpeg_np(jpg)
+    want = _jpeg_oracle(blocks, [q_lum], w, h, [(1, 1)])
+    assert got is not None and got.shape == (h, w, 1)
+    assert (got == want).all()
+
+    # 4:4:4 color 16x8: 2 MCUs, one block per component each
+    w, h = 16, 8
+    smp = [(1, 1), (1, 1), (1, 1)]
+    blocks = [_rand_blocks(rng, 2, 1) for _ in range(3)]
+    jpg = _jpeg_bytes(blocks, [q_lum, q_chroma], w, h, smp)
+    got = multimodal.decode_jpeg_np(jpg)
+    want = _jpeg_oracle(blocks, [q_lum, q_chroma], w, h, smp)
+    assert got is not None and got.shape == (h, w, 3)
+    assert (got == want).all()
+
+    # 4:2:0 color 21x19: 2x2 MCUs, luma 4 blocks/MCU, chroma 1
+    w, h = 21, 19
+    smp = [(2, 2), (1, 1), (1, 1)]
+    blocks = [_rand_blocks(rng, 4, 4),
+              _rand_blocks(rng, 4, 1), _rand_blocks(rng, 4, 1)]
+    jpg = _jpeg_bytes(blocks, [q_lum, q_chroma], w, h, smp)
+    got = multimodal.decode_jpeg_np(jpg)
+    want = _jpeg_oracle(blocks, [q_lum, q_chroma], w, h, smp)
+    assert got is not None and got.shape == (h, w, 3)
+    assert (got == want).all()
+
+    # 4:2:2 color 18x8: 2 MCUs, luma 2 blocks/MCU (2x1), chroma 1
+    w, h = 18, 8
+    smp = [(2, 1), (1, 1), (1, 1)]
+    blocks = [_rand_blocks(rng, 2, 2),
+              _rand_blocks(rng, 2, 1), _rand_blocks(rng, 2, 1)]
+    jpg = _jpeg_bytes(blocks, [q_lum, q_chroma], w, h, smp)
+    got = multimodal.decode_jpeg_np(jpg)
+    want = _jpeg_oracle(blocks, [q_lum, q_chroma], w, h, smp)
+    assert got is not None and got.shape == (h, w, 3)
+    assert (got == want).all()
+
+    # restart interval DRI=1 on the grayscale case: RST markers between
+    # every MCU, DC predictors reset per segment
+    w, h = 32, 8
+    blocks = [_rand_blocks(rng, 4, 1)]
+    jpg = _jpeg_bytes(blocks, [q_lum], w, h, [(1, 1)], dri=1)
+    assert b"\xFF\xD0" in jpg or b"\xFF\xD1" in jpg
+    got = multimodal.decode_jpeg_np(jpg)
+    want = _jpeg_oracle(blocks, [q_lum], w, h, [(1, 1)])
+    assert got is not None and (got == want).all()
+
+    # rejects: progressive SOF2, 12-bit, 16-bit DQT, truncated entropy,
+    # not a JPEG, None
+    base = [_rand_blocks(rng, 1, 1)]
+    assert multimodal.decode_jpeg_np(
+        _jpeg_bytes(base, [q_lum], 8, 8, [(1, 1)], sof=0xC2)) is None
+    assert multimodal.decode_jpeg_np(
+        _jpeg_bytes(base, [q_lum], 8, 8, [(1, 1)], precision=12)) is None
+    assert multimodal.decode_jpeg_np(
+        _jpeg_bytes(base, [q_lum], 8, 8, [(1, 1)], pq=1)) is None
+    # truncate INSIDE the entropy stream of a 4-MCU image: guaranteed
+    # to exhaust the bit reader -> dead letter
+    big = _jpeg_bytes([_rand_blocks(rng, 4, 1)], [q_lum], 32, 8, [(1, 1)])
+    assert multimodal.decode_jpeg_np(big[:big.index(b"\xFF\xDA") + 20]) is None
+    assert multimodal.decode_jpeg_np(b"GIF89a" + b"\x00" * 32) is None
+    assert multimodal.decode_jpeg_np(None) is None
+
+    # Spark plumbing: format='jpeg' through decode_image
+    w, h = 16, 8
+    blocks = [_rand_blocks(rng, 2, 1)]
+    good = _jpeg_bytes(blocks, [q_lum], w, h, [(1, 1)])
+    want = _jpeg_oracle(blocks, [q_lum], w, h, [(1, 1)])
+    rows = [(1, good), (2, b"\xFF\xD8junk"), (3, None)]
+    df = spark.createDataFrame(rows, "pkey long, html binary")
+    out = {r.pkey: r.pixels for r in
+           multimodal.decode_image(df, "html", format="jpeg")
+           .select("pkey", "pixels").collect()}
+    assert list(out[1].pixels) == [float(v) for v in want.ravel()]
+    assert out[1].width == w and out[1].height == h and out[1].channels == 1
+    assert out[2].pixels is None and out[3].pixels is None
 
 
 def test_decode_wav_real(spark):
