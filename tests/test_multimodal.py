@@ -418,6 +418,254 @@ def _wav_bytes(samples, rate=16000, bits=16, extra_chunk=True,
 
 
 # ---------------------------------------------------------------------------
+# GIF: independent LZW encoder (LSB-first writer, late width change on
+# the encoder side per the spec's one-step offset from the decoder's
+# table growth) + a published 1x1 fixture anchoring the bitstream
+# conventions externally so an encoder/decoder shared misreading of
+# the packing rules cannot round-trip its way past the test.
+# ---------------------------------------------------------------------------
+
+
+def _tgif_lzw(min_code, indices):
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    bits = []
+
+    def put(code, width):
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    # real encoders (giflib) synchronize the code width on EMITTED
+    # CODES, not table allocations: the counter bumps on every data
+    # code (including the final flush, which allocates nothing), which
+    # is what keeps the width of the trailing EOI in step with a
+    # decoder whose table hits 2^width on its last append
+    counter = eoi + 1
+    width = min_code + 1
+    put(clear, width)
+
+    def emit(code):
+        nonlocal counter, width
+        put(code, width)
+        counter += 1
+        if counter > (1 << width) and width < 12:
+            width += 1
+
+    cur = ()
+    for s in indices:
+        nxt = cur + (int(s),)
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        cur = (int(s),)
+    if cur:
+        emit(table[cur])
+    put(eoi, width)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i:i + 8]):
+            b |= bit << j
+        out.append(b)
+    return bytes(out)
+
+
+def _sub_blocks(data):
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _gif_bytes(w, h, palette, frames, bg_idx=0, interlace_frames=()):
+    """frames: list of (left, top, iw, ih, indices2d, transparent_idx
+    or None, disposal).  palette: (n, 3) array, n a power of two."""
+    import numpy as np
+
+    n = len(palette)
+    size_field = max(0, n.bit_length() - 2)
+    out = bytearray(b"GIF89a")
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out += bytes([0x80 | size_field, bg_idx, 0])
+    out += bytes(np.asarray(palette, dtype=np.uint8).ravel())
+    for fi, (left, top, iw, ih, idx, transp, disposal) in enumerate(frames):
+        gce = bytes([(disposal << 2) | (1 if transp is not None else 0),
+                     0, 0, transp if transp is not None else 0])
+        out += bytes([0x21, 0xF9]) + _sub_blocks(gce)
+        out += bytes([0x2C])
+        out += (int(left).to_bytes(2, "little")
+                + int(top).to_bytes(2, "little")
+                + int(iw).to_bytes(2, "little")
+                + int(ih).to_bytes(2, "little"))
+        rows = np.asarray(idx, dtype=np.int64).reshape(ih, iw)
+        if fi in interlace_frames:
+            order = np.concatenate([np.arange(s, ih, st)
+                                    for s, st in ((0, 8), (4, 8),
+                                                  (2, 4), (1, 2))])
+            rows = rows[order]
+            out += bytes([0x40])
+        else:
+            out += bytes([0x00])
+        min_code = max(2, size_field + 1)
+        out += bytes([min_code])
+        out += _sub_blocks(_tgif_lzw(min_code, rows.ravel()))
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+# the widely-published 43-byte transparent 1x1 GIF (tracking-pixel
+# bytes): external anchor for LSB packing / CLEAR / EOI conventions
+_PIXEL_GIF = (b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+              b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+              b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02\x44\x01\x00"
+              b"\x3b")
+
+
+def test_decode_gif_real(spark):
+    """From-scratch GIF/LZW: the external 1x1 fixture, exact palette
+    round-trips through the independent encoder (incl. a width-growth
+    stream and interlacing), multi-frame compositing with transparency
+    and disposal, and the reject matrix."""
+    import numpy as np
+
+    # external anchor: 1 white pixel (palette color 0), transparency
+    # flag set but pointing at index... the classic tracking pixel
+    frames = multimodal.decode_gif_np(_PIXEL_GIF)
+    assert frames is not None and len(frames) == 1
+    assert frames[0].shape == (1, 1, 3)
+    assert (frames[0] == 255).all()
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+
+    # single frame, enough pixels to cross LZW width boundaries
+    w, h = 40, 25
+    idx = rng.randint(0, 16, size=(h, w))
+    gif = _gif_bytes(w, h, pal, [(0, 0, w, h, idx, None, 0)])
+    frames = multimodal.decode_gif_np(gif)
+    assert frames is not None and len(frames) == 1
+    assert (frames[0] == pal[idx]).all()
+
+    # interlaced frame decodes to the same pixels
+    gif_i = _gif_bytes(w, h, pal, [(0, 0, w, h, idx, None, 0)],
+                       interlace_frames=(0,))
+    frames_i = multimodal.decode_gif_np(gif_i)
+    assert frames_i is not None and (frames_i[0] == pal[idx]).all()
+
+    # animation: full first frame (disposal keep), then a partial
+    # overlay with transparency, then a restore-background frame
+    f0 = rng.randint(0, 16, size=(10, 12))
+    f1 = rng.randint(0, 16, size=(4, 5))
+    f1[1, :] = 7  # transparent index rows
+    f2 = rng.randint(0, 16, size=(3, 3))
+    gif = _gif_bytes(12, 10, pal, [
+        (0, 0, 12, 10, f0, None, 1),
+        (2, 3, 5, 4, f1, 7, 2),
+        (6, 1, 3, 3, f2, None, 0),
+    ], bg_idx=4)
+    frames = multimodal.decode_gif_np(gif)
+    assert frames is not None and len(frames) == 3
+    want0 = pal[f0]
+    assert (frames[0] == want0).all()
+    want1 = want0.copy()
+    region = want1[3:7, 2:7]
+    mask = (f1 != 7)[:, :, None]
+    region[...] = np.where(mask, pal[f1], region)
+    assert (frames[1] == want1).all()
+    # frame 2: disposal=2 restored frame 1's region to background
+    want2 = want0.copy()
+    want2[3:7, 2:7] = pal[4]
+    want2[1:4, 6:9] = pal[f2]
+    assert (frames[2] == want2).all()
+
+    # rejects: truncated LZW, palette index overflow is impossible by
+    # construction (4-bit table) but truncation and garbage are not
+    assert multimodal.decode_gif_np(gif[:len(gif) // 2]) is None
+    assert multimodal.decode_gif_np(b"GIF89a" + b"\x00" * 8) is None
+    assert multimodal.decode_gif_np(b"\x89PNG" + b"\x00" * 30) is None
+    assert multimodal.decode_gif_np(None) is None
+
+    # Spark surfaces: decode_image first frame + decode_video_frames
+    rows = [(1, gif), (2, b"GIF89a junk"), (3, None)]
+    df = spark.createDataFrame(rows, "pkey long, html binary")
+    out = {r.pkey: r.pixels for r in
+           multimodal.decode_image(df, "html", format="gif")
+           .select("pkey", "pixels").collect()}
+    assert list(out[1].pixels) == [float(v) for v in want0.ravel()]
+    assert out[2].pixels is None and out[3].pixels is None
+
+    vid = {r.pkey: r.video for r in
+           multimodal.decode_video_frames(df, "html", n_frames=2)
+           .select("pkey", "video").collect()}
+    v = vid[1]
+    assert v.width == 12 and v.height == 10 and v.n_frames_total == 3
+    assert list(v.frame_indices) == [0, 1]
+    assert list(v.frames[0]) == [float(x) for x in want0.ravel()]
+    assert list(v.frames[1]) == [float(x) for x in want1.ravel()]
+    assert vid[2].frames is None and vid[3].frames is None
+
+
+def test_gif_roundtrip_property():
+    """Property check: random palettes/dims/frame stacks (transparency,
+    disposal, interlace) must round-trip pixel-exactly through the
+    independent encoder."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 24), h=st.integers(1, 24),
+           ncol_pow=st.integers(1, 4), nframes=st.integers(1, 3),
+           interlace=st.booleans(), seed=st.integers(0, 2**31 - 1))
+    def check(w, h, ncol_pow, nframes, interlace, seed):
+        rng = np.random.RandomState(seed)
+        ncol = 1 << ncol_pow
+        pal = rng.randint(0, 256, size=(ncol, 3)).astype(np.uint8)
+        frames_in = []
+        for _ in range(nframes):
+            iw = int(rng.randint(1, w + 1))
+            ih = int(rng.randint(1, h + 1))
+            left = int(rng.randint(0, w - iw + 1))
+            top = int(rng.randint(0, h - ih + 1))
+            idx = rng.randint(0, ncol, size=(ih, iw))
+            transp = int(rng.randint(0, ncol)) if rng.rand() < 0.5 else None
+            disposal = int(rng.randint(0, 4))
+            frames_in.append((left, top, iw, ih, idx, transp, disposal))
+        gif = _gif_bytes(w, h, pal, frames_in, bg_idx=0,
+                         interlace_frames=(0,) if interlace else ())
+        got = multimodal.decode_gif_np(gif)
+        assert got is not None and len(got) == nframes
+        # independent compositing replay
+        canvas = np.broadcast_to(pal[0], (h, w, 3)).copy()
+        for fi, (left, top, iw, ih, idx, transp, disposal) in \
+                enumerate(frames_in):
+            region = canvas[top:top + ih, left:left + iw]
+            before = region.copy()
+            rgb = pal[idx]
+            if transp is not None:
+                m = (idx != transp)[:, :, None]
+                region[...] = np.where(m, rgb, region)
+            else:
+                region[...] = rgb
+            assert got[fi].shape == (h, w, 3)
+            assert (got[fi] == canvas).all(), f"frame {fi}"
+            if disposal == 2:
+                canvas[top:top + ih, left:left + iw] = pal[0]
+            elif disposal == 3:
+                canvas[top:top + ih, left:left + iw] = before
+
+    check()
+
+
+# ---------------------------------------------------------------------------
 # JPEG: independent reference encoder + direct-sum IDCT oracle.  The
 # encoder huffman-codes GIVEN quantized coefficients (its canonical
 # code construction, bit packing, and stuffing are written from the
