@@ -1040,3 +1040,58 @@ def test_decode_wav_real(spark):
     exp0 = float(np.sqrt((want.ravel()[:32] ** 2).mean()))
     assert abs(f[1][0] - exp0) < 1e-12
     assert f[3] is None and f[4] is None  # dead letters propagate
+
+
+def test_decoders_never_raise_on_garbage():
+    """Hostile-input contract shared by every from-scratch decoder:
+    arbitrary bytes and bit-flipped VALID files must dead-letter
+    (return None or a well-formed result), never raise — at 10^12
+    rows a single unhandled codec exception kills the whole stage.
+    Random garbage plus single-bit mutations of one valid file per
+    format, all fully seeded."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, size=(6, 5, 3)).astype(np.uint8)
+    pal = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+    idx = rng.randint(0, 8, size=(6, 5))
+    mono = (rng.rand(16, 1) * 2 - 1)
+    valid = {
+        "bmp": _bmp_bytes(img),
+        "pnm": b"P6\n5 6\n255\n" + img.tobytes(),
+        "png": _png_bytes(img, 2, filters=[0, 1, 2, 3, 4]),
+        "jpeg": _jpeg_bytes([_rand_blocks(rng, 1, 1)], [[16] * 64],
+                            8, 8, [(1, 1)]),
+        "gif": _gif_bytes(5, 6, pal, [(0, 0, 5, 6, idx, None, 0)]),
+        "wav": _wav_bytes(mono),
+    }
+    decoders = {
+        "bmp": multimodal.decode_bmp_np,
+        "pnm": multimodal.decode_pnm_np,
+        "png": multimodal.decode_png_np,
+        "jpeg": multimodal.decode_jpeg_np,
+        "gif": multimodal.decode_gif_np,
+        "wav": multimodal.decode_wav_np,
+    }
+    for fmt, dec in decoders.items():
+        assert dec(valid[fmt]) is not None, f"{fmt}: fixture must decode"
+        magic = valid[fmt][:2]
+        # random garbage behind the right magic (reaches past the
+        # signature check into the real parser)
+        for ln in (0, 1, 7, 64, 500):
+            blob = magic + bytes(rng.randint(0, 256, size=ln, dtype=np.uint8))
+            dec(blob)  # any return is fine; an exception fails the test
+        # every truncation point of the valid file
+        v = valid[fmt]
+        for cut in range(0, len(v), max(1, len(v) // 40)):
+            dec(v[:cut])
+        # 300 seeded single-bit flips of the valid file
+        arr = np.frombuffer(v, dtype=np.uint8).copy()
+        for _ in range(300):
+            i = int(rng.randint(0, len(arr)))
+            b = int(rng.randint(0, 8))
+            arr[i] ^= 1 << b
+            out = dec(arr.tobytes())
+            if out is not None and fmt == "gif":
+                assert isinstance(out, list)
+            arr[i] ^= 1 << b  # restore
