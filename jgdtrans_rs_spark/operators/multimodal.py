@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
-                               StructField, StructType)
+                               StringType, StructField, StructType)
 
 N_BUCKETS = 16
 
@@ -54,6 +54,9 @@ def binary_meta(df: DataFrame, col: str = "html") -> DataFrame:
         F.when(magic.startswith("<html"), "html")
         .when(magic.startswith("\x89PNG"), "image/png")
         .when(magic.startswith("\xff\xd8"), "image/jpeg")
+        .when(magic.startswith("GIF8"), "image/gif")
+        .when(magic.startswith("BM"), "image/bmp")
+        .when(magic.rlike("^P[2356][ \t\r\n]"), "image/pnm")
         .when(magic.startswith("RIFF"), "audio/wav")
         .otherwise("unknown")
     )
@@ -958,6 +961,69 @@ def audio_frame_features(df: DataFrame, audio_col: str = "audio",
         return pd.Series(outs)
 
     return df.withColumn(out, feats(F.col(f"{audio_col}.samples")))
+
+
+def sniff_image_format(buf: bytes):
+    """Magic-byte sniff for the still-image router (the python twin of
+    ``binary_meta``'s Column-space modality map)."""
+    if buf is None or len(buf) < 2:
+        return None
+    head = bytes(buf[:8])
+    if head.startswith(b"\x89PNG"):
+        return "png"
+    if head.startswith(b"\xFF\xD8"):
+        return "jpeg"
+    if head.startswith(b"GIF8"):
+        return "gif"
+    if head.startswith(b"BM"):
+        return "bmp"
+    if len(head) >= 3 and head[0:1] == b"P" and head[1:2] in b"2356" \
+            and head[2:3] in b" \t\r\n":
+        return "pnm"
+    return None
+
+
+def decode_any(df: DataFrame, col: str = "html",
+               out: str = "image") -> DataFrame:
+    """Mixed-corpus still-image decode: sniff each payload's magic and
+    dispatch to the matching from-scratch decoder (bmp/pnm/png/jpeg/
+    gif-first-frame) in ONE vectorized pass — a 100 TB crawl column
+    never holds a single format, and per-format filtering would scan
+    the corpus once per codec.  Adds a struct column (format, width,
+    height, channels, pixels); unrecognized or undecodable payloads
+    keep a NULL pixel struct, with ``format`` still recording the
+    sniffed container when only the decode failed (the two failure
+    classes — unknown container vs corrupt payload — stay
+    distinguishable downstream)."""
+    kernels = {"bmp": decode_bmp_np, "pnm": decode_pnm_np,
+               "png": decode_png_np, "jpeg": decode_jpeg_np,
+               "gif": _decode_gif_first_np}
+    schema = StructType([
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("pixels", ArrayType(DoubleType()), True),
+    ])
+
+    @F.pandas_udf(schema)
+    def decode(data: pd.Series) -> pd.DataFrame:
+        fmts, ws, hs, cs, px = [], [], [], [], []
+        for payload in data:
+            fmt = sniff_image_format(payload)
+            img = kernels[fmt](payload) if fmt else None
+            fmts.append(fmt)
+            if img is None:
+                ws.append(None), hs.append(None), cs.append(None)
+                px.append(None)
+            else:
+                hh, ww, cc = img.shape
+                ws.append(ww), hs.append(hh), cs.append(cc)
+                px.append(img.ravel().astype(np.float64))
+        return pd.DataFrame({"format": fmts, "width": ws, "height": hs,
+                             "channels": cs, "pixels": px})
+
+    return df.withColumn(out, decode(F.col(col)))
 
 
 def decode_video_frames(df: DataFrame, col: str = "html", n_frames: int = 4,

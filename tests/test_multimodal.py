@@ -1095,3 +1095,53 @@ def test_decoders_never_raise_on_garbage():
             if out is not None and fmt == "gif":
                 assert isinstance(out, list)
             arr[i] ^= 1 << b  # restore
+
+
+def test_decode_any_mixed_corpus(spark):
+    """One vectorized pass over a MIXED-format column: every payload
+    is decoded by its sniffed container (bmp/pnm/png/jpeg/gif), the
+    format column distinguishes unknown-container from corrupt-payload
+    failures, and the magic map in binary_meta agrees with the
+    router's sniff."""
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, size=(4, 3, 3)).astype(np.uint8)
+    pal = rng.randint(0, 256, size=(4, 3)).astype(np.uint8)
+    gidx = rng.randint(0, 4, size=(4, 3))
+    jblocks = [_rand_blocks(rng, 1, 1)]
+    payloads = {
+        "bmp": (_bmp_bytes(img.tolist()), img.astype(np.float64)),
+        "pnm": (b"P6\n3 4\n255\n" + img.tobytes(), img.astype(np.float64)),
+        "png": (_png_bytes(img, 2, filters=[0, 1, 2]),
+                img.astype(np.float64)),
+        "jpeg": (_jpeg_bytes(jblocks, [[16] * 64], 8, 8, [(1, 1)]),
+                 _jpeg_oracle(jblocks, [[16] * 64], 8, 8,
+                              [(1, 1)]).astype(np.float64)),
+        "gif": (_gif_bytes(3, 4, pal, [(0, 0, 3, 4, gidx, None, 0)]),
+                pal[gidx].astype(np.float64)),
+    }
+    rows = [(i, p) for i, (p, _) in enumerate(payloads.values())]
+    rows.append((97, b"\x89PNG\r\n\x1a\ncorrupt"))  # sniffs, won't decode
+    rows.append((98, b"<html>hi</html>"))           # unknown container
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "pkey long, html binary")
+    got = {r.pkey: r.image for r in
+           multimodal.decode_any(df).select("pkey", "image").collect()}
+    for i, (fmt, (_, want)) in enumerate(payloads.items()):
+        g = got[i]
+        assert g.format == fmt
+        assert (g.height, g.width, g.channels) == want.shape
+        assert list(g.pixels) == [float(v) for v in want.ravel()]
+    assert got[97].format == "png" and got[97].pixels is None
+    assert got[98].format is None and got[98].pixels is None
+    assert got[99].format is None
+
+    # Column-space modality map stays consistent with the sniff
+    meta = {r.pkey: r.modality for r in
+            multimodal.binary_meta(df, "html").select("pkey", "modality").collect()}
+    want_mod = {0: "image/bmp", 1: "image/pnm", 2: "image/png",
+                3: "image/jpeg", 4: "image/gif",
+                97: "image/png", 98: "html"}
+    for k, v in want_mod.items():
+        assert meta[k] == v, (k, meta[k])
