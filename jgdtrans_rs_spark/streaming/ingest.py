@@ -103,3 +103,25 @@ def stream_dedup_exact(pages_stream: DataFrame, text_col: str = "text",
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["digest"])
     )
+
+
+def stream_decode_media(pages_stream: DataFrame,
+                        col: str = "html") -> DataFrame:
+    """Streaming twin of the mixed-corpus image router: decode each
+    arriving payload by its sniffed container (operators/multimodal.
+    decode_any — the same Arrow-batched UDF as batch, stateless, so
+    the plan shape carries over unchanged) and surface the decode
+    outcome as columns.  Dead letters stay visible: ``decode_status``
+    is 'ok' / 'corrupt' (container recognized, decode failed) /
+    'unknown' (no recognized magic), the streaming face of the
+    engine-wide errors-are-data contract."""
+    from ..operators import multimodal
+
+    decoded = multimodal.decode_any(pages_stream, col, out="image")
+    img = F.col("image")
+    return decoded.withColumn(
+        "decode_status",
+        F.when(img["pixels"].isNotNull(), "ok")
+        .when(img["format"].isNotNull(), "corrupt")
+        .otherwise("unknown"),
+    )

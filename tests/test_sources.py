@@ -368,3 +368,60 @@ def test_streaming_restart_from_checkpoint_exactly_once(
     assert spark.read.parquet(out_dir).count() == n_a + n_b
     for df in (half_a, half_b, out2):
         df.unpersist()
+
+
+def test_streaming_decode_media_batch_parity(spark, tmp_path):
+    """Streaming mixed-format media decode: one availableNow
+    micro-batch over a corpus holding every decodable container plus
+    corrupt/unknown payloads must produce row-identical output to the
+    batch decode_any path, with both failure classes visible as
+    decode_status values."""
+    import numpy as np
+
+    from jgdtrans_rs_spark.operators import multimodal
+    from jgdtrans_rs_spark.streaming.ingest import stream_decode_media
+    from tests.test_multimodal import (_bmp_bytes, _gif_bytes, _jpeg_bytes,
+                                       _png_bytes, _rand_blocks)
+
+    rng = np.random.RandomState(33)
+    img = rng.randint(0, 256, size=(4, 3, 3)).astype(np.uint8)
+    pal = rng.randint(0, 256, size=(4, 3)).astype(np.uint8)
+    rows = [
+        (1, _bmp_bytes(img.tolist())),
+        (2, b"P6\n3 4\n255\n" + img.tobytes()),
+        (3, _png_bytes(img, 2, filters=[0, 1, 2])),
+        (4, _jpeg_bytes([_rand_blocks(rng, 1, 1)], [[16] * 64],
+                        8, 8, [(1, 1)])),
+        (5, _gif_bytes(3, 4, pal,
+                       [(0, 0, 3, 4, rng.randint(0, 4, size=(4, 3)),
+                         None, 0)])),
+        (6, b"\x89PNG\r\n\x1a\ncorrupt"),
+        (7, b"<html>not media</html>"),
+        (8, None),
+    ]
+    batch = spark.createDataFrame(rows, "pkey long, html binary")
+    src_dir = str(tmp_path / "media_src")
+    batch.write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    out = stream_decode_media(stream)
+    assert out.isStreaming
+    q = (
+        out.selectExpr("pkey", "image.format AS fmt", "decode_status",
+                       "image.pixels AS pixels")
+        .writeStream.format("memory").queryName("media_decode")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120), "availableNow batch did not finish"
+    got = {r.pkey: r for r in spark.sql("SELECT * FROM media_decode").collect()}
+    want = {r["pkey"]: r for r in
+            multimodal.decode_any(batch).selectExpr(
+                "pkey", "image.format AS fmt", "image.pixels AS pixels")
+            .collect()}
+    assert set(got) == set(want) == {1, 2, 3, 4, 5, 6, 7, 8}
+    for k in got:
+        assert got[k].fmt == want[k].fmt, k
+        assert got[k].pixels == want[k].pixels, k
+    assert {k: got[k].decode_status for k in got} == {
+        1: "ok", 2: "ok", 3: "ok", 4: "ok", 5: "ok",
+        6: "corrupt", 7: "unknown", 8: "unknown"}
