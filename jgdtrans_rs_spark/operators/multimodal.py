@@ -22,10 +22,11 @@ with typed metadata, per the training-data-pipeline requirements:
   inflate, scanline filter reconstruction), and baseline JPEG
   (``decode_jpeg_np``: T.81 marker walk, canonical Huffman entropy
   decode, dequantize, separable IDCT, chroma upsample, JFIF
-  YCbCr->RGB).  Undecodable payloads yield NULL struct fields
-  instead of failing the job; formats that genuinely need an
-  imaging library (webp/gif/progressive jpeg) stay stubbed behind
-  an import guard with the identical plumbing.
+  YCbCr->RGB), plus animated GIF first-frame via ``decode_gif_np``.
+  Undecodable payloads yield NULL struct fields instead of failing
+  the job; formats that genuinely need an imaging library
+  (webp/progressive jpeg) stay stubbed behind an import guard with
+  the identical plumbing.
 * ``decode_audio`` — the audio twin (``decode_wav_np``: RIFF/WAVE
   PCM from scratch, 8/16-bit, any channel count), with
   ``audio_frame_features`` (block RMS) as the waveform analogue of
@@ -395,28 +396,44 @@ def _gif_lzw_decode(min_code: int, data: bytes, max_pixels: int):
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif_np(buf: bytes, max_frames: int = 256):
+def decode_gif_np(buf: bytes, max_frames: int = 256,
+                  max_total_bytes: int = 1 << 28, with_total: bool = False):
     """From-scratch GIF87a/GIF89a decoder — LZW needs no codec
     library either, and an ANIMATED gif is the closest thing to video
     this sandbox can decode for real, so the frame-sampling surface
     gets real frames instead of byte offsets.
 
     Returns a list of composited (h, w, 3) uint8 RGB frames (capped
-    at ``max_frames``).  Handles global/local color tables,
-    interlacing, transparency, and disposal methods 0-3 (unspecified /
-    keep / restore-background / restore-previous).  Malformed or
-    truncated payloads return None — dead letters like the other
-    decoders; uncovered canvas renders as the background color (or
-    black without a global table), the common renderer convention."""
+    at ``max_frames``), or ``(frames, n_frames_total)`` when
+    ``with_total`` — the total counts EVERY image block in the file
+    by a cheap structural walk past the cap, so a capped decode never
+    misreports the animation length.  Handles global/local color
+    tables, interlacing, transparency, and disposal methods 0-3
+    (unspecified / keep / restore-background / restore-previous).
+    Malformed or truncated payloads return None — dead letters like
+    the other decoders; uncovered canvas renders as the background
+    color (or black without a global table), the common renderer
+    convention.
+
+    Bomb guard: frames are full-canvas copies, so the per-frame pixel
+    cap alone does not bound memory (a ~1 KB payload declaring a
+    4096x4096 screen with hundreds of 1-pixel frames would amplify
+    into GiB).  ``max_total_bytes`` (default 256 MB) bounds the
+    aggregate across frames; payloads exceeding it dead-letter."""
     if buf is None or len(buf) < 13:
         return None
     buf = bytes(buf)
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     try:
-        return _decode_gif_inner(buf, max_frames)
+        out = _decode_gif_inner(buf, max_frames, max_total_bytes,
+                                count_past_cap=with_total)
     except (ValueError, IndexError):
         return None
+    if out is None:
+        return None
+    frames, total = out
+    return (frames, total) if with_total else frames
 
 
 def _decode_gif_first_np(buf: bytes):
@@ -425,11 +442,18 @@ def _decode_gif_first_np(buf: bytes):
     return None if frames is None else frames[0]
 
 
-def _decode_gif_inner(buf: bytes, max_frames: int):
+def _decode_gif_inner(buf: bytes, max_frames: int, max_total_bytes: int,
+                      count_past_cap: bool = True):
     w = int.from_bytes(buf[6:8], "little")
     h = int.from_bytes(buf[8:10], "little")
     packed, bg_idx = buf[10], buf[11]
     if w <= 0 or h <= 0 or w * h > (1 << 24):
+        return None
+    # each kept frame is a full-canvas (h, w, 3) copy — bound the
+    # aggregate before decoding anything (decompression-bomb guard)
+    frame_bytes = h * w * 3
+    budget_frames = max_total_bytes // frame_bytes
+    if budget_frames < 1:
         return None
     pos = 13
     gct = None
@@ -444,6 +468,7 @@ def _decode_gif_inner(buf: bytes, max_frames: int):
               else np.zeros(3, dtype=np.uint8))
     canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
     frames: list = []
+    total = 0  # every image block, decoded or structurally skipped
     transparent = None
     disposal = 0
     while pos < len(buf):
@@ -473,6 +498,22 @@ def _decode_gif_inner(buf: bytes, max_frames: int):
             ih = int.from_bytes(buf[pos + 6:pos + 8], "little")
             ip = buf[pos + 8]
             pos += 9
+            total += 1
+            if len(frames) >= max_frames:
+                # past the frame cap: keep walking the block structure
+                # (no LZW decode) so the reported total stays honest
+                if ip & 0x80:
+                    pos += 3 * (2 << (ip & 7))
+                pos += 1  # LZW minimum code size
+                while True:
+                    ln = buf[pos]
+                    pos += 1
+                    if ln == 0:
+                        break
+                    pos += ln
+                continue
+            if len(frames) >= budget_frames:
+                return None  # aggregate frame bytes would exceed budget
             pal = gct
             if ip & 0x80:  # local color table
                 n = 2 << (ip & 7)
@@ -520,7 +561,11 @@ def _decode_gif_inner(buf: bytes, max_frames: int):
             else:
                 region[...] = rgb
             frames.append(canvas.copy())
-            if len(frames) >= max_frames:
+            if not count_past_cap and len(frames) >= max_frames:
+                # caller doesn't need the true total (e.g. a
+                # first-frame decode): stop at the cap immediately —
+                # round-4 behavior, so an intact prefix of a payload
+                # with a corrupt tail still decodes
                 break
             if disposal == 2:  # restore background
                 canvas[top:top + ih, left:left + iw] = bg_rgb
@@ -532,7 +577,7 @@ def _decode_gif_inner(buf: bytes, max_frames: int):
             raise ValueError("unknown GIF block")
     if not frames:
         return None
-    return frames
+    return frames, total
 
 
 # ITU-T T.81 zigzag scan order: ZIGZAG[k] = natural (row*8+col) index
@@ -745,6 +790,14 @@ def _jpeg_entropy_segments(buf: bytes, pos: int):
 
 def _jpeg_scan(buf, pos, frame, scan, qtables, huff, dri):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the
+        # MCU is one 8x8 block in raster order over the component's
+        # full-resolution block grid, and the declared sampling
+        # factors do not group blocks into MCUs (grayscale output of
+        # `jpegtran -grayscale` keeps the source luma factors, e.g.
+        # 2x2; honoring them would decode swapped 8x8 tiles)
+        comps = [dict(comps[0], h=1, v=1)]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
@@ -1035,7 +1088,10 @@ def decode_video_frames(df: DataFrame, col: str = "html", n_frames: int = 4,
     spacing).  Adds a struct column (width, height, n_frames_total,
     frame_indices, frames) with frames[i] the row-major flattened RGB
     doubles of the i-th sampled frame; undecodable payloads yield a
-    NULL-field struct.  At 100 TB this is the `mapInPandas`-class
+    NULL-field struct.  ``n_frames_total`` is the TRUE animation
+    length (the decoder counts every image block structurally, even
+    past its materialization cap), so a capped decode is visible
+    downstream rather than silently reported as shorter.  At 100 TB this is the `mapInPandas`-class
     decode stage: per-payload codec work, vectorized per batch, errors
     as data."""
     schema = StructType([
@@ -1050,14 +1106,18 @@ def decode_video_frames(df: DataFrame, col: str = "html", n_frames: int = 4,
     def decode(data: pd.Series) -> pd.DataFrame:
         ws, hs, ns, idxs, frs = [], [], [], [], []
         for payload in data:
-            frames = decode_gif_np(payload)
-            if frames is None:
+            got = decode_gif_np(payload, with_total=True)
+            if got is None:
                 ws.append(None), hs.append(None), ns.append(None)
                 idxs.append(None), frs.append(None)
                 continue
-            total = len(frames)
-            picks = sorted({int(k * total) // n_frames
-                            for k in range(min(n_frames, total))})
+            frames, total = got
+            # picks span the DECODED frames (the decoder's cap bounds
+            # what can be materialized); n_frames_total reports the
+            # true animation length so any truncation is visible
+            avail = len(frames)
+            picks = sorted({(k * avail) // n_frames
+                            for k in range(n_frames)})
             ws.append(frames[0].shape[1])
             hs.append(frames[0].shape[0])
             ns.append(total)
@@ -1081,13 +1141,15 @@ def decode_image(df: DataFrame, col: str = "html", out: str = "pixels",
     ``format='png'`` (decode_png_np — stdlib-zlib inflate + filter
     reconstruction), and ``format='jpeg'``/``'jpg'`` (decode_jpeg_np
     — baseline T.81 Huffman + IDCT, so both compressed families are
-    real).  Adds a struct column (width, height, channels, pixels)
-    with pixels the row-major flattened samples as doubles; payloads
-    that don't decode yield a NULL-field struct (errors are data,
-    like the transform kernels' status columns — a corrupt image must
-    not kill a 10^12-row job).  Formats outside these (webp/gif/...)
-    need an imaging library that is not in this container and stay
-    stubbed behind the import guard with the identical plumbing."""
+    real), and ``format='gif'`` (first composited frame via
+    decode_gif_np's from-scratch LZW).  Adds a struct column (width,
+    height, channels, pixels) with pixels the row-major flattened
+    samples as doubles; payloads that don't decode yield a NULL-field
+    struct (errors are data, like the transform kernels' status
+    columns — a corrupt image must not kill a 10^12-row job).
+    Formats outside these (webp/...) need an imaging library that is
+    not in this container and stay stubbed behind the import guard
+    with the identical plumbing."""
     if format in ("pnm", "ppm", "pgm"):
         kernel_np = decode_pnm_np
     elif format == "bmp":

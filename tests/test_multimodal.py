@@ -613,6 +613,65 @@ def test_decode_gif_real(spark):
     assert vid[2].frames is None and vid[3].frames is None
 
 
+def test_gif_bomb_guard_and_capped_total(spark):
+    """Decompression-bomb guard + honest frame totals: a tiny payload
+    whose full-canvas frame copies would amplify past the byte budget
+    must dead-letter (not OOM the executor), a frame-capped decode
+    must still report the TRUE animation length via a structural walk,
+    and decode_video_frames must sample the tail of short animations
+    (picks iterate the full range(n_frames), not range(total))."""
+    import numpy as np
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]])
+
+    def anim(nf, w=4, h=4):
+        return _gif_bytes(w, h, pal, [
+            (0, 0, w, h, np.full((h, w), i % 4), None, 0)
+            for i in range(nf)])
+
+    # bomb: 2048x2048 logical screen x 64 one-pixel frames is ~1.5 KB
+    # of payload but 64 full-canvas copies = 805 MB of frames
+    bomb = _gif_bytes(2048, 2048, pal, [(0, 0, 1, 1, [[1]], None, 0)] * 64)
+    assert len(bomb) < 4096
+    assert multimodal.decode_gif_np(bomb) is None
+    # identical construction on a small canvas decodes fine
+    small = _gif_bytes(64, 64, pal, [(0, 0, 1, 1, [[1]], None, 0)] * 64)
+    frames, total = multimodal.decode_gif_np(small, with_total=True)
+    assert len(frames) == 64 and total == 64
+    # explicit budget: 4x4 frame = 48 bytes, budget 100 holds 2 frames
+    assert multimodal.decode_gif_np(anim(3), max_total_bytes=100) is None
+    assert len(multimodal.decode_gif_np(anim(2), max_total_bytes=100)) == 2
+
+    # frame cap: decode stops at max_frames but the structural walk
+    # keeps counting image blocks, and the prefix matches the uncapped
+    # decode exactly
+    capped, total = multimodal.decode_gif_np(anim(7), max_frames=2,
+                                             with_total=True)
+    assert len(capped) == 2 and total == 7
+    uncapped = multimodal.decode_gif_np(anim(7))
+    assert all((a == b).all() for a, b in zip(capped, uncapped[:2]))
+    # default return shape is unchanged (plain list, no tuple)
+    assert isinstance(uncapped, list) and len(uncapped) == 7
+
+    # without with_total the decode stops AT the cap (no structural
+    # walk), so a first-frame decode of a payload with a corrupt tail
+    # still succeeds; asking for the honest total dead-letters it
+    trunc = anim(3)[:-30]
+    first = multimodal.decode_gif_np(trunc, max_frames=1)
+    assert first is not None and len(first) == 1
+    assert multimodal.decode_gif_np(trunc, max_frames=1,
+                                    with_total=True) is None
+
+    # tail sampling: a 2-frame GIF with n_frames=4 must return BOTH
+    # frames ({0,1}), not just frame 0 as range(min(n,total)) would
+    df = spark.createDataFrame([(1, anim(2))], "pkey long, html binary")
+    v = (multimodal.decode_video_frames(df, "html", n_frames=4)
+         .select("video").collect()[0].video)
+    assert v.n_frames_total == 2
+    assert list(v.frame_indices) == [0, 1]
+    assert len(v.frames) == 2
+
+
 def test_gif_roundtrip_property():
     """Property check: random palettes/dims/frame stacks (transparency,
     disposal, interlace) must round-trip pixel-exactly through the
@@ -983,6 +1042,35 @@ def test_decode_jpeg_real(spark):
     assert list(out[1].pixels) == [float(v) for v in want.ravel()]
     assert out[1].width == w and out[1].height == h and out[1].channels == 1
     assert out[2].pixels is None and out[3].pixels is None
+
+
+def test_jpeg_single_component_ignores_sampling_factors():
+    """T.81 A.2: a single-component scan is non-interleaved — blocks
+    arrive in raster order over the full-resolution 8x8 grid and the
+    SOF's declared sampling factors do NOT group them into MCUs.
+    `jpegtran -grayscale` output keeps the source luma factors (e.g.
+    2x2), so honoring them would silently decode swapped 8x8 tiles."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    q = [16] * 64
+    # 32x16 with declared 2x2 factors: spec order is 8 raster blocks;
+    # MCU-interleaved order would place them as two 2x2 groups
+    blocks = [_rand_blocks(rng, 8, 1)]
+    jpg = _jpeg_bytes(blocks, [q], 32, 16, sampling=[(2, 2)])
+    want = _jpeg_oracle(blocks, [q], 32, 16, [(1, 1)])
+    got = multimodal.decode_jpeg_np(jpg)
+    assert got is not None and got.shape == want.shape
+    assert (got == want).all()
+
+    # non-multiple-of-16 dims with 2x1 factors previously desynced the
+    # bit reader (wrong block count); spec order needs exactly
+    # ceil(24/8) * ceil(13/8) = 6 blocks
+    blocks = [_rand_blocks(rng, 6, 1)]
+    jpg = _jpeg_bytes(blocks, [q], 24, 13, sampling=[(2, 1)])
+    want = _jpeg_oracle(blocks, [q], 24, 13, [(1, 1)])
+    got = multimodal.decode_jpeg_np(jpg)
+    assert got is not None and (got == want).all()
 
 
 def test_decode_wav_real(spark):
