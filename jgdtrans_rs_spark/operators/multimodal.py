@@ -877,21 +877,31 @@ def _jpeg_scan(buf, pos, frame, scan, qtables, huff, dri):
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUID suffix (KSDATAFORMAT media
+# types share this 14-byte tail; the leading 2 bytes carry the tag)
+_WAV_GUID_TAIL = bytes([0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+                        0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71])
+
+
 def decode_wav_np(buf: bytes):
     """From-scratch RIFF/WAVE PCM decoder — the audio twin of the
     image decoders: uncompressed PCM needs no codec library, so the
     audio decode step is real too, not an opaque-bytes stand-in.
 
-    Supported: WAVE with a PCM ``fmt `` chunk (audio format 1),
-    8-bit unsigned or 16-bit signed little-endian samples, any
-    channel count >= 1; chunks are walked by the RIFF grammar (word
-    alignment honored), unknown chunks skipped.  Compressed formats
-    (format tag != 1), other bit depths, and malformed/truncated
-    payloads return None — dead letters, like the image kernels.
+    Supported: WAVE with a PCM ``fmt `` chunk (format tag 1: 8-bit
+    unsigned offset-binary, 16/24/32-bit signed little-endian) or an
+    IEEE-float chunk (tag 3: float32/float64), plus both wrapped in
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — what DAWs emit for >16-bit
+    and >2-channel files; the SubFormat GUID resolves the real tag).
+    Any channel count >= 1; chunks are walked by the RIFF grammar
+    (word alignment honored), unknown chunks skipped.  Compressed
+    formats, other bit depths, and malformed/truncated payloads
+    return None — dead letters, like the image kernels.
 
     Returns (sample_rate, samples) with samples an (n_frames,
-    n_channels) float64 array scaled to [-1, 1] (8-bit is offset
-    binary per the spec: 128 -> 0.0)."""
+    n_channels) float64 array scaled to nominal [-1, 1] (8-bit is
+    offset binary per the spec: 128 -> 0.0; float data is taken
+    verbatim, so hot-mastered payloads may exceed +/-1)."""
     if buf is None or len(buf) < 44:
         return None
     buf = bytes(buf)
@@ -910,8 +920,16 @@ def decode_wav_np(buf: bytes):
         if cid == b"fmt ":
             if ln < 16:
                 return None
+            tag = int.from_bytes(body[0:2], "little")
+            if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+                # the real format tag is the first 2 bytes of the
+                # SubFormat GUID; the 14-byte tail must be the fixed
+                # KSDATAFORMAT media-type suffix
+                if ln < 40 or body[26:40] != _WAV_GUID_TAIL:
+                    return None
+                tag = int.from_bytes(body[24:26], "little")
             fmt = (
-                int.from_bytes(body[0:2], "little"),    # audio format
+                tag,
                 int.from_bytes(body[2:4], "little"),    # channels
                 int.from_bytes(body[4:8], "little"),    # sample rate
                 int.from_bytes(body[14:16], "little"),  # bits/sample
@@ -927,22 +945,41 @@ def decode_wav_np(buf: bytes):
     # dead-letter here — otherwise the Arrow cast wraps it negative
     # (or kills the task under safe-cast), breaking the errors-are-data
     # contract
-    if audio_fmt != 1 or channels < 1 or rate <= 0 or rate > 0x7FFFFFFF:
+    if audio_fmt not in (1, 3) or channels < 1 or rate <= 0 \
+            or rate > 0x7FFFFFFF:
         return None
-    if bits == 16:
-        usable = len(data) - (len(data) % (2 * channels))
-        if usable == 0:
+    step = bits // 8
+    if step == 0:
+        return None
+    usable = len(data) - (len(data) % (step * channels))
+    if usable == 0:
+        return None
+    if audio_fmt == 3:  # IEEE float PCM
+        if bits == 32:
+            samples = np.frombuffer(data, dtype="<f4",
+                                    count=usable // 4).astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(data, dtype="<f8",
+                                    count=usable // 8).astype(np.float64)
+        else:
             return None
+    elif bits == 16:
         raw = np.frombuffer(data, dtype="<i2", count=usable // 2)
         samples = raw.astype(np.float64) / 32768.0
     elif bits == 8:
-        usable = len(data) - (len(data) % channels)
-        if usable == 0:
-            return None
         raw = np.frombuffer(data, dtype=np.uint8, count=usable)
         samples = (raw.astype(np.float64) - 128.0) / 128.0
+    elif bits == 24:
+        b = np.frombuffer(data, dtype=np.uint8,
+                          count=usable).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v & 0x800000) << 1  # sign-extend bit 23
+        samples = v.astype(np.float64) / float(1 << 23)
+    elif bits == 32:
+        raw = np.frombuffer(data, dtype="<i4", count=usable // 4)
+        samples = raw.astype(np.float64) / float(1 << 31)
     else:
-        return None  # 24/32-bit & float PCM out of scope
+        return None  # other integer depths out of scope
     return rate, np.ascontiguousarray(samples.reshape(-1, channels))
 
 

@@ -392,24 +392,45 @@ def test_decode_png_real(spark):
 
 
 def _wav_bytes(samples, rate=16000, bits=16, extra_chunk=True,
-               fmt_tag=1):
-    """Minimal RIFF/WAVE PCM encoder for the decoder test: ``samples``
-    is an (n_frames, n_channels) float array in [-1, 1]."""
+               fmt_tag=1, extensible=False):
+    """Minimal RIFF/WAVE encoder for the decoder test: ``samples`` is
+    an (n_frames, n_channels) float array in [-1, 1].  fmt_tag 1 = int
+    PCM (bits 8/16/24/32), 3 = IEEE float (bits 32/64); ``extensible``
+    wraps the tag in a WAVE_FORMAT_EXTENSIBLE GUID."""
     import struct
 
     import numpy as np
 
     arr = np.asarray(samples, dtype=np.float64)
     ch = arr.shape[1]
-    if bits == 16:
+    if fmt_tag == 3:
+        raw = arr.astype("<f4" if bits == 32 else "<f8").tobytes()
+    elif bits == 16:
         raw = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(
             "<i2").tobytes()
+    elif bits == 24:
+        v = np.clip(np.round(arr * (1 << 23)), -(1 << 23),
+                    (1 << 23) - 1).astype(np.int64).ravel()
+        b = np.empty((v.size, 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        raw = b.tobytes()
+    elif bits == 32:
+        raw = np.clip(np.round(arr * (1 << 31)), -(1 << 31),
+                      (1 << 31) - 1).astype("<i4").tobytes()
     else:
         raw = (np.clip(np.round(arr * 128.0 + 128.0), 0, 255)
                .astype(np.uint8).tobytes())
-    fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate,
+    guid_tail = bytes([0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+                       0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71])
+    header_tag = 0xFFFE if extensible else fmt_tag
+    fmt = struct.pack("<HHIIHH", header_tag, ch, rate,
                       (rate * ch * bits // 8) & 0xFFFFFFFF,
                       ch * bits // 8, bits)
+    if extensible:
+        fmt += struct.pack("<HHI", 22, bits, 0x4)  # cbSize, valid bits, mask
+        fmt += struct.pack("<H", fmt_tag) + guid_tail
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     if extra_chunk:  # unknown chunk with odd length: word-align skip
         chunks += b"LIST" + struct.pack("<I", 3) + b"abc\x00"
@@ -1099,8 +1120,49 @@ def test_decode_wav_real(spark):
     want8 = (np.clip(np.round(mono * 128.0 + 128.0), 0, 255) - 128.0) / 128.0
     assert (mat8 == want8).all()
 
-    # rejects: compressed fmt tag, truncated data, not RIFF, 24-bit
+    # 24-bit PCM: bit-exact through the int24 quantizer
+    rate24, mat24 = multimodal.decode_wav_np(_wav_bytes(stereo, bits=24))
+    want24 = np.clip(np.round(stereo * (1 << 23)), -(1 << 23),
+                     (1 << 23) - 1) / float(1 << 23)
+    assert mat24.shape == (64, 2) and (mat24 == want24).all()
+    # negative samples exercise the sign-extension of bit 23
+    assert (mat24 < 0).any()
+
+    # 32-bit int PCM
+    _, mat32 = multimodal.decode_wav_np(_wav_bytes(mono, bits=32))
+    want32 = np.clip(np.round(mono * (1 << 31)), -(1 << 31),
+                     (1 << 31) - 1) / float(1 << 31)
+    assert (mat32 == want32).all()
+
+    # IEEE float32/float64 (tag 3): verbatim values
+    _, matf = multimodal.decode_wav_np(
+        _wav_bytes(stereo, bits=32, fmt_tag=3))
+    assert (matf == stereo.astype("<f4").astype(np.float64)).all()
+    _, matd = multimodal.decode_wav_np(
+        _wav_bytes(stereo, bits=64, fmt_tag=3))
+    assert (matd == stereo).all()
+
+    # WAVE_FORMAT_EXTENSIBLE wrapping both PCM and float subformats
+    _, mex = multimodal.decode_wav_np(
+        _wav_bytes(stereo, bits=24, extensible=True))
+    assert (mex == want24).all()
+    _, mexf = multimodal.decode_wav_np(
+        _wav_bytes(stereo, bits=32, fmt_tag=3, extensible=True))
+    assert (mexf == matf).all()
+    # extensible with a compressed subformat tag or a corrupt GUID
+    # tail still dead-letters
+    assert multimodal.decode_wav_np(
+        _wav_bytes(mono, fmt_tag=85, extensible=True)) is None
+    bad_guid = bytearray(_wav_bytes(stereo, bits=24, extensible=True))
+    gpos = bytes(bad_guid).index(bytes([0x00, 0xAA, 0x00, 0x38, 0x9B]))
+    bad_guid[gpos] ^= 0xFF
+    assert multimodal.decode_wav_np(bytes(bad_guid)) is None
+
+    # rejects: compressed fmt tag, truncated data, not RIFF, odd float
+    # width
     assert multimodal.decode_wav_np(_wav_bytes(mono, fmt_tag=85)) is None
+    assert multimodal.decode_wav_np(
+        _wav_bytes(mono, bits=16, fmt_tag=3)) is None
     assert multimodal.decode_wav_np(_wav_bytes(stereo)[:-9]) is None
     assert multimodal.decode_wav_np(b"OggS" + b"\x00" * 60) is None
     assert multimodal.decode_wav_np(None) is None
@@ -1152,6 +1214,8 @@ def test_decoders_never_raise_on_garbage():
                             8, 8, [(1, 1)]),
         "gif": _gif_bytes(5, 6, pal, [(0, 0, 5, 6, idx, None, 0)]),
         "wav": _wav_bytes(mono),
+        # the extensible header + 24-bit path has its own parser arms
+        "wav24x": _wav_bytes(mono, bits=24, extensible=True),
     }
     decoders = {
         "bmp": multimodal.decode_bmp_np,
@@ -1160,6 +1224,7 @@ def test_decoders_never_raise_on_garbage():
         "jpeg": multimodal.decode_jpeg_np,
         "gif": multimodal.decode_gif_np,
         "wav": multimodal.decode_wav_np,
+        "wav24x": multimodal.decode_wav_np,
     }
     for fmt, dec in decoders.items():
         assert dec(valid[fmt]) is not None, f"{fmt}: fixture must decode"
