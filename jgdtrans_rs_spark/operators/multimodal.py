@@ -22,11 +22,12 @@ with typed metadata, per the training-data-pipeline requirements:
   inflate, scanline filter reconstruction), and baseline JPEG
   (``decode_jpeg_np``: T.81 marker walk, canonical Huffman entropy
   decode, dequantize, separable IDCT, chroma upsample, JFIF
-  YCbCr->RGB), plus animated GIF first-frame via ``decode_gif_np``.
-  Undecodable payloads yield NULL struct fields instead of failing
-  the job; formats that genuinely need an imaging library
-  (webp/progressive jpeg) stay stubbed behind an import guard with
-  the identical plumbing.
+  YCbCr->RGB), baseline uncompressed TIFF6 (``decode_tiff_np``: IFD
+  walk, both byte orders, multi-strip, WhiteIsZero), plus animated
+  GIF first-frame via ``decode_gif_np``.  Undecodable payloads yield
+  NULL struct fields instead of failing the job; formats that
+  genuinely need an imaging library (webp/progressive jpeg) stay
+  stubbed behind an import guard with the identical plumbing.
 * ``decode_audio`` — the audio twin (``decode_wav_np``: RIFF/WAVE
   PCM from scratch, 8/16-bit, any channel count), with
   ``audio_frame_features`` (block RMS) as the waveform analogue of
@@ -58,6 +59,8 @@ def binary_meta(df: DataFrame, col: str = "html") -> DataFrame:
         .when(magic.startswith("GIF8"), "image/gif")
         .when(magic.startswith("BM"), "image/bmp")
         .when(magic.rlike("^P[2356][ \t\r\n]"), "image/pnm")
+        .when(magic.startswith("II*\x00") | magic.startswith("MM\x00*"),
+              "image/tiff")
         .when(magic.startswith("RIFF"), "audio/wav")
         .otherwise("unknown")
     )
@@ -877,6 +880,110 @@ def _jpeg_scan(buf, pos, frame, scan, qtables, huff, dri):
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+# TIFF field type -> byte width (only the integer types a baseline
+# uncompressed file uses; anything else is ignored per the TIFF6
+# reader rule "skip unknown types")
+_TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}
+
+
+def decode_tiff_np(buf: bytes):
+    """From-scratch baseline TIFF reader — uncompressed TIFF is the
+    scan/document-corpus sibling of BMP: the pixel data is raw strips,
+    so the IFD (image file directory) walk needs no codec library.
+
+    Supported: TIFF6 baseline, both byte orders (II little / MM big),
+    Compression=1 (none), 8 bits per sample, PhotometricInterpretation
+    0/1 (grayscale, WhiteIsZero inverted) and 2 (RGB), chunky planar
+    config, any strip layout (RowsPerStrip irrelevant — strips are
+    concatenated row-major).  LZW/PackBits/JPEG-in-TIFF compression,
+    tiled layout, palette color, planar=2, 16-bit samples, and
+    malformed/truncated structures return None — dead letters like
+    every other decoder here.
+
+    Returns (h, w, 1) grayscale or (h, w, 3) RGB uint8."""
+    if buf is None or len(buf) < 8:
+        return None
+    buf = bytes(buf)
+    if buf[:2] == b"II":
+        bo = "little"
+    elif buf[:2] == b"MM":
+        bo = "big"
+    else:
+        return None
+    if int.from_bytes(buf[2:4], bo) != 42:
+        return None
+    try:
+        return _decode_tiff_inner(buf, bo)
+    except (ValueError, IndexError):
+        return None  # malformed structure -> dead letter
+
+
+def _decode_tiff_inner(buf: bytes, bo: str):
+    off = int.from_bytes(buf[4:8], bo)
+    if off + 2 > len(buf):
+        raise ValueError("IFD offset out of range")
+    n_entries = int.from_bytes(buf[off:off + 2], bo)
+    tags: dict = {}
+    for i in range(n_entries):
+        e = off + 2 + 12 * i
+        if e + 12 > len(buf):
+            raise ValueError("truncated IFD")
+        tag = int.from_bytes(buf[e:e + 2], bo)
+        typ = int.from_bytes(buf[e + 2:e + 4], bo)
+        cnt = int.from_bytes(buf[e + 4:e + 8], bo)
+        width = _TIFF_TYPE_SIZES.get(typ)
+        if width is None or cnt == 0 or cnt > (1 << 22):
+            continue  # TIFF6 rule: skip fields of unknown type
+        size = width * cnt
+        if size <= 4:
+            data = buf[e + 8:e + 8 + size]
+        else:
+            p = int.from_bytes(buf[e + 8:e + 12], bo)
+            if p + size > len(buf):
+                raise ValueError("field value out of range")
+            data = buf[p:p + size]
+        tags[tag] = [int.from_bytes(data[j * width:(j + 1) * width], bo)
+                     for j in range(cnt)]
+
+    def first(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w, h = first(256), first(257)
+    if not w or not h or w * h > (1 << 24):
+        return None
+    spp = first(277, 1)
+    photo = first(262)
+    if first(259, 1) != 1 or first(284, 1) != 1 or spp not in (1, 3):
+        return None  # compressed / planar / exotic sample counts
+    if photo not in (0, 1, 2) or (photo == 2) != (spp == 3):
+        return None  # palette/CMYK/YCbCr, or photometric-spp mismatch
+    bits = tags.get(258, [8] * spp)
+    if len(bits) != spp or any(b != 8 for b in bits):
+        return None
+    if any(s != 1 for s in tags.get(339, [1])):
+        return None  # non-unsigned SampleFormat
+    if 322 in tags or 323 in tags:
+        return None  # tiled layout
+    offsets, counts = tags.get(273), tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        return None
+    need = w * h * spp
+    raw = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(buf):
+            raise ValueError("strip out of range")
+        raw += buf[o:o + c]
+        if len(raw) >= need:
+            break
+    if len(raw) < need:
+        return None  # strips short of the declared raster
+    arr = np.frombuffer(bytes(raw[:need]), dtype=np.uint8).reshape(h, w, spp)
+    if photo == 0:  # WhiteIsZero: invert to the usual convention
+        arr = 255 - arr
+    return arr
+
+
 # WAVE_FORMAT_EXTENSIBLE SubFormat GUID suffix (KSDATAFORMAT media
 # types share this 14-byte tail; the leading 2 bytes carry the tag)
 _WAV_GUID_TAIL = bytes([0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
@@ -1070,6 +1177,8 @@ def sniff_image_format(buf: bytes):
     if len(head) >= 3 and head[0:1] == b"P" and head[1:2] in b"2356" \
             and head[2:3] in b" \t\r\n":
         return "pnm"
+    if head.startswith(b"II*\x00") or head.startswith(b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -1077,7 +1186,7 @@ def decode_any(df: DataFrame, col: str = "html",
                out: str = "image") -> DataFrame:
     """Mixed-corpus still-image decode: sniff each payload's magic and
     dispatch to the matching from-scratch decoder (bmp/pnm/png/jpeg/
-    gif-first-frame) in ONE vectorized pass — a 100 TB crawl column
+    gif-first-frame/tiff) in ONE vectorized pass — a 100 TB crawl column
     never holds a single format, and per-format filtering would scan
     the corpus once per codec.  Adds a struct column (format, width,
     height, channels, pixels); unrecognized or undecodable payloads
@@ -1087,7 +1196,7 @@ def decode_any(df: DataFrame, col: str = "html",
     distinguishable downstream)."""
     kernels = {"bmp": decode_bmp_np, "pnm": decode_pnm_np,
                "png": decode_png_np, "jpeg": decode_jpeg_np,
-               "gif": _decode_gif_first_np}
+               "gif": _decode_gif_first_np, "tiff": decode_tiff_np}
     schema = StructType([
         StructField("format", StringType(), True),
         StructField("width", IntegerType(), True),
@@ -1178,8 +1287,10 @@ def decode_image(df: DataFrame, col: str = "html", out: str = "pixels",
     ``format='png'`` (decode_png_np — stdlib-zlib inflate + filter
     reconstruction), and ``format='jpeg'``/``'jpg'`` (decode_jpeg_np
     — baseline T.81 Huffman + IDCT, so both compressed families are
-    real), and ``format='gif'`` (first composited frame via
-    decode_gif_np's from-scratch LZW).  Adds a struct column (width,
+    real), ``format='gif'`` (first composited frame via
+    decode_gif_np's from-scratch LZW), and ``format='tiff'``/``'tif'``
+    (decode_tiff_np — baseline uncompressed TIFF6, both byte orders).
+    Adds a struct column (width,
     height, channels, pixels) with pixels the row-major flattened
     samples as doubles; payloads that don't decode yield a NULL-field
     struct (errors are data, like the transform kernels' status
@@ -1197,6 +1308,8 @@ def decode_image(df: DataFrame, col: str = "html", out: str = "pixels",
         kernel_np = decode_jpeg_np
     elif format == "gif":
         kernel_np = _decode_gif_first_np
+    elif format in ("tiff", "tif"):
+        kernel_np = decode_tiff_np
     else:
         try:
             import PIL.Image  # noqa: F401

@@ -1094,6 +1094,116 @@ def test_jpeg_single_component_ignores_sampling_factors():
     assert got is not None and (got == want).all()
 
 
+def _tiff_bytes(img, bo="<", photometric=None, rows_per_strip=None,
+                compression=1, planar=1, bits=None, extra=()):
+    """Minimal independent TIFF6 writer: header, strip data, one IFD
+    (entries tag-sorted per spec), out-of-line values after the IFD.
+    ``img`` is (h, w, spp) uint8; photometric 0 stores inverted pixels
+    so a correct decoder returns ``img`` unchanged."""
+    import struct
+
+    import numpy as np
+
+    h, w, spp = img.shape
+    if photometric is None:
+        photometric = 2 if spp == 3 else 1
+    rps = rows_per_strip or h
+    bits = list(bits) if bits is not None else [8] * spp
+    pix = (255 - img) if photometric == 0 else img
+    flat = np.ascontiguousarray(pix).tobytes()
+    row_bytes = w * spp
+    strips = [flat[y0 * row_bytes:(y0 + min(rps, h - y0)) * row_bytes]
+              for y0 in range(0, h, rps)]
+    header = (b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
+    pos, body, strip_offsets = 8, b"", []
+    for s in strips:
+        strip_offsets.append(pos)
+        body += s
+        pos += len(s)
+    ifd_off = pos
+    header += struct.pack(bo + "I", ifd_off)
+    entries = [(256, 4, [w]), (257, 4, [h]), (258, 3, bits),
+               (259, 3, [compression]), (262, 3, [photometric]),
+               (273, 4, strip_offsets), (277, 3, [spp]),
+               (278, 4, [rps]), (279, 4, [len(s) for s in strips]),
+               (284, 3, [planar])] + list(extra)
+    entries.sort()
+    n = len(entries)
+    ext_off = ifd_off + 2 + 12 * n + 4
+    ifd, ext = struct.pack(bo + "H", n), b""
+    fmt = {3: "H", 4: "I"}
+    for tag, typ, values in entries:
+        raw = b"".join(struct.pack(bo + fmt[typ], v) for v in values)
+        if len(raw) <= 4:
+            val = raw + b"\x00" * (4 - len(raw))
+        else:
+            val = struct.pack(bo + "I", ext_off + len(ext))
+            ext += raw
+        ifd += struct.pack(bo + "HHI", tag, typ, len(values)) + val
+    ifd += struct.pack(bo + "I", 0)  # next-IFD pointer: none
+    return header + body + ifd + ext
+
+
+def test_decode_tiff_real(spark):
+    """From-scratch baseline TIFF: RGB and grayscale round-trip exact
+    through the independent IFD writer in BOTH byte orders, multi-strip
+    assembly, WhiteIsZero inversion, the reject matrix (compression,
+    planar, tiles, depth, palette), and the Spark surfaces."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(7, 5, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, size=(7, 5, 1)).astype(np.uint8)
+
+    # little-endian RGB, single strip
+    got = multimodal.decode_tiff_np(_tiff_bytes(rgb))
+    assert got is not None and (got == rgb).all()
+    # big-endian grayscale, multi-strip (3 rows/strip over h=7)
+    got = multimodal.decode_tiff_np(_tiff_bytes(gray, bo=">",
+                                                rows_per_strip=3))
+    assert got is not None and got.shape == (7, 5, 1) and (got == gray).all()
+    # WhiteIsZero: stored inverted, decoder re-inverts
+    got = multimodal.decode_tiff_np(_tiff_bytes(gray, photometric=0))
+    assert (got == gray).all()
+
+    # rejects: LZW compression, planar=2, 16-bit, palette photometric,
+    # tiled layout, truncated strip data, garbage, None
+    assert multimodal.decode_tiff_np(_tiff_bytes(rgb, compression=5)) is None
+    assert multimodal.decode_tiff_np(_tiff_bytes(rgb, planar=2)) is None
+    assert multimodal.decode_tiff_np(
+        _tiff_bytes(rgb, bits=[16, 16, 16])) is None
+    assert multimodal.decode_tiff_np(
+        _tiff_bytes(gray, photometric=3)) is None
+    assert multimodal.decode_tiff_np(
+        _tiff_bytes(rgb, extra=[(322, 4, [16]), (323, 4, [16])])) is None
+    whole = _tiff_bytes(rgb)
+    assert multimodal.decode_tiff_np(whole[:20]) is None
+    assert multimodal.decode_tiff_np(b"II*\x00" + b"\xff" * 40) is None
+    assert multimodal.decode_tiff_np(b"abcdefgh") is None
+    assert multimodal.decode_tiff_np(None) is None
+
+    # Spark surfaces: decode_image(format='tiff') + the decode_any
+    # router sniffing both byte orders
+    rows = [(1, _tiff_bytes(rgb)), (2, _tiff_bytes(gray, bo=">")),
+            (3, b"II*\x00garbage"), (4, None)]
+    df = spark.createDataFrame(rows, "pkey long, html binary")
+    out = {r.pkey: r.pixels for r in
+           multimodal.decode_image(df, "html", format="tiff")
+           .select("pkey", "pixels").collect()}
+    assert list(out[1].pixels) == [float(v) for v in rgb.ravel()]
+    assert out[1].channels == 3 and out[2].channels == 1
+    assert out[3].pixels is None and out[4].pixels is None
+
+    routed = {r.pkey: r.image for r in
+              multimodal.decode_any(df, "html")
+              .select("pkey", "image").collect()}
+    assert routed[1].format == "tiff" and routed[2].format == "tiff"
+    assert list(routed[2].pixels) == [float(v) for v in gray.ravel()]
+    # corrupt payload keeps the sniffed container, NULL pixels
+    assert routed[3].format == "tiff" and routed[3].pixels is None
+    assert routed[4].format is None
+
+
 def test_decode_wav_real(spark):
     """The from-scratch RIFF/WAVE PCM decoder: exact samples for
     16-bit stereo (with an unknown odd-length chunk exercising RIFF
@@ -1216,6 +1326,7 @@ def test_decoders_never_raise_on_garbage():
         "wav": _wav_bytes(mono),
         # the extensible header + 24-bit path has its own parser arms
         "wav24x": _wav_bytes(mono, bits=24, extensible=True),
+        "tiff": _tiff_bytes(img),
     }
     decoders = {
         "bmp": multimodal.decode_bmp_np,
@@ -1225,6 +1336,7 @@ def test_decoders_never_raise_on_garbage():
         "gif": multimodal.decode_gif_np,
         "wav": multimodal.decode_wav_np,
         "wav24x": multimodal.decode_wav_np,
+        "tiff": multimodal.decode_tiff_np,
     }
     for fmt, dec in decoders.items():
         assert dec(valid[fmt]) is not None, f"{fmt}: fixture must decode"
