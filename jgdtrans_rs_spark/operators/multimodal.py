@@ -422,7 +422,10 @@ def decode_gif_np(buf: bytes, max_frames: int = 256,
     cap alone does not bound memory (a ~1 KB payload declaring a
     4096x4096 screen with hundreds of 1-pixel frames would amplify
     into GiB).  ``max_total_bytes`` (default 256 MB) bounds the
-    aggregate across frames; payloads exceeding it dead-letter."""
+    aggregate across frames by acting as a second frame cap —
+    legitimate big animations truncate rather than dead-letter, with
+    the true length still reported under ``with_total``; only a
+    payload whose single frame exceeds the budget returns None."""
     if buf is None or len(buf) < 13:
         return None
     buf = bytes(buf)
@@ -445,6 +448,21 @@ def _decode_gif_first_np(buf: bytes):
     return None if frames is None else frames[0]
 
 
+def _gif_subblocks(buf: bytes, pos: int):
+    """Walk one GIF sub-block sequence starting at ``pos``; returns
+    (joined content bytes, position after the 0 terminator).  The one
+    copy of the block grammar shared by the extension, LZW-data, and
+    past-cap structural-skip paths."""
+    chunks = []
+    while True:
+        ln = buf[pos]
+        pos += 1
+        if ln == 0:
+            return b"".join(chunks), pos
+        chunks.append(buf[pos:pos + ln])
+        pos += ln
+
+
 def _decode_gif_inner(buf: bytes, max_frames: int, max_total_bytes: int,
                       count_past_cap: bool = True):
     w = int.from_bytes(buf[6:8], "little")
@@ -453,11 +471,15 @@ def _decode_gif_inner(buf: bytes, max_frames: int, max_total_bytes: int,
     if w <= 0 or h <= 0 or w * h > (1 << 24):
         return None
     # each kept frame is a full-canvas (h, w, 3) copy — bound the
-    # aggregate before decoding anything (decompression-bomb guard)
+    # aggregate before decoding anything (decompression-bomb guard).
+    # The budget acts as a second frame cap (legitimate big animations
+    # truncate, with the true length still reported); only a payload
+    # whose SINGLE frame exceeds the budget dead-letters outright
     frame_bytes = h * w * 3
     budget_frames = max_total_bytes // frame_bytes
     if budget_frames < 1:
         return None
+    max_frames = min(max_frames, budget_frames)
     pos = 13
     gct = None
     if packed & 0x80:
@@ -481,17 +503,8 @@ def _decode_gif_inner(buf: bytes, max_frames: int, max_total_bytes: int,
             break
         if block == 0x21:  # extension: label + sub-blocks
             label = buf[pos]
-            pos += 1
-            subs = []
-            while True:
-                ln = buf[pos]
-                pos += 1
-                if ln == 0:
-                    break
-                subs.append(buf[pos:pos + ln])
-                pos += ln
-            if label == 0xF9 and subs:  # graphic control
-                gce = subs[0]
+            gce, pos = _gif_subblocks(buf, pos + 1)
+            if label == 0xF9 and len(gce) >= 4:  # graphic control
                 disposal = (gce[0] >> 2) & 7
                 transparent = gce[3] if gce[0] & 1 else None
         elif block == 0x2C:  # image descriptor
@@ -507,16 +520,8 @@ def _decode_gif_inner(buf: bytes, max_frames: int, max_total_bytes: int,
                 # (no LZW decode) so the reported total stays honest
                 if ip & 0x80:
                     pos += 3 * (2 << (ip & 7))
-                pos += 1  # LZW minimum code size
-                while True:
-                    ln = buf[pos]
-                    pos += 1
-                    if ln == 0:
-                        break
-                    pos += ln
+                _, pos = _gif_subblocks(buf, pos + 1)  # skip min-code+LZW
                 continue
-            if len(frames) >= budget_frames:
-                return None  # aggregate frame bytes would exceed budget
             pal = gct
             if ip & 0x80:  # local color table
                 n = 2 << (ip & 7)
@@ -533,14 +538,7 @@ def _decode_gif_inner(buf: bytes, max_frames: int, max_total_bytes: int,
             pos += 1
             if not 2 <= min_code <= 11:
                 raise ValueError("bad LZW minimum code size")
-            data = bytearray()
-            while True:
-                ln = buf[pos]
-                pos += 1
-                if ln == 0:
-                    break
-                data += buf[pos:pos + ln]
-                pos += ln
+            data, pos = _gif_subblocks(buf, pos)
             idx = _gif_lzw_decode(min_code, bytes(data), iw * ih)
             if len(idx) < iw * ih:
                 raise ValueError("LZW stream short of image size")
@@ -885,6 +883,20 @@ def _jpeg_scan(buf, pos, frame, scan, qtables, huff, dri):
 # reader rule "skip unknown types")
 _TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}
 
+# the only tags the baseline reader consumes: width, height,
+# bits/sample, compression, photometric, strip offsets, samples/px,
+# strip byte counts, planar config, tile markers, sample format.
+# Everything else is skipped WITHOUT materializing its values — a
+# hostile IFD can declare 65535 entries x 4M-long value arrays, and
+# parsing them all would pin a task for hours on a ~20 MB payload
+_TIFF_TAGS_NEEDED = frozenset(
+    {256, 257, 258, 259, 262, 273, 277, 279, 284, 322, 323, 339})
+
+# aggregate budget for materialized field values per file: real strip
+# tables are a few thousand entries; 4 MB (~1M values) is generous
+# while bounding hostile CPU/memory to well under a second
+_TIFF_VALUE_BYTES_BUDGET = 1 << 22
+
 
 def decode_tiff_np(buf: bytes):
     """From-scratch baseline TIFF reader — uncompressed TIFF is the
@@ -924,17 +936,23 @@ def _decode_tiff_inner(buf: bytes, bo: str):
         raise ValueError("IFD offset out of range")
     n_entries = int.from_bytes(buf[off:off + 2], bo)
     tags: dict = {}
+    value_budget = _TIFF_VALUE_BYTES_BUDGET
     for i in range(n_entries):
         e = off + 2 + 12 * i
         if e + 12 > len(buf):
             raise ValueError("truncated IFD")
         tag = int.from_bytes(buf[e:e + 2], bo)
+        if tag not in _TIFF_TAGS_NEEDED:
+            continue  # irrelevant or hostile field: zero parse cost
         typ = int.from_bytes(buf[e + 2:e + 4], bo)
         cnt = int.from_bytes(buf[e + 4:e + 8], bo)
         width = _TIFF_TYPE_SIZES.get(typ)
-        if width is None or cnt == 0 or cnt > (1 << 22):
+        if width is None or cnt == 0:
             continue  # TIFF6 rule: skip fields of unknown type
         size = width * cnt
+        value_budget -= size
+        if value_budget < 0:
+            raise ValueError("IFD value bytes over budget")
         if size <= 4:
             data = buf[e + 8:e + 8 + size]
         else:

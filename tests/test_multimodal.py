@@ -651,16 +651,27 @@ def test_gif_bomb_guard_and_capped_total(spark):
             for i in range(nf)])
 
     # bomb: 2048x2048 logical screen x 64 one-pixel frames is ~1.5 KB
-    # of payload but 64 full-canvas copies = 805 MB of frames
+    # of payload but 64 full-canvas copies = 805 MB of frames.  The
+    # budget acts as a second frame cap: decode materializes only what
+    # fits, the structural walk still reports the true length
     bomb = _gif_bytes(2048, 2048, pal, [(0, 0, 1, 1, [[1]], None, 0)] * 64)
     assert len(bomb) < 4096
-    assert multimodal.decode_gif_np(bomb) is None
-    # identical construction on a small canvas decodes fine
+    frames, total = multimodal.decode_gif_np(
+        bomb, max_total_bytes=1 << 24, with_total=True)
+    assert len(frames) == 1 and total == 64  # 12.6 MB/frame, 16 MB budget
+    # a single frame larger than the whole budget is unrepresentable:
+    # dead-letter outright
+    assert multimodal.decode_gif_np(bomb, max_total_bytes=1 << 20) is None
+    # identical construction on a small canvas decodes fully
     small = _gif_bytes(64, 64, pal, [(0, 0, 1, 1, [[1]], None, 0)] * 64)
     frames, total = multimodal.decode_gif_np(small, with_total=True)
     assert len(frames) == 64 and total == 64
     # explicit budget: 4x4 frame = 48 bytes, budget 100 holds 2 frames
-    assert multimodal.decode_gif_np(anim(3), max_total_bytes=100) is None
+    # — a legitimate over-budget animation TRUNCATES (round-4 content
+    # keeps decoding), it does not dead-letter
+    t2 = multimodal.decode_gif_np(anim(3), max_total_bytes=100,
+                                  with_total=True)
+    assert len(t2[0]) == 2 and t2[1] == 3
     assert len(multimodal.decode_gif_np(anim(2), max_total_bytes=100)) == 2
 
     # frame cap: decode stops at max_frames but the structural walk
@@ -1181,6 +1192,25 @@ def test_decode_tiff_real(spark):
     assert multimodal.decode_tiff_np(b"II*\x00" + b"\xff" * 40) is None
     assert multimodal.decode_tiff_np(b"abcdefgh") is None
     assert multimodal.decode_tiff_np(None) is None
+
+    # DoS guard: an IFD declaring 64 x 4M-value arrays must not pin
+    # the task — unneeded tags are skipped without materializing,
+    # and the same counts on a NEEDED tag hit the value-byte budget
+    import struct
+    import time
+
+    def hostile(tag):
+        header = b"II*\x00" + struct.pack("<I", 8)
+        ifd = struct.pack("<H", 64)
+        for _ in range(64):  # every entry points into the padding
+            ifd += struct.pack("<HHII", tag, 4, 1 << 20, 8)
+        ifd += struct.pack("<I", 0)
+        return header + ifd + b"\x00" * (1 << 22)
+
+    t0 = time.monotonic()
+    assert multimodal.decode_tiff_np(hostile(40000)) is None  # skipped
+    assert multimodal.decode_tiff_np(hostile(273)) is None    # budget
+    assert time.monotonic() - t0 < 10.0
 
     # Spark surfaces: decode_image(format='tiff') + the decode_any
     # router sniffing both byte orders
