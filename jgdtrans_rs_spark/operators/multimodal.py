@@ -19,7 +19,8 @@ with typed metadata, per the training-data-pipeline requirements:
   no codec library: uncompressed 24-bit BMP (``decode_bmp_np``), the
   Netpbm family (``decode_pnm_np``), real compressed PNG
   (``decode_png_np``: chunk walk, CRC verify, stdlib-``zlib``
-  inflate, scanline filter reconstruction), and baseline JPEG
+  inflate, scanline filter reconstruction, palette expansion with
+  tRNS alpha), and baseline JPEG
   (``decode_jpeg_np``: T.81 marker walk, canonical Huffman entropy
   decode, dequantize, separable IDCT, chroma upsample, JFIF
   YCbCr->RGB), baseline uncompressed TIFF6 (``decode_tiff_np``: IFD
@@ -235,10 +236,12 @@ def decode_png_np(buf: bytes):
     implementable from the spec (RFC 2083 / W3C PNG).
 
     Supported: 8-bit-per-sample, non-interlaced greyscale (color type
-    0), RGB (2), grey+alpha (4), RGBA (6) — i.e. everything except
-    palette, 16-bit, and Adam7, which return None like any other
-    unsupported payload.  Chunk CRCs are verified (a corrupt chunk is
-    a dead letter, not a crash); IDAT may span multiple chunks.
+    0), RGB (2), palette (3, expanded through PLTE to RGB — or RGBA
+    when a tRNS chunk supplies per-entry alpha), grey+alpha (4), RGBA
+    (6).  Sub-8-bit palette depths, 16-bit, and Adam7 return None
+    like any other unsupported payload.  Chunk CRCs are verified (a
+    corrupt chunk is a dead letter, not a crash); IDAT may span
+    multiple chunks.
 
     Returns (H, W, C) uint8 with C in {1, 2, 3, 4}, or None.
 
@@ -259,6 +262,7 @@ def decode_png_np(buf: bytes):
     pos, n = 8, len(buf)
     w = h = ctype = None
     idat = []
+    plte = trns = None
     while pos + 12 <= n:
         ln = int.from_bytes(buf[pos:pos + 4], "big")
         typ = buf[pos + 4:pos + 8]
@@ -277,10 +281,18 @@ def decode_png_np(buf: bytes):
             depth, ctype, comp, filt, interlace = data[8:13]
             if comp != 0 or filt != 0 or interlace != 0:
                 return None  # Adam7 / nonstandard out of scope
-            if depth != 8 or ctype not in (0, 2, 4, 6):
-                return None  # palette / 16-bit out of scope
+            if depth != 8 or ctype not in (0, 2, 3, 4, 6):
+                return None  # sub-8-bit palette / 16-bit out of scope
             if w <= 0 or h <= 0 or w * h > (1 << 24):
                 return None  # dimension guard (16M px, <=80 MB raster)
+        elif typ == b"PLTE":
+            if ln == 0 or ln % 3 or ln > 768 or idat or plte is not None:
+                return None  # malformed/duplicate/late palette
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            if idat:
+                return None  # tRNS must precede IDAT
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif typ == b"IDAT":
             if w is None:
                 return None  # IDAT before IHDR
@@ -290,7 +302,9 @@ def decode_png_np(buf: bytes):
         pos = data_end + 4
     if w is None or not idat:
         return None
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    # palette streams carry 1 byte/pixel through the filter stage and
+    # expand through PLTE afterwards
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     stride = w * channels
     want = h * (stride + 1)
     try:
@@ -339,7 +353,21 @@ def decode_png_np(buf: bytes):
                     pred = a if (pa <= pb and pa <= pc) else (
                         b if pb <= pc else c)
                 rec[x] = (ln_[x] + pred) & 0xFF
-    return np.ascontiguousarray(out.reshape(h, w, channels))
+    img = out.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            return None  # palette image without a PLTE chunk
+        idx = img[:, :, 0]
+        if (idx >= len(plte)).any():
+            return None  # index past the palette -> dead letter
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[:min(len(trns), len(plte))] = trns[:len(plte)]
+            img = np.concatenate([plte[idx], alpha[idx][:, :, None]],
+                                 axis=2)
+        else:
+            img = plte[idx]
+    return np.ascontiguousarray(img)
 
 
 def _gif_lzw_decode(min_code: int, data: bytes, max_pixels: int):

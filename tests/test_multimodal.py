@@ -225,11 +225,14 @@ def test_decode_pnm_real(spark):
     assert all(len(r.resized) == 8 for r in resized)
 
 
-def _png_bytes(img, ctype, filters, split_idat=False):
+def _png_bytes(img, ctype, filters, split_idat=False, plte=None,
+               trns=None):
     """Minimal reference PNG encoder for the decoder test: 8-bit,
     non-interlaced; ``filters[y]`` picks the per-scanline filter type
     and the filtered bytes are computed forward per the spec, so a
-    correct decoder must invert them exactly."""
+    correct decoder must invert them exactly.  For ctype 3 pass the
+    (h, w, 1) index raster as ``img`` plus ``plte`` (n, 3) and
+    optionally ``trns`` alpha bytes."""
     import struct
     import zlib
 
@@ -273,7 +276,52 @@ def _png_bytes(img, ctype, filters, split_idat=False):
     else:
         idat = chunk(b"IDAT", comp)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idat + chunk(b"IEND", b"")
+    mid_chunks = b""
+    if plte is not None:
+        mid_chunks += chunk(b"PLTE",
+                            bytes(np.asarray(plte, dtype=np.uint8).ravel()))
+    if trns is not None:
+        mid_chunks += chunk(b"tRNS", bytes(trns))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + mid_chunks
+            + idat + chunk(b"IEND", b""))
+
+
+def test_png_palette():
+    """Palette PNGs (color type 3 — the common web icon/screenshot
+    shape): indices run through the scanline filters as 1 byte/pixel,
+    then expand through PLTE to RGB, or to RGBA when tRNS supplies
+    per-entry alpha (missing tail entries default opaque).  Malformed
+    palettes dead-letter."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    plte = rng.randint(0, 256, size=(5, 3)).astype(np.uint8)
+    idx = rng.randint(0, 5, size=(6, 4, 1)).astype(np.uint8)
+
+    # plain palette -> RGB, over every filter type
+    png = _png_bytes(idx, 3, filters=[0, 1, 2, 3, 4], plte=plte)
+    got = multimodal.decode_png_np(png)
+    assert got is not None and got.shape == (6, 4, 3)
+    assert (got == plte[idx[:, :, 0]]).all()
+
+    # tRNS shorter than the palette: listed entries get their alpha,
+    # the rest default to 255
+    png = _png_bytes(idx, 3, filters=[4], plte=plte, trns=bytes([0, 128]))
+    got = multimodal.decode_png_np(png)
+    assert got.shape == (6, 4, 4)
+    assert (got[:, :, :3] == plte[idx[:, :, 0]]).all()
+    alpha = np.array([0, 128, 255, 255, 255], dtype=np.uint8)
+    assert (got[:, :, 3] == alpha[idx[:, :, 0]]).all()
+
+    # rejects: index past the palette, missing PLTE, malformed PLTE
+    bad_idx = idx.copy()
+    bad_idx[0, 0, 0] = 5
+    assert multimodal.decode_png_np(
+        _png_bytes(bad_idx, 3, filters=[0], plte=plte)) is None
+    assert multimodal.decode_png_np(_png_bytes(idx, 3, filters=[0])) is None
+    assert multimodal.decode_png_np(
+        _png_bytes(idx, 3, filters=[0], plte=plte.ravel()[:-1]
+                   .reshape(1, -1))) is None
 
 
 def test_png_roundtrip_property():
