@@ -1,0 +1,294 @@
+"""Perceptual fingerprint + banded-Hamming pair tests.
+
+Covers the decode->dedup bridge three ways: kernel behavior (distance
+separation, invariances, degenerate inputs), exact equivalence of
+``hamming_pairs`` against a brute-force all-pairs oracle, and the
+end-to-end Spark composition (mixed-format corpus -> fingerprints ->
+pairs -> dedup_components clusters).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jgdtrans_rs_spark.operators import fingerprint as fp
+from jgdtrans_rs_spark.operators.dedup import dedup_components
+from jgdtrans_rs_spark.operators.multimodal import (decode_bmp_np,
+                                                    decode_png_np,
+                                                    decode_pnm_np)
+from tests.test_multimodal import _bmp_bytes, _png_bytes, _wav_bytes
+
+
+def _ham(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _base_img(h=48, w=64):
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    base = (x * 2 + y * 3) % 256
+    return np.stack([base, (base * 2) % 256, 255 - base],
+                    axis=-1).astype(np.uint8)
+
+
+def _ppm_bytes(img):
+    h, w, _ = img.shape
+    return (f"P6 {w} {h} 255\n".encode()
+            + img.astype(np.uint8).tobytes())
+
+
+# ---------------------------------------------------------------------------
+# image hash kernels
+# ---------------------------------------------------------------------------
+
+def test_image_hash_distance_separation():
+    rng = np.random.default_rng(7)
+    img = _base_img()
+    noisy = np.clip(img.astype(int) + rng.integers(-6, 7, img.shape),
+                    0, 255).astype(np.uint8)
+    bright = np.clip(img.astype(int) + 30, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, img.shape).astype(np.uint8)
+    for hashfn in (fp.phash64_np, fp.dhash64_np):
+        h0 = hashfn(img)
+        assert _ham(h0, hashfn(noisy)) <= 3, "small noise must stay near"
+        assert _ham(h0, hashfn(bright)) <= 1, \
+            "uniform brightness shift must barely move the hash"
+        assert _ham(h0, hashfn(other)) >= 16, "unrelated image must be far"
+
+
+def test_image_hash_cross_format_identity():
+    """The same raster encoded as BMP, PNG, and PPM must fingerprint
+    IDENTICALLY through the from-scratch decoders — re-encoded exact
+    copies are the most common image duplicates in a crawl, and any
+    decoder disagreement would break their Hamming distance 0."""
+    img = _base_img(32, 40)
+    via_bmp = decode_bmp_np(_bmp_bytes(img.tolist()))
+    via_png = decode_png_np(_png_bytes(img, 2, [0, 1, 2, 3, 4]))
+    via_ppm = decode_pnm_np(_ppm_bytes(img))
+    assert np.array_equal(via_bmp, via_png.reshape(via_bmp.shape))
+    for hashfn in (fp.phash64_np, fp.dhash64_np):
+        assert hashfn(via_bmp) == hashfn(via_png) == hashfn(via_ppm)
+
+
+def test_image_hash_grayscale_and_degenerate():
+    g = _base_img()[:, :, :1]
+    assert fp.phash64_np(g) is not None
+    assert fp.dhash64_np(g) is not None
+    for bad in (None, np.zeros((0, 0, 3))):
+        assert fp.phash64_np(bad) is None
+        assert fp.dhash64_np(bad) is None
+    # constant image: all DCT ACs equal the median -> deterministic hash
+    flat = np.full((16, 16, 3), 127, dtype=np.uint8)
+    assert fp.phash64_np(flat) == fp.phash64_np(flat)
+
+
+def test_dct_matrix_orthonormal():
+    d = fp._dct_mat(32)
+    assert np.allclose(d @ d.T, np.eye(32), atol=1e-12)
+
+
+def test_area_resize2d_exact_and_stretch():
+    a = np.arange(24, dtype=float).reshape(4, 6)
+    r = fp.area_resize2d_np(a, 2, 3)
+    expect = a.reshape(2, 2, 3, 2).mean(axis=(1, 3))
+    assert np.allclose(r, expect)
+    # smaller-than-target input stretches (no divide by zero)
+    s = fp.area_resize2d_np(np.ones((2, 3)), 8, 9)
+    assert s.shape == (8, 9) and np.allclose(s, 1.0)
+
+
+def test_pack_bits64_signed_range():
+    assert fp._pack_bits64(np.ones(64, dtype=bool)) == -1
+    bits = np.zeros(64, dtype=bool)
+    bits[0] = True  # MSB
+    assert fp._pack_bits64(bits) == -(1 << 63)
+    bits = np.zeros(64, dtype=bool)
+    bits[63] = True  # LSB
+    assert fp._pack_bits64(bits) == 1
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint kernel
+# ---------------------------------------------------------------------------
+
+def _tone(freq, n=16000, rate=16000.0):
+    return np.sin(2 * np.pi * freq * np.arange(n) / rate)
+
+
+def test_audio_fp_distance_separation():
+    rng = np.random.default_rng(7)
+    a0 = _tone(440)
+    near = a0 * 0.3 + rng.normal(0, 0.01, a0.shape)
+    far = _tone(880) + 0.5 * _tone(1760)
+    assert _ham(fp.audio_fp64_np(a0), fp.audio_fp64_np(near)) <= 3
+    assert _ham(fp.audio_fp64_np(a0), fp.audio_fp64_np(far)) >= 6
+    # broadband: same shaping filter far from a differently shaped one
+    lp = np.convolve(rng.normal(0, 1, 16500), np.ones(8) / 8, "valid")[:16000]
+    hp = np.convolve(rng.normal(0, 1, 16500),
+                     np.array([1.0, -1.0] * 4) / 8, "valid")[:16000]
+    assert _ham(fp.audio_fp64_np(lp), fp.audio_fp64_np(lp * 2.5)) == 0
+    assert _ham(fp.audio_fp64_np(lp), fp.audio_fp64_np(hp)) >= 10
+
+
+def test_audio_fp_invariances():
+    a0 = _tone(440)
+    # global gain: exact (both sides of every comparison scale together)
+    assert fp.audio_fp64_np(a0 * 0.25) == fp.audio_fp64_np(a0)
+    # 16-bit quantization (the WAV round trip): exact for a clean tone
+    q = np.round(a0 * 32767) / 32767
+    assert fp.audio_fp64_np(q) == fp.audio_fp64_np(a0)
+    # dual-mono stereo mixdown == the mono clip
+    st = np.stack([a0, a0], axis=1).ravel()
+    assert fp.audio_fp64_np(st, 2) == fp.audio_fp64_np(a0)
+
+
+def test_audio_fp_degenerate():
+    assert fp.audio_fp64_np(None) is None
+    assert fp.audio_fp64_np(np.array([])) is None
+    assert fp.audio_fp64_np(np.arange(5.0), n_channels=2) is None  # ragged
+    assert fp.audio_fp64_np(np.arange(4.0), n_channels=0) is None
+    # shorter than one FFT frame: zero-padded, still hashes
+    assert fp.audio_fp64_np(np.array([0.1, -0.2])) is not None
+
+
+def test_stft_shape():
+    mag = fp.stft_mag_np(np.zeros(1000), n_fft=256, hop=128)
+    assert mag.shape == ((1000 - 256) // 128 + 1, 129)
+    assert fp.stft_mag_np(np.zeros(10)).shape[0] == 1  # padded single frame
+
+
+# ---------------------------------------------------------------------------
+# hamming_pairs vs brute force
+# ---------------------------------------------------------------------------
+
+def _brute_pairs(hashes, tau):
+    ids = sorted(hashes)
+    return {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+            if _ham(hashes[a], hashes[b]) <= tau}
+
+
+@pytest.mark.parametrize("tau,n_bands", [(0, 4), (1, 4), (3, 4), (7, 8)])
+def test_hamming_pairs_matches_brute_force(spark, tau, n_bands):
+    rng = np.random.default_rng(11)
+    hashes = {}
+    # random base hashes over the full signed range
+    for i in range(40):
+        hashes[i] = int(rng.integers(-(1 << 63), 1 << 63))
+    # planted near-dups at controlled distances, including flips in
+    # the top band (sign bit) — the arithmetic-shiftright lane
+    for i in range(40, 70):
+        base = hashes[i - 40]
+        flips = rng.choice(64, size=int(rng.integers(0, 5)), replace=False)
+        v = base
+        for b in flips:
+            v ^= 1 << int(b)
+        hashes[i] = v - (1 << 64) if v >= (1 << 63) else \
+            (v + (1 << 64) if v < -(1 << 63) else v)
+    hashes[70] = -(1 << 63)            # only bit 63 set
+    hashes[71] = -(1 << 63) | 1        # Hamming 1 from it, still negative
+    hashes[72] = (1 << 53) - 1         # the float-cliff shape from round 5
+    hashes[73] = (1 << 53) - 2
+    df = spark.createDataFrame(
+        [(i, h) for i, h in hashes.items()], "doc_id long, fp long")
+    got = {(r.id_a, r.id_b)
+           for r in fp.hamming_pairs(df, "doc_id", "fp", tau=tau,
+                                     n_bands=n_bands).collect()}
+    assert got == _brute_pairs(hashes, tau)
+
+
+def test_hamming_pairs_reports_exact_distance(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, 7), (3, None)], "doc_id long, fp long")
+    rows = fp.hamming_pairs(df, "doc_id", "fp", tau=3).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 3)]
+
+
+def test_hamming_pairs_guards():
+    with pytest.raises(AssertionError):
+        fp.hamming_pairs(None, tau=4, n_bands=4)  # pigeonhole violated
+    with pytest.raises(AssertionError):
+        fp.hamming_pairs(None, tau=2, n_bands=5)  # 64 % 5 != 0
+
+
+# ---------------------------------------------------------------------------
+# end-to-end Spark composition
+# ---------------------------------------------------------------------------
+
+def _image_corpus():
+    rng = np.random.default_rng(3)
+    img_a = _base_img()
+    img_a_noisy = np.clip(img_a.astype(int)
+                          + rng.integers(-5, 6, img_a.shape),
+                          0, 255).astype(np.uint8)
+    img_b = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    return [
+        (1, bytearray(_bmp_bytes(img_a.tolist()))),            # family A
+        (2, bytearray(_png_bytes(img_a, 2, [0, 1, 2, 3, 4]))),  # A re-encoded
+        (3, bytearray(_ppm_bytes(img_a_noisy))),                # A + noise
+        (4, bytearray(_bmp_bytes(img_b.tolist()))),             # unrelated
+        (5, bytearray(b"BM" + b"\x00" * 40)),    # sniffs bmp, decode fails
+        (6, bytearray(b"not an image at all")),  # unknown container
+    ]
+
+
+def test_image_fingerprints_to_clusters(spark):
+    df = spark.createDataFrame(_image_corpus(), "doc_id long, html binary")
+    fps = fp.image_fingerprints(df, "html").select("doc_id", "image_fp.*")
+    rows = {r.doc_id: r for r in fps.collect()}
+    assert rows[1].format == "bmp" and rows[2].format == "png"
+    assert rows[3].format == "pnm" and rows[4].format == "bmp"
+    # two failure classes stay distinguishable
+    assert rows[5].format == "bmp" and rows[5].phash is None
+    assert rows[6].format is None and rows[6].phash is None
+    # exact re-encode: identical hashes across formats
+    assert rows[1].phash == rows[2].phash
+    assert rows[1].dhash == rows[2].dhash
+    # pairs: the A family only (1,2) exact + (x,3) near; 4 unrelated
+    pairs = fp.hamming_pairs(fps, "doc_id", "phash", tau=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)] == 0
+    # clusters: dedup_components assigns the family one canonical id
+    decoded = fps.where(F.col("phash").isNotNull()).select("doc_id")
+    clusters = {r.doc_id: (r.canonical_id, r.cluster_size)
+                for r in dedup_components(
+                    pairs, decoded, a="id_a", b="id_b").collect()}
+    assert clusters[1] == clusters[2] == clusters[3] == (1, 3)
+    assert clusters[4] == (4, 1)
+
+
+def test_audio_fingerprints_to_pairs(spark):
+    rng = np.random.default_rng(5)
+    a = _tone(440, 8000)
+    corpus = [
+        (1, bytearray(_wav_bytes(a[:, None]))),
+        (2, bytearray(_wav_bytes((a * 0.5)[:, None]))),        # gain copy
+        (3, bytearray(_wav_bytes(
+            np.stack([a, a], axis=1)))),                        # stereo copy
+        (4, bytearray(_wav_bytes(
+            (_tone(880, 8000) + 0.5 * _tone(1760, 8000))[:, None]))),
+        (5, bytearray(b"RIFFgarbage")),                         # dead letter
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, html binary")
+    fps = fp.audio_fingerprints(df, "html").select("doc_id", "audio_fp.*")
+    rows = {r.doc_id: r for r in fps.collect()}
+    assert rows[1].sample_rate == 16000 and rows[1].n_frames == 8000
+    assert rows[5].afp is None
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in fp.hamming_pairs(fps, "doc_id", "afp",
+                                       tau=3).collect()}
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    # 16-bit WAV round trip + gain + stereo mixdown: all exact copies
+    assert all(v == 0 for v in pairs.values())
+
+
+def test_fingerprint_kernels_never_raise_on_garbage():
+    rng = np.random.default_rng(13)
+    payloads = [b"", b"\x00", rng.bytes(64), rng.bytes(4096)]
+    img = _base_img(8, 8)
+    for hashfn in (fp.phash64_np, fp.dhash64_np):
+        for p in payloads:
+            # kernels take decoded arrays; garbage arrays still hash
+            arr = np.frombuffer(p.ljust(192, b"\x00")[:192],
+                                dtype=np.uint8).reshape(8, 8, 3)
+            assert isinstance(hashfn(arr), int)
+        assert isinstance(hashfn(img), int)
