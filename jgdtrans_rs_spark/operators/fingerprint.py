@@ -10,11 +10,13 @@ module supplies both halves:
   from scratch: luma -> area-resize -> (for pHash) an orthonormal 2-D
   DCT-II (the forward twin of the separable DCT-III IDCT already in
   ``decode_jpeg_np``) -> sign bits packed into one 64-bit word.
-* ``audio_fp64_np`` — a spectral dHash for waveforms: from-scratch
-  Hann-windowed STFT (``stft_mag_np``), log-magnitude spectrogram
-  area-resized to a 9x8 time-band grid, time-gradient sign bits.
-  Gradients in the log domain make the hash invariant to global
-  amplitude scaling (volume normalization must not break dedup).
+* ``audio_fp64_np`` — a spectral hash for waveforms: from-scratch
+  Hann-windowed STFT (``stft_mag_np``), mean band ENERGY over an 8x8
+  time-band grid, one bit per cell against the grid's global mean
+  (the threshold choice is measured, see the function docstring).
+  Both sides of every comparison scale together, so the hash is
+  invariant to global amplitude scaling (volume normalization must
+  not break dedup).
 * ``image_fingerprints`` / ``audio_fingerprints`` — the pipeline
   stage: ONE vectorized Arrow kernel per modality that sniffs,
   decodes (via the from-scratch decoder family in
@@ -47,9 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (IntegerType, LongType, StringType,
                                StructField, StructType)
 
-from .multimodal import (_decode_gif_first_np, decode_bmp_np,
-                         decode_jpeg_np, decode_png_np, decode_pnm_np,
-                         decode_tiff_np, decode_wav_np, sniff_image_format)
+from .multimodal import IMAGE_KERNELS, decode_wav_np, sniff_image_format
 
 __all__ = [
     "to_gray_np", "area_resize2d_np", "phash64_np", "dhash64_np",
@@ -64,13 +64,14 @@ _LUMA = np.array([0.299, 0.587, 0.114])
 
 
 def to_gray_np(img: np.ndarray) -> np.ndarray:
-    """(H, W, C) image -> (H, W) float64 luma.  C=1 passes through,
-    C>=3 takes the BT.601 weighted RGB mix (alpha, if present, is
-    ignored — fingerprints describe the visible raster)."""
+    """(H, W, C) image -> (H, W) float64 luma.  C=1 (grayscale) and
+    C=2 (gray+alpha — PNG color type 4) take the luma channel, C>=3
+    takes the BT.601 weighted RGB mix; alpha, wherever it sits, is
+    ignored — fingerprints describe the visible raster."""
     a = np.asarray(img, dtype=np.float64)
     if a.ndim == 2:
         return a
-    if a.shape[2] == 1:
+    if a.shape[2] <= 2:
         return a[:, :, 0]
     return a[:, :, :3] @ _LUMA
 
@@ -194,13 +195,6 @@ def audio_fp64_np(samples: np.ndarray, n_channels: int = 1):
     return _pack_bits64(grid > grid.mean())
 
 
-_IMAGE_KERNELS = {
-    "bmp": decode_bmp_np, "pnm": decode_pnm_np, "png": decode_png_np,
-    "jpeg": decode_jpeg_np, "tiff": decode_tiff_np,
-    "gif": _decode_gif_first_np,
-}
-
-
 def image_fingerprints(df: DataFrame, col: str = "html",
                        out: str = "image_fp") -> DataFrame:
     """Fingerprint a mixed-format image column in ONE vectorized Arrow
@@ -225,10 +219,19 @@ def image_fingerprints(df: DataFrame, col: str = "html",
         fmts, ph, dh = [], [], []
         for payload in data:
             fmt = sniff_image_format(payload)
-            img = _IMAGE_KERNELS[fmt](payload) if fmt else None
+            # per-payload guard: the decoders hold a fuzzed never-raise
+            # contract, but the hash kernels behind them do not — one
+            # pathological raster must dead-letter one row, not fail
+            # the whole Arrow batch/task (the errors-are-data contract
+            # this module documents)
+            try:
+                img = IMAGE_KERNELS[fmt](payload) if fmt else None
+                p, d = phash64_np(img), dhash64_np(img)
+            except Exception:
+                p = d = None
             fmts.append(fmt)
-            ph.append(phash64_np(img))
-            dh.append(dhash64_np(img))
+            ph.append(p)
+            dh.append(d)
         return pd.DataFrame({"format": fmts, "phash": ph, "dhash": dh})
 
     return df.withColumn(out, fps(F.col(col)))
@@ -249,13 +252,22 @@ def audio_fingerprints(df: DataFrame, col: str = "html",
     def fps(data: pd.Series) -> pd.DataFrame:
         rates, frames, fp = [], [], []
         for payload in data:
-            dec = decode_wav_np(payload)
+            # same per-payload guard as image_fingerprints: a hash
+            # kernel exception dead-letters the row, never the batch
+            try:
+                dec = decode_wav_np(payload)
+            except Exception:
+                dec = None
             if dec is None:
                 rates.append(None), frames.append(None), fp.append(None)
             else:
                 rate, mat = dec
+                try:
+                    h = audio_fp64_np(mat.ravel(), mat.shape[1])
+                except Exception:
+                    h = None
                 rates.append(rate), frames.append(mat.shape[0])
-                fp.append(audio_fp64_np(mat.ravel(), mat.shape[1]))
+                fp.append(h)
         return pd.DataFrame({"sample_rate": rates, "n_frames": frames,
                              "afp": fp})
 

@@ -1228,6 +1228,16 @@ def sniff_image_format(buf: bytes):
     return None
 
 
+# The one sniffed-format -> still-image decoder map, shared by
+# decode_any and operators/fingerprint.image_fingerprints so the
+# router cannot drift between the two (a format added to
+# sniff_image_format must be added here, and both consumers pick it
+# up).  Keys must cover every non-None sniff_image_format value.
+IMAGE_KERNELS = {"bmp": decode_bmp_np, "pnm": decode_pnm_np,
+                 "png": decode_png_np, "jpeg": decode_jpeg_np,
+                 "gif": _decode_gif_first_np, "tiff": decode_tiff_np}
+
+
 def decode_any(df: DataFrame, col: str = "html",
                out: str = "image") -> DataFrame:
     """Mixed-corpus still-image decode: sniff each payload's magic and
@@ -1240,9 +1250,7 @@ def decode_any(df: DataFrame, col: str = "html",
     sniffed container when only the decode failed (the two failure
     classes — unknown container vs corrupt payload — stay
     distinguishable downstream)."""
-    kernels = {"bmp": decode_bmp_np, "pnm": decode_pnm_np,
-               "png": decode_png_np, "jpeg": decode_jpeg_np,
-               "gif": _decode_gif_first_np, "tiff": decode_tiff_np}
+    kernels = IMAGE_KERNELS
     schema = StructType([
         StructField("format", StringType(), True),
         StructField("width", IntegerType(), True),

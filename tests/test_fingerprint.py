@@ -73,6 +73,11 @@ def test_image_hash_grayscale_and_degenerate():
     g = _base_img()[:, :, :1]
     assert fp.phash64_np(g) is not None
     assert fp.dhash64_np(g) is not None
+    # gray+alpha (PNG color type 4) hashes by its luma channel — this
+    # 2-channel lane crashed the matmul before the round-5 review
+    ga = np.concatenate([g, np.full_like(g, 200)], axis=2)
+    assert fp.phash64_np(ga) == fp.phash64_np(g)
+    assert fp.dhash64_np(ga) == fp.dhash64_np(g)
     for bad in (None, np.zeros((0, 0, 3))):
         assert fp.phash64_np(bad) is None
         assert fp.dhash64_np(bad) is None
@@ -254,6 +259,25 @@ def test_image_fingerprints_to_clusters(spark):
                     pairs, decoded, a="id_a", b="id_b").collect()}
     assert clusters[1] == clusters[2] == clusters[3] == (1, 3)
     assert clusters[4] == (4, 1)
+
+
+def test_image_fingerprints_gray_alpha_png_in_batch(spark):
+    """A color-type-4 (gray+alpha) PNG must hash, not kill the Arrow
+    batch — the 2-channel raster crashed to_gray_np's matmul before
+    the round-5 review pass."""
+    g = _base_img(16, 16)[:, :, :1]
+    ga = np.concatenate([g, np.full_like(g, 200)], axis=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(_png_bytes(ga, 4, [0, 2]))),
+         (2, bytearray(_png_bytes(g, 0, [1, 3])))],
+        "doc_id long, html binary")
+    rows = {r.doc_id: r for r in
+            fp.image_fingerprints(df, "html")
+              .select("doc_id", "image_fp.*").collect()}
+    assert rows[1].format == "png" and rows[1].phash is not None
+    # alpha is ignored: gray+alpha of the same luma hashes identically
+    assert rows[1].phash == rows[2].phash
+    assert rows[1].dhash == rows[2].dhash
 
 
 def test_audio_fingerprints_to_pairs(spark):
