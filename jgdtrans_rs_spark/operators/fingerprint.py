@@ -46,15 +46,16 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 from .multimodal import IMAGE_KERNELS, decode_wav_np, sniff_image_format
 
 __all__ = [
     "to_gray_np", "area_resize2d_np", "phash64_np", "dhash64_np",
     "stft_mag_np", "audio_fp64_np", "image_fingerprints",
-    "audio_fingerprints", "hamming_pairs",
+    "audio_fingerprints", "video_fingerprints", "hamming_pairs",
+    "video_pairs",
 ]
 
 # BT.601 luma weights — the same constants the JFIF YCbCr->RGB step in
@@ -274,6 +275,125 @@ def audio_fingerprints(df: DataFrame, col: str = "html",
     return df.withColumn(out, fps(F.col(col)))
 
 
+def video_fingerprints(df: DataFrame, col: str = "html",
+                       n_frames: int = 8,
+                       out: str = "video_fp") -> DataFrame:
+    """The video arm of the fingerprint family: decode an animated
+    GIF (the one multi-frame format this sandbox decodes from
+    scratch), sample ``n_frames`` evenly spaced composited frames
+    (the same ``(k*avail)//n`` spacing law as
+    ``multimodal.decode_video_frames``), and dHash EACH sampled frame
+    -> struct(n_frames_total, frame_hashes array<long>).  A video's
+    identity is its frame-hash set, so near-dup detection works on
+    re-encodes, clips, and re-muxes without ever comparing pixels
+    across payloads; undecodable payloads yield NULL fields.  Feed
+    the result to ``video_pairs``."""
+    from .multimodal import decode_gif_np
+
+    schema = StructType([
+        StructField("n_frames_total", IntegerType(), True),
+        StructField("frame_hashes", ArrayType(LongType()), True),
+    ])
+
+    @F.pandas_udf(schema)
+    def fps(data: pd.Series) -> pd.DataFrame:
+        totals, hashes = [], []
+        for payload in data:
+            try:
+                got = decode_gif_np(payload, with_total=True)
+                if got is None or not got[0]:
+                    raise ValueError
+                frames, total = got
+                picks = sorted({(k * len(frames)) // n_frames
+                                for k in range(n_frames)})
+                hs = [dhash64_np(frames[i]) for i in picks]
+            except Exception:
+                total, hs = None, None
+            totals.append(total)
+            hashes.append(hs)
+        return pd.DataFrame({"n_frames_total": totals,
+                             "frame_hashes": hashes})
+
+    return df.withColumn(out, fps(F.col(col)))
+
+
+def _banded(rel: DataFrame, fp_field: str, n_bands: int) -> DataFrame:
+    """Explode a LONG fingerprint column into (band, band_key) rows —
+    the shared candidate-generation step of ``hamming_pairs`` and
+    ``video_pairs``.  Integer-space extraction: arithmetic shiftright
+    plus mask is exact for negative (bit-63-set) hashes."""
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    return rel.select(
+        "*",
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("_b"),
+    ).withColumn(
+        "_k", F.expr(f"shiftright({fp_field}, _b * {band_bits}) & {mask}"))
+
+
+def _check_band_geometry(tau: int, n_bands: int) -> None:
+    assert 64 % n_bands == 0, "bands must divide 64 bits evenly"
+    assert tau <= n_bands - 1, \
+        "pigeonhole guarantee needs tau <= n_bands - 1"
+
+
+def video_pairs(df: DataFrame, id_col: str = "doc_id",
+                hashes_col: str = "frame_hashes", tau: int = 2,
+                min_matches: int = 2, n_bands: int = 4) -> DataFrame:
+    """Near-duplicate video pairs over ``video_fingerprints`` output:
+    (id_a, id_b, matched_a, matched_b, n_frames_a, n_frames_b) where
+    matched_x counts the DISTINCT sampled frame slots of side x with
+    at least one Hamming-``tau`` partner frame on the other side.
+
+    Candidates come from the same banded equi-join as
+    ``hamming_pairs``, applied per FRAME hash — so a clip, a
+    re-encode, or a re-mux of a video collides with it through any
+    shared frame, never via all-pairs.  Pairs are emitted when
+    ``greatest(matched_a, matched_b) >= min_matches``: a true
+    re-encode matches on (almost) every sampled slot of both sides,
+    while a clip saturates the shorter side's count — callers wanting
+    symmetric near-dup only can post-filter on
+    ``least(matched_a, matched_b)``.  The slot counts make the
+    containment direction auditable.
+
+    100 TB design: one explode (n_frames x n_bands rows per video,
+    both small constants), one keyed shuffle join on
+    (band, band_key), one groupBy on the pair key.  The fingerprint
+    projection is localCheckpoint-ed for the same
+    decode-once-per-side reason as ``hamming_pairs``."""
+    _check_band_geometry(tau, n_bands)
+    fp = (df.select(F.col(id_col).alias("_id"),
+                    F.col(hashes_col).alias("_fhs"))
+            .where(F.col(hashes_col).isNotNull() & (F.size(hashes_col) > 0))
+            .localCheckpoint())
+    frames = fp.select(
+        "_id", F.size("_fhs").alias("_n"),
+        F.posexplode("_fhs").alias("_slot", "_fh"),
+    ).where(F.col("_fh").isNotNull())
+    bands = _banded(frames, "_fh", n_bands)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, (F.col("x._b") == F.col("y._b"))
+               & (F.col("x._k") == F.col("y._k"))
+               & (F.col("x._id") < F.col("y._id")))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"),
+                F.col("x._n").alias("n_frames_a"),
+                F.col("y._n").alias("n_frames_b"),
+                F.col("x._slot").alias("_sa"), F.col("y._slot").alias("_sb"),
+                F.col("x._fh").alias("_ha"), F.col("y._fh").alias("_hb"))
+        .where(F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= tau)
+        .distinct()
+    )
+    return (
+        cand.groupBy("id_a", "id_b", "n_frames_a", "n_frames_b")
+        .agg(F.countDistinct("_sa").cast("int").alias("matched_a"),
+             F.countDistinct("_sb").cast("int").alias("matched_b"))
+        .where(F.greatest("matched_a", "matched_b") >= min_matches)
+        .select("id_a", "id_b", "matched_a", "matched_b",
+                "n_frames_a", "n_frames_b")
+    )
+
+
 def hamming_pairs(df: DataFrame, id_col: str = "doc_id",
                   fp_col: str = "fp", tau: int = 3,
                   n_bands: int = 4) -> DataFrame:
@@ -299,20 +419,12 @@ def hamming_pairs(df: DataFrame, id_col: str = "doc_id",
 
     NULL fingerprints (decode dead letters) are excluded — an
     undecodable payload has no similarity neighborhood."""
-    assert 64 % n_bands == 0, "bands must divide 64 bits evenly"
-    assert tau <= n_bands - 1, \
-        "pigeonhole guarantee needs tau <= n_bands - 1"
-    band_bits = 64 // n_bands
-    mask = (1 << band_bits) - 1
-
+    _check_band_geometry(tau, n_bands)
     fp = (df.select(F.col(id_col).alias("_id"),
                     F.col(fp_col).cast("long").alias("_fp"))
             .where(F.col(fp_col).isNotNull())
             .localCheckpoint())
-    bands = fp.select(
-        "_id", "_fp",
-        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("_b"),
-    ).withColumn("_k", F.expr(f"shiftright(_fp, _b * {band_bits}) & {mask}"))
+    bands = _banded(fp, "_fp", n_bands)
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(y, (F.col("x._b") == F.col("y._b"))

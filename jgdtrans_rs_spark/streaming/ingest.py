@@ -125,3 +125,42 @@ def stream_decode_media(pages_stream: DataFrame,
         .when(img["format"].isNotNull(), "corrupt")
         .otherwise("unknown"),
     )
+
+
+def stream_dedup_media(pages_stream: DataFrame, col: str = "html",
+                       ts_col: str = "warc_ts",
+                       watermark: str = "24 hours") -> DataFrame:
+    """Perceptual dedup-on-arrival: the media twin of
+    ``stream_dedup_exact``.  Each arriving payload is fingerprinted
+    (operators/fingerprint.image_fingerprints — the same stateless
+    Arrow kernel as batch, so the plan shape carries over), then
+    ``dropDuplicatesWithinWatermark`` keys on the pHash: a re-encoded
+    or lightly-recompressed copy of an image that already arrived
+    within the watermark horizon is dropped even though its BYTES
+    differ (an md5 digest would keep it).  State holds one 8-byte
+    hash per image per horizon — bounded, and ~100x smaller rows than
+    keeping digests of the payloads themselves.
+
+    Dead letters pass through: undecodable payloads have NULL phash,
+    and dropDuplicates* treats NULL as a grouping value — every dead
+    letter after the first would be silently swallowed if they rode
+    through the dedup operator — so the stream splits on
+    decodability: only hashed rows enter the dedup state, dead
+    letters bypass it and union back in, all surviving to the sink
+    where the batch audit can count them.  Exact-Hamming matches only
+    — banded NEAR-dup needs a self-join, which is the batch
+    ``hamming_pairs`` path over the sink's fingerprint table."""
+    from ..operators import fingerprint as fng
+
+    hashed = (
+        fng.image_fingerprints(
+            pages_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")),
+            col)
+        .select("*", F.col("image_fp.phash").alias("phash"))
+    )
+    deduped = (
+        hashed.where(F.col("phash").isNotNull())
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["phash"])
+    )
+    return deduped.unionByName(hashed.where(F.col("phash").isNull()))

@@ -16,7 +16,8 @@ from jgdtrans_rs_spark.operators.dedup import dedup_components
 from jgdtrans_rs_spark.operators.multimodal import (decode_bmp_np,
                                                     decode_png_np,
                                                     decode_pnm_np)
-from tests.test_multimodal import _bmp_bytes, _png_bytes, _wav_bytes
+from tests.test_multimodal import (_bmp_bytes, _gif_bytes, _png_bytes,
+                                   _wav_bytes)
 
 
 def _ham(a, b):
@@ -303,6 +304,100 @@ def test_audio_fingerprints_to_pairs(spark):
     assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
     # 16-bit WAV round trip + gain + stereo mixdown: all exact copies
     assert all(v == 0 for v in pairs.values())
+
+
+def _anim_gif(rng, n_frames, w=24, h=16, pal=None, clip=None,
+              interlace=()):
+    """Full-frame random animation through the independent test
+    encoder; ``clip`` keeps only the first k frames."""
+    if pal is None:
+        pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    frames = [(0, 0, w, h, rng.integers(0, 16, size=(h, w)), None, 0)
+              for _ in range(n_frames)]
+    if clip is not None:
+        frames = frames[:clip]
+    return _gif_bytes(w, h, pal, frames, interlace_frames=interlace), frames
+
+
+def test_video_fingerprints_and_pairs(spark):
+    rng = np.random.default_rng(21)
+    gif_a, frames_a = _anim_gif(rng, 6)
+    # re-encode of A: same frames, interlaced rows on two frames —
+    # different bitstream, pixel-identical decode
+    w, h = 24, 16
+    gif_a2 = _gif_bytes(w, h,
+                        np.frombuffer(gif_a[13:13 + 48],
+                                      dtype=np.uint8).reshape(16, 3),
+                        frames_a, interlace_frames=(1, 3))
+    gif_clip = _gif_bytes(w, h,
+                          np.frombuffer(gif_a[13:13 + 48],
+                                        dtype=np.uint8).reshape(16, 3),
+                          frames_a[:3])
+    gif_b, _ = _anim_gif(rng, 6)
+    corpus = [(1, bytearray(gif_a)), (2, bytearray(gif_a2)),
+              (3, bytearray(gif_clip)), (4, bytearray(gif_b)),
+              (5, bytearray(b"GIF89a garbage"))]
+    df = spark.createDataFrame(corpus, "doc_id long, html binary")
+    fps = fp.video_fingerprints(df, "html", n_frames=4).select(
+        "doc_id", "video_fp.*")
+    rows = {r.doc_id: r for r in fps.collect()}
+    assert rows[1].n_frames_total == 6
+    assert rows[3].n_frames_total == 3
+    assert rows[5].frame_hashes is None  # dead letter
+    # re-encode decodes pixel-identical -> identical frame-hash lists
+    assert list(rows[1].frame_hashes) == list(rows[2].frame_hashes)
+    pairs = {(r.id_a, r.id_b): r
+             for r in fp.video_pairs(fps, "doc_id", "frame_hashes",
+                                     tau=2, min_matches=2).collect()}
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    full = pairs[(1, 2)]
+    assert full.matched_a == full.matched_b == len(rows[1].frame_hashes)
+    # the clip overlaps A exactly on the jointly-sampled frames:
+    # A samples raster frames {0,1,3,4} of 6, the 3-frame clip samples
+    # {0,1,2} — frames 0 and 1 are shared, frame 2 was not sampled on
+    # A's side, so both slot counts are 2 (>= min_matches, pair kept)
+    clip = pairs[(1, 3)]
+    assert (clip.matched_a, clip.matched_b) == (2, 2)
+    assert clip.n_frames_a == len(rows[1].frame_hashes)
+    assert clip.n_frames_b == len(rows[3].frame_hashes)
+
+
+def test_streaming_dedup_media(spark, tmp_path):
+    """Perceptual dedup-on-arrival: a PNG re-encode of a BMP that
+    already arrived is dropped across micro-batches (same pHash,
+    different bytes — an md5 digest would keep it), while BOTH dead
+    letters survive (NULL phash must bypass the dedup state: NULL is
+    a grouping value to dropDuplicates*, so riding through would
+    swallow every dead letter after the first)."""
+    import datetime
+    import os
+
+    from jgdtrans_rs_spark.streaming.ingest import stream_dedup_media
+
+    img_a = _base_img(32, 40)
+    img_b = np.random.default_rng(9).integers(
+        0, 256, (32, 40, 3)).astype(np.uint8)
+    t0 = datetime.datetime(2023, 1, 1)
+    f1 = [("u1", t0, bytearray(_bmp_bytes(img_a.tolist()))),
+          ("u2", t0, bytearray(b"BM corrupt payload"))]
+    f2 = [("u3", t0, bytearray(_png_bytes(img_a, 2, [0, 1]))),  # re-encode
+          ("u4", t0, bytearray(_bmp_bytes(img_b.tolist()))),
+          ("u5", t0, bytearray(b"also not an image"))]
+    d = str(tmp_path / "mstream")
+    os.makedirs(d)
+    schema = "url string, warc_ts timestamp, html binary"
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(d + "/f1")
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(d + "/f2")
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(d + "/f*"))
+    q = (stream_dedup_media(src)
+         .writeStream.format("memory").queryName("media_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    urls = sorted(r.url for r in spark.sql(
+        "SELECT url FROM media_dedup").collect())
+    # u3 (the re-encoded copy) is gone; both dead letters survive
+    assert urls == ["u1", "u2", "u4", "u5"]
 
 
 def test_fingerprint_kernels_never_raise_on_garbage():
