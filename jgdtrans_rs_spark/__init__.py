@@ -16,7 +16,8 @@ Layout:
     dms.py       degree-minute-second scalar functions
     engine.py    the Spark layer (broadcast grid, pandas_udf transforms)
     functions/   pure Column expression helpers (JVM-side, codegen-friendly)
-    operators/   spatial joins, kNN, dedup, similarity
+    operators/   spatial joins, kNN, dedup, similarity,
+                 multimodal decode + perceptual fingerprints
     sources/     synthetic pages source, par reader, checkpointed sink
     plans/       SQL generators shared with the DuckDB oracle
     streaming/   structured-streaming ingest (batch parity first)

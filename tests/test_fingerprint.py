@@ -7,9 +7,13 @@ end-to-end Spark composition (mixed-format corpus -> fingerprints ->
 pairs -> dedup_components clusters).
 """
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
+
+_SLOW = os.environ.get("SPARK_GRAFT_SLOW", "")
 
 from jgdtrans_rs_spark.operators import fingerprint as fp
 from jgdtrans_rs_spark.operators.dedup import dedup_components
@@ -398,6 +402,105 @@ def test_streaming_dedup_media(spark, tmp_path):
         "SELECT url FROM media_dedup").collect())
     # u3 (the re-encoded copy) is gone; both dead letters survive
     assert urls == ["u1", "u2", "u4", "u5"]
+
+
+@pytest.mark.skipif(_SLOW != "4",
+                    reason="fingerprint scale tier — SPARK_GRAFT_SLOW=4")
+def test_fingerprint_scale_recall(spark):
+    """Scale tier for the perceptual-dedup path (the big-SF
+    discipline applied to the new family): a 44k-payload corpus is
+    GENERATED IN THE EXECUTORS (seeded per id — the driver ships only
+    ids), fingerprinted, and paired; gates are planted-family recall
+    and exact family precision.
+
+    Families: ids < 10^5 are distinct random rasters; 2,000 ids at
+    10^5+i are PNG re-encodes of base i (must pair at Hamming 0,
+    recall 1.0); 2,000 ids at 2*10^5+i are +-4-noise copies of base i
+    (recall >= 0.95 at tau 3).  EVERY reported pair must connect
+    members of one family — 40k random rasters give ~8e8 candidate
+    pairs and an iid-bits estimate of ~2e-6 expected chance
+    collisions at tau 3, so any cross-family pair is a real bug, not
+    noise."""
+    import zlib
+
+    from pyspark.sql.types import BinaryType
+
+    n_base, n_fam = 40000, 2000
+
+    @F.pandas_udf(BinaryType())
+    def gen_payload(ids):
+        import pandas as pd
+
+        def bmp(img):
+            h, w, _ = img.shape
+            stride = (w * 3 + 3) & ~3
+            body = bytearray()
+            for row in img[::-1]:
+                line = row[:, ::-1].tobytes()
+                body += line + b"\x00" * (stride - len(line))
+            return bytes(
+                b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00" * 4
+                + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+                + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+                + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                + b"\x00" * 24 + body)
+
+        def png(img):
+            import struct
+            h, w, _ = img.shape
+            raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+            def chunk(tag, data):
+                c = tag + data
+                return (struct.pack(">I", len(data)) + c
+                        + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF))
+
+            return (b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", struct.pack(">IIBBBBB",
+                                                 w, h, 8, 2, 0, 0, 0))
+                    + chunk(b"IDAT", zlib.compress(raw))
+                    + chunk(b"IEND", b""))
+
+        out = []
+        for i in ids:
+            i = int(i)
+            base_id = i % 100000
+            img = np.random.default_rng(base_id).integers(
+                0, 256, (48, 64, 3)).astype(np.uint8)
+            if i >= 200000:  # noisy copy
+                noise = np.random.default_rng(i).integers(
+                    -4, 5, img.shape)
+                img = np.clip(img.astype(np.int64) + noise,
+                              0, 255).astype(np.uint8)
+                out.append(bmp(img))
+            elif i >= 100000:  # exact re-encode
+                out.append(png(img))
+            else:
+                out.append(bmp(img))
+        return pd.Series(out)
+
+    ids = (spark.range(n_base)
+           .union(spark.range(100000, 100000 + n_fam))
+           .union(spark.range(200000, 200000 + n_fam))
+           .repartition(32))
+    fps = (fp.image_fingerprints(
+               ids.withColumn("html", gen_payload(F.col("id"))), "html")
+           .select(F.col("id").alias("doc_id"), "image_fp.phash"))
+    pairs = fp.hamming_pairs(fps, "doc_id", "phash", tau=3).collect()
+    fam = lambda i: i % 100000  # noqa: E731
+    assert all(fam(r.id_a) == fam(r.id_b) for r in pairs), \
+        "cross-family pair: either a hash defect or a band-join bug"
+    exact = {fam(r.id_a) for r in pairs
+             if {r.id_a // 100000, r.id_b // 100000} == {0, 1}}
+    noisy = {fam(r.id_a) for r in pairs
+             if {r.id_a // 100000, r.id_b // 100000} == {0, 2}}
+    assert len(exact) == n_fam, \
+        f"exact re-encode recall {len(exact)}/{n_fam} != 1.0"
+    assert len(noisy) >= 0.95 * n_fam, \
+        f"noisy-copy recall {len(noisy)}/{n_fam} < 0.95"
+    print(f"fingerprint scale: {n_base + 2 * n_fam} payloads, "
+          f"{len(pairs)} pairs, exact {len(exact)}/{n_fam}, "
+          f"noisy {len(noisy)}/{n_fam}", flush=True)
 
 
 def test_fingerprint_kernels_never_raise_on_garbage():
