@@ -288,7 +288,7 @@ def video_fingerprints(df: DataFrame, col: str = "html",
     re-encodes, clips, and re-muxes without ever comparing pixels
     across payloads; undecodable payloads yield NULL fields.  Feed
     the result to ``video_pairs``."""
-    from .multimodal import decode_gif_np
+    from .multimodal import decode_gif_np, even_frame_picks
 
     schema = StructType([
         StructField("n_frames_total", IntegerType(), True),
@@ -304,8 +304,7 @@ def video_fingerprints(df: DataFrame, col: str = "html",
                 if got is None or not got[0]:
                     raise ValueError
                 frames, total = got
-                picks = sorted({(k * len(frames)) // n_frames
-                                for k in range(n_frames)})
+                picks = even_frame_picks(len(frames), n_frames)
                 hs = [dhash64_np(frames[i]) for i in picks]
             except Exception:
                 total, hs = None, None
@@ -349,12 +348,15 @@ def video_pairs(df: DataFrame, id_col: str = "doc_id",
     ``hamming_pairs``, applied per FRAME hash — so a clip, a
     re-encode, or a re-mux of a video collides with it through any
     shared frame, never via all-pairs.  Pairs are emitted when
-    ``greatest(matched_a, matched_b) >= min_matches``: a true
-    re-encode matches on (almost) every sampled slot of both sides,
-    while a clip saturates the shorter side's count — callers wanting
-    symmetric near-dup only can post-filter on
-    ``least(matched_a, matched_b)``.  The slot counts make the
-    containment direction auditable.
+    ``greatest(matched_a, matched_b) >= least(min_matches,
+    n_frames_a, n_frames_b)``: a true re-encode matches on (almost)
+    every sampled slot of both sides, a clip saturates the shorter
+    side's count, and the clamp keeps videos with FEWER sampled
+    frames than ``min_matches`` pairable at all — without it two
+    identical single-frame GIFs could never reach 2 matched slots and
+    exact duplicates would silently drop.  Callers wanting symmetric
+    near-dup only can post-filter on ``least(matched_a, matched_b)``;
+    the slot counts make the containment direction auditable.
 
     100 TB design: one explode (n_frames x n_bands rows per video,
     both small constants), one keyed shuffle join on
@@ -388,7 +390,9 @@ def video_pairs(df: DataFrame, id_col: str = "doc_id",
         cand.groupBy("id_a", "id_b", "n_frames_a", "n_frames_b")
         .agg(F.countDistinct("_sa").cast("int").alias("matched_a"),
              F.countDistinct("_sb").cast("int").alias("matched_b"))
-        .where(F.greatest("matched_a", "matched_b") >= min_matches)
+        .where(F.greatest("matched_a", "matched_b")
+               >= F.least(F.lit(min_matches), F.col("n_frames_a"),
+                          F.col("n_frames_b")))
         .select("id_a", "id_b", "matched_a", "matched_b",
                 "n_frames_a", "n_frames_b")
     )

@@ -1228,6 +1228,59 @@ def sniff_image_format(buf: bytes):
     return None
 
 
+def even_frame_picks(avail: int, n_frames: int) -> list:
+    """THE evenly-spaced sampling law — ``(k*avail)//n_frames`` for k
+    in [0, n_frames), deduplicated and sorted.  One definition shared
+    by ``decode_video_frames`` and
+    ``fingerprint.video_fingerprints`` so the decode surface and the
+    fingerprint surface can never sample different frames."""
+    return sorted({(k * avail) // n_frames for k in range(n_frames)})
+
+
+def encode_bmp_np(img: np.ndarray) -> bytes:
+    """From-scratch 24-bit BI_RGB BMP encoder — the write-side twin of
+    ``decode_bmp_np`` (bottom-up, BGR, 4-byte row stride), so decoded
+    or resized rasters can be written back out as artifacts without a
+    codec library.  ``img`` is (H, W, 3) uint8 RGB."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    body = rows.tobytes()
+    head = (b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00" * 4
+            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + b"\x00" * 24)
+    return head + body
+
+
+def encode_png_np(img: np.ndarray) -> bytes:
+    """From-scratch 8-bit PNG encoder (filter 0 scanlines, one IDAT,
+    stdlib-zlib deflate) — the write-side twin of ``decode_png_np``.
+    ``img`` is (H, W, C) uint8 with C in {1: gray, 2: gray+alpha,
+    3: RGB, 4: RGBA}."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(tag, data):
+        payload = tag + data
+        return (struct.pack(">I", len(data)) + payload
+                + struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype,
+                                         0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
 # The one sniffed-format -> still-image decoder map, shared by
 # decode_any and operators/fingerprint.image_fingerprints so the
 # router cannot drift between the two (a format added to
@@ -1316,8 +1369,7 @@ def decode_video_frames(df: DataFrame, col: str = "html", n_frames: int = 4,
             # what can be materialized); n_frames_total reports the
             # true animation length so any truncation is visible
             avail = len(frames)
-            picks = sorted({(k * avail) // n_frames
-                            for k in range(n_frames)})
+            picks = even_frame_picks(avail, n_frames)
             ws.append(frames[0].shape[1])
             hs.append(frames[0].shape[0])
             ns.append(total)

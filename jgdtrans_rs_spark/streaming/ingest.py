@@ -129,7 +129,8 @@ def stream_decode_media(pages_stream: DataFrame,
 
 def stream_dedup_media(pages_stream: DataFrame, col: str = "html",
                        ts_col: str = "warc_ts",
-                       watermark: str = "24 hours") -> DataFrame:
+                       watermark: str = "24 hours",
+                       id_cols: tuple = ("url",)) -> DataFrame:
     """Perceptual dedup-on-arrival: the media twin of
     ``stream_dedup_exact``.  Each arriving payload is fingerprinted
     (operators/fingerprint.image_fingerprints — the same stateless
@@ -143,24 +144,34 @@ def stream_dedup_media(pages_stream: DataFrame, col: str = "html",
 
     Dead letters pass through: undecodable payloads have NULL phash,
     and dropDuplicates* treats NULL as a grouping value — every dead
-    letter after the first would be silently swallowed if they rode
-    through the dedup operator — so the stream splits on
-    decodability: only hashed rows enter the dedup state, dead
-    letters bypass it and union back in, all surviving to the sink
-    where the batch audit can count them.  Exact-Hamming matches only
-    — banded NEAR-dup needs a self-join, which is the batch
-    ``hamming_pairs`` path over the sink's fingerprint table."""
+    letter after the first would be silently swallowed if the NULLs
+    entered the state as one key — so the dedup keys on a surrogate:
+    the phash when it exists, else a per-row 'dead:<id cols>:<ts>'
+    string built from ``id_cols``.  Two corrupt rows only collapse if
+    they agree on every id column AND the timestamp, i.e. when they
+    are the same record.  (A split-into-two-streams + union design
+    keeps dead letters too, but each union branch re-executes the
+    fingerprint UDF over every row — the decode stage is the
+    expensive one, and streaming plans cannot localCheckpoint the
+    shared stage — so the surrogate key does it in ONE decode pass.)
+    Exact-Hamming matches only — banded NEAR-dup needs a self-join,
+    which is the batch ``hamming_pairs`` path over the sink's
+    fingerprint table."""
     from ..operators import fingerprint as fng
 
-    hashed = (
+    return (
         fng.image_fingerprints(
             pages_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")),
             col)
         .select("*", F.col("image_fp.phash").alias("phash"))
-    )
-    deduped = (
-        hashed.where(F.col("phash").isNotNull())
+        .withColumn(
+            "_dedup_key",
+            F.coalesce(
+                F.col("phash").cast("string"),
+                F.concat_ws(":", F.lit("dead"),
+                            *[F.col(c) for c in id_cols],
+                            F.col(ts_col).cast("string"))))
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["phash"])
+        .dropDuplicatesWithinWatermark(["_dedup_key"])
+        .drop("_dedup_key")
     )
-    return deduped.unionByName(hashed.where(F.col("phash").isNull()))

@@ -16,43 +16,10 @@ import json
 import os
 import sys
 import time
-import zlib
-
 import numpy as np
 
 os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def _bmp(img):
-    h, w, _ = img.shape
-    stride = (w * 3 + 3) & ~3
-    body = bytearray()
-    for row in img[::-1]:
-        line = row[:, ::-1].tobytes()
-        body += line + b"\x00" * (stride - len(line))
-    off = 54
-    head = (b"BM" + (off + len(body)).to_bytes(4, "little") + b"\x00" * 4
-            + off.to_bytes(4, "little") + (40).to_bytes(4, "little")
-            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
-            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
-            + b"\x00" * 24)
-    return bytes(head + body)
-
-
-def _png(img):
-    import struct
-    h, w, _ = img.shape
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
-
-    def chunk(tag, data):
-        c = tag + data
-        return struct.pack(">I", len(data)) + c + struct.pack(
-            ">I", zlib.crc32(c) & 0xFFFFFFFF)
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
 def main():
@@ -69,6 +36,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     from jgdtrans_rs_spark.operators import fingerprint as fng
+    from jgdtrans_rs_spark.operators.multimodal import (encode_bmp_np,
+                                                        encode_png_np)
 
     # corpus: 16 base 64x48 rasters, each payload a per-index noised
     # variant, alternating BMP/PNG containers
@@ -80,7 +49,7 @@ def main():
         img = bases[i % 16].copy()
         img[(i * 7) % 48, (i * 13) % 64] ^= 0xFF
         payloads.append(
-            bytearray(_bmp(img) if i % 2 else _png(img)))
+            bytearray(encode_bmp_np(img) if i % 2 else encode_png_np(img)))
     rows = [(i, payloads[i % 2048]) for i in range(n_images)]
     df = spark.createDataFrame(rows, "doc_id long, html binary") \
               .repartition(int(cpus)).persist()

@@ -404,6 +404,45 @@ def test_streaming_dedup_media(spark, tmp_path):
     assert urls == ["u1", "u2", "u4", "u5"]
 
 
+def test_product_encoders_roundtrip_decoders():
+    """The write-side encoders (encode_bmp_np / encode_png_np) must
+    round-trip pixel-exact through the from-scratch decoders — they
+    generate the probe and scale-tier corpora, so a drift here would
+    measure the wrong thing."""
+    from jgdtrans_rs_spark.operators.multimodal import (decode_bmp_np,
+                                                        decode_png_np,
+                                                        encode_bmp_np,
+                                                        encode_png_np)
+
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 256, (13, 9, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp_np(encode_bmp_np(rgb)), rgb)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (7, 11, c)).astype(np.uint8)
+        back = decode_png_np(encode_png_np(img))
+        assert np.array_equal(back.reshape(img.shape), img)
+
+
+def test_video_pairs_single_frame_duplicates(spark):
+    """min_matches is clamped to the shorter side's sampled-frame
+    count: two re-encodes of a SINGLE-frame GIF have exactly one slot
+    each, and the pair must still be reported (it dropped silently
+    before the round-5 review)."""
+    rng = np.random.default_rng(33)
+    gif, frames = _anim_gif(rng, 1)
+    pal = np.frombuffer(gif[13:13 + 48], dtype=np.uint8).reshape(16, 3)
+    gif2 = _gif_bytes(24, 16, pal, frames, interlace_frames=(0,))
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(gif2))],
+        "doc_id long, html binary")
+    fps = fp.video_fingerprints(df, "html", n_frames=4).select(
+        "doc_id", "video_fp.*")
+    rows = fp.video_pairs(fps, "doc_id", "frame_hashes",
+                          tau=2, min_matches=2).collect()
+    assert [(r.id_a, r.id_b, r.matched_a, r.matched_b)
+            for r in rows] == [(1, 2, 1, 1)]
+
+
 @pytest.mark.skipif(_SLOW != "4",
                     reason="fingerprint scale tier — SPARK_GRAFT_SLOW=4")
 def test_fingerprint_scale_recall(spark):
@@ -421,45 +460,16 @@ def test_fingerprint_scale_recall(spark):
     pairs and an iid-bits estimate of ~2e-6 expected chance
     collisions at tau 3, so any cross-family pair is a real bug, not
     noise."""
-    import zlib
-
     from pyspark.sql.types import BinaryType
+
+    from jgdtrans_rs_spark.operators.multimodal import (encode_bmp_np,
+                                                        encode_png_np)
 
     n_base, n_fam = 40000, 2000
 
     @F.pandas_udf(BinaryType())
     def gen_payload(ids):
         import pandas as pd
-
-        def bmp(img):
-            h, w, _ = img.shape
-            stride = (w * 3 + 3) & ~3
-            body = bytearray()
-            for row in img[::-1]:
-                line = row[:, ::-1].tobytes()
-                body += line + b"\x00" * (stride - len(line))
-            return bytes(
-                b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00" * 4
-                + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
-                + w.to_bytes(4, "little") + h.to_bytes(4, "little")
-                + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
-                + b"\x00" * 24 + body)
-
-        def png(img):
-            import struct
-            h, w, _ = img.shape
-            raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
-
-            def chunk(tag, data):
-                c = tag + data
-                return (struct.pack(">I", len(data)) + c
-                        + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF))
-
-            return (b"\x89PNG\r\n\x1a\n"
-                    + chunk(b"IHDR", struct.pack(">IIBBBBB",
-                                                 w, h, 8, 2, 0, 0, 0))
-                    + chunk(b"IDAT", zlib.compress(raw))
-                    + chunk(b"IEND", b""))
 
         out = []
         for i in ids:
@@ -472,11 +482,11 @@ def test_fingerprint_scale_recall(spark):
                     -4, 5, img.shape)
                 img = np.clip(img.astype(np.int64) + noise,
                               0, 255).astype(np.uint8)
-                out.append(bmp(img))
+                out.append(encode_bmp_np(img))
             elif i >= 100000:  # exact re-encode
-                out.append(png(img))
+                out.append(encode_png_np(img))
             else:
-                out.append(bmp(img))
+                out.append(encode_bmp_np(img))
         return pd.Series(out)
 
     ids = (spark.range(n_base)
