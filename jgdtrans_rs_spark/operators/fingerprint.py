@@ -55,7 +55,7 @@ __all__ = [
     "to_gray_np", "area_resize2d_np", "phash64_np", "dhash64_np",
     "stft_mag_np", "audio_fp64_np", "image_fingerprints",
     "audio_fingerprints", "video_fingerprints", "hamming_pairs",
-    "video_pairs",
+    "video_pairs", "hamming_topk",
 ]
 
 # BT.601 luma weights — the same constants the JFIF YCbCr->RGB step in
@@ -396,6 +396,51 @@ def video_pairs(df: DataFrame, id_col: str = "doc_id",
         .select("id_a", "id_b", "matched_a", "matched_b",
                 "n_frames_a", "n_frames_b")
     )
+
+
+def hamming_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "doc_id", fp_col: str = "fp",
+                 q_id_col: str = "query_id", tau: int = 3,
+                 n_bands: int = 4) -> DataFrame:
+    """Top-k Hamming search: for each query fingerprint, the ``k``
+    nearest corpus fingerprints WITHIN radius ``tau`` ->
+    (query_id, doc_id, hamming, rank) — the binary-code member of the
+    similarity family (cosine top-k lives in operators/similarity).
+
+    Same coverage guarantee as ``hamming_pairs``: candidates come
+    from the banded equi-join, so every corpus item within Hamming
+    ``tau <= n_bands - 1`` of a query is guaranteed found; this is
+    radius-bounded search (the near-duplicate regime), not
+    unbounded nearest-neighbor — a query with nothing inside the
+    radius returns no rows, by design.
+
+    100 TB plan: the QUERY side is banded and **broadcast**, so the
+    corpus is probed map-side — zero shuffle of the corpus table; the
+    only wide operation is the per-query top-k window over verified
+    candidates (bounded by the radius, tiny).  Ties break
+    deterministically on (hamming, doc_id)."""
+    _check_band_geometry(tau, n_bands)
+    corpus = (df.select(F.col(id_col).alias("_id"),
+                        F.col(fp_col).cast("long").alias("_fp"))
+                .where(F.col(fp_col).isNotNull()))
+    qs = (queries.select(F.col(q_id_col).alias("_qid"),
+                         F.col(fp_col).cast("long").alias("_qfp"))
+                 .where(F.col(fp_col).isNotNull()))
+    c_bands = _banded(corpus, "_fp", n_bands)
+    q_bands = F.broadcast(_banded(qs, "_qfp", n_bands))
+    ham = F.bit_count(F.col("_fp").bitwiseXOR(F.col("_qfp")))
+    cand = (
+        c_bands.join(q_bands, ["_b", "_k"])
+        .select("_qid", "_id", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= tau)
+        .distinct()
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("_qid").orderBy("hamming", "_id")
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(F.col("_qid").alias(q_id_col),
+                        F.col("_id").alias(id_col), "hamming", "rank"))
 
 
 def hamming_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -212,6 +212,62 @@ def test_hamming_pairs_reports_exact_distance(spark):
     assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 3)]
 
 
+def test_hamming_topk_matches_radius_bounded_brute_force(spark):
+    """Within radius tau the banded probe is COMPLETE (pigeonhole),
+    so hamming_topk must EQUAL the brute-force radius-limited top-k —
+    not merely approximate it."""
+    rng = np.random.default_rng(29)
+    corpus = {i: int(rng.integers(-(1 << 63), 1 << 63))
+              for i in range(3000)}
+    queries = {}
+    for qi in range(25):
+        if qi < 15:  # perturbed corpus member, distance 0-3
+            base = corpus[qi * 100]
+            v = base
+            for b in rng.choice(64, size=int(rng.integers(0, 4)),
+                                replace=False):
+                v ^= 1 << int(b)
+            v = v - (1 << 64) if v >= (1 << 63) else \
+                (v + (1 << 64) if v < -(1 << 63) else v)
+            queries[qi] = v
+        else:  # random query — usually nothing in radius
+            queries[qi] = int(rng.integers(-(1 << 63), 1 << 63))
+    cdf = spark.createDataFrame(list(corpus.items()), "doc_id long, fp long")
+    qdf = spark.createDataFrame(list(queries.items()), "query_id long, fp long")
+    got = {}
+    for r in fp.hamming_topk(cdf, qdf, k=5, tau=3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.hamming))
+    for qi, qfp in queries.items():
+        brute = sorted(((_ham(qfp, h), i) for i, h in corpus.items()
+                        if _ham(qfp, h) <= 3))[:5]
+        expect = [(rk + 1, i, d) for rk, (d, i) in enumerate(brute)]
+        assert sorted(got.get(qi, [])) == expect, f"query {qi}"
+
+
+def test_hamming_topk_corpus_side_never_shuffles(spark):
+    """The 100-TB contract in the docstring, pinned on the plan: the
+    banded query side broadcasts, so the corpus is probed map-side —
+    the only Exchange below the top-k window is the tiny candidate
+    set, never the corpus."""
+    cdf = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2654435761).alias("fp"))
+    qdf = spark.range(4).select(
+        F.col("id").alias("query_id"), (F.col("id") * 97).alias("fp"))
+    plan = fp.hamming_topk(cdf, qdf)._jdf.queryExecution() \
+             .executedPlan().toString()
+    # one BroadcastHashJoin building the QUERY side, verify predicate
+    # folded into the join condition
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "BuildRight" in plan and "bit_count" in plan.split(
+        "BroadcastHashJoin")[1].split("\n")[0]
+    # the only hash Exchange is the per-query window over VERIFIED
+    # candidates (and Spark pre-limits with a partial WindowGroupLimit
+    # before even that); the corpus never shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(_qid" in plan
+    assert plan.count("BroadcastExchange") == 1
+
+
 def test_hamming_pairs_guards():
     with pytest.raises(AssertionError):
         fp.hamming_pairs(None, tau=4, n_bands=4)  # pigeonhole violated
