@@ -46,8 +46,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, IntegerType, LongType,
-                               StringType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                               LongType, StringType, StructField,
+                               StructType)
 
 from .multimodal import IMAGE_KERNELS, decode_wav_np, sniff_image_format
 
@@ -55,7 +56,7 @@ __all__ = [
     "to_gray_np", "area_resize2d_np", "phash64_np", "dhash64_np",
     "stft_mag_np", "audio_fp64_np", "image_fingerprints",
     "audio_fingerprints", "video_fingerprints", "hamming_pairs",
-    "video_pairs", "hamming_topk",
+    "video_pairs", "hamming_topk", "audio_spectrogram",
 ]
 
 # BT.601 luma weights — the same constants the JFIF YCbCr->RGB step in
@@ -273,6 +274,42 @@ def audio_fingerprints(df: DataFrame, col: str = "html",
                              "afp": fp})
 
     return df.withColumn(out, fps(F.col(col)))
+
+
+def audio_spectrogram(df: DataFrame, audio_col: str = "audio",
+                      n_time: int = 16, n_bands: int = 16,
+                      out: str = "spectrogram") -> DataFrame:
+    """Fixed-size log-energy spectrogram features from a decoded
+    ``multimodal.decode_audio`` struct: mono mixdown -> ``stft_mag_np``
+    -> energy (DC dropped) -> area-resize to (n_time, n_bands) ->
+    log1p -> row-major flattened array of length n_time*n_bands.
+
+    This is the dense FEATURE surface next to ``audio_fp64_np``'s
+    64-bit hash — the fixed-shape input an audio classifier or
+    embedding stage consumes, the audio analogue of the image
+    ``resize_bytes``/``decode_image`` pair.  NULL audio (decode dead
+    letter) and empty waveforms yield NULL, propagating the
+    errors-are-data contract."""
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def feats(samples: pd.Series, chans: pd.Series) -> pd.Series:
+        outs = []
+        for s, c in zip(samples, chans):
+            try:
+                if s is None or len(s) == 0 or not c or len(s) % int(c):
+                    outs.append(None)
+                    continue
+                mono = np.asarray(s, dtype=np.float64).reshape(
+                    -1, int(c)).mean(axis=1)
+                energy = stft_mag_np(mono)[:, 1:] ** 2
+                grid = area_resize2d_np(energy, n_time, n_bands)
+                outs.append(np.log1p(grid).ravel())
+            except Exception:
+                outs.append(None)
+        return pd.Series(outs)
+
+    return df.withColumn(out, feats(F.col(f"{audio_col}.samples"),
+                                    F.col(f"{audio_col}.n_channels")))
 
 
 def video_fingerprints(df: DataFrame, col: str = "html",

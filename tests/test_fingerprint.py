@@ -460,6 +460,31 @@ def test_streaming_dedup_media(spark, tmp_path):
     assert urls == ["u1", "u2", "u4", "u5"]
 
 
+def test_audio_spectrogram_features(spark):
+    """The dense feature surface: fixed shape, tone energy lands in a
+    stable band column, stereo mixdown matches mono, dead letters and
+    empty waveforms propagate NULL."""
+    from jgdtrans_rs_spark.operators.multimodal import decode_audio
+
+    a = _tone(440, 8000)
+    corpus = [(1, bytearray(_wav_bytes(a[:, None]))),
+              (2, bytearray(_wav_bytes(np.stack([a, a], axis=1)))),
+              (3, bytearray(b"RIFFgarbage"))]
+    df = decode_audio(
+        spark.createDataFrame(corpus, "doc_id long, html binary"), "html")
+    rows = {r.doc_id: r.spectrogram for r in
+            fp.audio_spectrogram(df).select("doc_id", "spectrogram")
+              .collect()}
+    g1 = np.array(rows[1]).reshape(16, 16)
+    assert rows[3] is None
+    # dual-mono stereo mixdown == mono, exactly
+    assert np.array_equal(np.array(rows[2]), np.array(rows[1]))
+    # a stationary 440 Hz tone puts its peak in the same band column
+    # of every time row
+    assert len(set(np.argmax(g1, axis=1))) == 1
+    assert (g1 >= 0).all()
+
+
 def test_product_encoders_roundtrip_decoders():
     """The write-side encoders (encode_bmp_np / encode_png_np) must
     round-trip pixel-exact through the from-scratch decoders — they
