@@ -162,6 +162,25 @@ def stft_mag_np(x: np.ndarray, n_fft: int = 256, hop: int = 128) -> np.ndarray:
     return np.abs(np.fft.rfft(frames * win, axis=1))
 
 
+def _mono_energy_grid(samples, n_channels: int, n_time: int,
+                      n_bands: int):
+    """Shared spectral stage of ``audio_fp64_np`` and
+    ``audio_spectrogram``: mono mixdown -> ``stft_mag_np`` -> energy
+    (DC bin dropped) -> area-resize to (n_time, n_bands).  Returns
+    None for empty/ragged input so both consumers dead-letter
+    identically — one definition, so the hash and the feature surface
+    cannot drift apart."""
+    if samples is None:
+        return None
+    s = np.asarray(samples, dtype=np.float64)
+    if s.size == 0 or n_channels is None or n_channels <= 0 \
+            or s.size % int(n_channels):
+        return None
+    mono = s.reshape(-1, int(n_channels)).mean(axis=1)
+    energy = stft_mag_np(mono)[:, 1:] ** 2
+    return area_resize2d_np(energy, n_time, n_bands)
+
+
 def audio_fp64_np(samples: np.ndarray, n_channels: int = 1):
     """64-bit spectral fingerprint for a waveform: mono mixdown ->
     ``stft_mag_np`` -> ENERGY (magnitude squared, DC bin dropped) ->
@@ -186,14 +205,9 @@ def audio_fp64_np(samples: np.ndarray, n_channels: int = 1):
     blocks.  Both sides of every comparison scale together, so a
     re-normalized (gain-adjusted) copy of a clip fingerprints
     identically.  Returns signed int64, or None for empty input."""
-    if samples is None:
+    grid = _mono_energy_grid(samples, n_channels, 8, 8)
+    if grid is None:
         return None
-    s = np.asarray(samples, dtype=np.float64)
-    if s.size == 0 or n_channels <= 0 or s.size % n_channels:
-        return None
-    mono = s.reshape(-1, n_channels).mean(axis=1)
-    energy = stft_mag_np(mono)[:, 1:] ** 2
-    grid = area_resize2d_np(energy, 8, 8)
     return _pack_bits64(grid > grid.mean())
 
 
@@ -296,14 +310,9 @@ def audio_spectrogram(df: DataFrame, audio_col: str = "audio",
         outs = []
         for s, c in zip(samples, chans):
             try:
-                if s is None or len(s) == 0 or not c or len(s) % int(c):
-                    outs.append(None)
-                    continue
-                mono = np.asarray(s, dtype=np.float64).reshape(
-                    -1, int(c)).mean(axis=1)
-                energy = stft_mag_np(mono)[:, 1:] ** 2
-                grid = area_resize2d_np(energy, n_time, n_bands)
-                outs.append(np.log1p(grid).ravel())
+                grid = _mono_energy_grid(s, c, n_time, n_bands)
+                outs.append(None if grid is None
+                            else np.log1p(grid).ravel())
             except Exception:
                 outs.append(None)
         return pd.Series(outs)
@@ -455,7 +464,11 @@ def hamming_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     corpus is probed map-side — zero shuffle of the corpus table; the
     only wide operation is the per-query top-k window over verified
     candidates (bounded by the radius, tiny).  Ties break
-    deterministically on (hamming, doc_id)."""
+    deterministically on (hamming, doc_id).  The ranking is keyed on
+    (query_id, fingerprint): if ``queries`` carries the same id with
+    two DIFFERENT fingerprints, each fingerprint gets its own
+    independent correct top-k (the rows share the id) instead of the
+    two candidate sets silently merging into one corrupted ranking."""
     _check_band_geometry(tau, n_bands)
     corpus = (df.select(F.col(id_col).alias("_id"),
                         F.col(fp_col).cast("long").alias("_fp"))
@@ -468,12 +481,12 @@ def hamming_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     ham = F.bit_count(F.col("_fp").bitwiseXOR(F.col("_qfp")))
     cand = (
         c_bands.join(q_bands, ["_b", "_k"])
-        .select("_qid", "_id", ham.cast("int").alias("hamming"))
+        .select("_qid", "_qfp", "_id", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= tau)
         .distinct()
     )
     from pyspark.sql import Window
-    w = Window.partitionBy("_qid").orderBy("hamming", "_id")
+    w = Window.partitionBy("_qid", "_qfp").orderBy("hamming", "_id")
     return (cand.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .select(F.col("_qid").alias(q_id_col),

@@ -244,6 +244,24 @@ def test_hamming_topk_matches_radius_bounded_brute_force(spark):
         assert sorted(got.get(qi, [])) == expect, f"query {qi}"
 
 
+def test_hamming_topk_duplicate_query_id_ranks_independently(spark):
+    """A query_id appearing with two different fingerprints gets one
+    independent correct ranking per fingerprint (keyed on (id, fp)),
+    not a merged candidate pool — which silently corrupted the
+    ranking before the round-5 review."""
+    cdf = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 1 << 40)], "doc_id long, fp long")
+    qdf = spark.createDataFrame(
+        [(7, 0), (7, 1 << 40)], "query_id long, fp long")
+    rows = sorted((r.query_id, r.doc_id, r.hamming, r.rank)
+                  for r in fp.hamming_topk(cdf, qdf, k=2, tau=1).collect())
+    # fp=0:    doc 1 (d=0) rank 1, doc 2 (d=1) rank 2 (doc 3 ties at
+    #          d=1 but loses the (hamming, doc_id) tiebreak, > k)
+    # fp=2^40: doc 3 (d=0) rank 1, doc 1 (d=1, single set bit) rank 2
+    assert rows == [(7, 1, 0, 1), (7, 1, 1, 2),
+                    (7, 2, 1, 2), (7, 3, 0, 1)]
+
+
 def test_hamming_topk_corpus_side_never_shuffles(spark):
     """The 100-TB contract in the docstring, pinned on the plan: the
     banded query side broadcasts, so the corpus is probed map-side —
