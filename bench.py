@@ -221,6 +221,20 @@ def _subprocess_run(cpus: int, mult: int, cpuset: str | None = None,
     return json.loads(line)
 
 
+# sections appended to BENCH/BASELINE.md by other tools; the scaling
+# writer owns only its own sections, so everything from the first of
+# these onward must survive a re-measure — a full-file rewrite
+# silently dropped both the first time a scaling run followed them
+_APPENDED_SECTIONS = ("## Per-query noise bands", "## Same-host A/B")
+
+
+def _preserved_tail(text: str) -> str:
+    """The appended-section tail of an existing BASELINE.md ('' if
+    none), ready to concatenate after the regenerated scaling body."""
+    cuts = [i for i in map(text.find, _APPENDED_SECTIONS) if i >= 0]
+    return "\n" + text[min(cuts):] if cuts else ""
+
+
 def _last_measured_scaling() -> dict | None:
     """Best measured `scaling` block from BENCH/history.jsonl.
 
@@ -377,6 +391,11 @@ def main():
         result["scaling"]["join_efficiency_vs_hw_ceiling"] = round(
             j_eff / hw["hw_ceiling_efficiency"], 3)
         os.makedirs("BENCH", exist_ok=True)
+        try:
+            with open("BENCH/BASELINE.md", encoding="utf-8") as f:
+                preserved = _preserved_tail(f.read())
+        except OSError:
+            preserved = ""
         with open("BENCH/BASELINE.md", "w", encoding="utf-8") as f:
             f.write(
                 "# BENCH/BASELINE — measured numbers\n\n"
@@ -449,6 +468,7 @@ def main():
                 "shuffle.\n\n"
                 f"Per-query seconds at local[{CPUS}] (best of {rounds} fresh-JVM "
                 f"rounds, {SF_DIR}): `{json.dumps(timings)}`\n"
+                + preserved
             )
 
     if "scaling" not in result:
