@@ -86,6 +86,12 @@ def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the body-text extraction regex: shared with sources/warc.py so
+# WARC-sourced and table-sourced pages extract text through the
+# SAME expression (byte-identical-text-per-url invariant)
+BODY_RE = r"<body>(.*)</body>"
+
+
 def extract_geotags(pages: DataFrame) -> DataFrame:
     """Vectorized geotag + body extraction from raw ``html`` bytes.
 
@@ -100,7 +106,7 @@ def extract_geotags(pages: DataFrame) -> DataFrame:
         "url",
         "warc_ts",
         "lang",
-        F.regexp_extract(doc, r"<body>(.*)</body>", 1).alias("text"),
+        F.regexp_extract(doc, BODY_RE, 1).alias("text"),
         # try_cast, NOT cast: under Spark 4's default ANSI mode a page
         # with no geo tag (regexp_extract -> '') would otherwise abort
         # the whole job with CAST_INVALID_INPUT; the dead-letter

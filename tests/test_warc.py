@@ -1,0 +1,176 @@
+"""WARC source tests: round-trip through the independent encoder,
+dead-letter taxonomy with resynchronization, the never-raise fuzz
+contract, and the Spark plumbing (one narrow stage, input_hint
+parity with the table source)."""
+from __future__ import annotations
+
+import os
+import random
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from jgdtrans_rs_spark.sources.warc import (
+    DEFAULT_BUDGET, encode_warc_bytes, pages_from_warc, parse_warc_bytes,
+    read_warc)
+
+
+def _recs():
+    return [
+        {"rec_type": "warcinfo", "payload": b"software: test\r\n"},
+        {"rec_type": "request", "url": "http://x.example/a",
+         "ts": "2024-01-02T03:04:05Z", "payload": b"GET /a HTTP/1.1\r\n"},
+        {"rec_type": "response", "url": "http://x.example/a",
+         "ts": "2024-01-02T03:04:05Z", "lang": "ja",
+         "payload": b"<html><body>hello warc</body></html>"},
+        {"rec_type": "response", "url": "http://x.example/b",
+         "ts": "2024-01-02T03:04:06Z", "chunked": True,
+         "payload": b"<html><body>chunked page body</body></html>"},
+        {"rec_type": "metadata", "url": "http://x.example/a",
+         "payload": b"fetchTimeMs: 17\r\n"},
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip(gz):
+    buf = encode_warc_bytes(_recs(), gzip_members=gz)
+    out = parse_warc_bytes(buf)
+    assert [r["status"] for r in out] == ["ok"] * 5
+    assert [r["rec_type"] for r in out] == [
+        "warcinfo", "request", "response", "response", "metadata"]
+    # non-response records carry identity but no payload
+    assert out[1]["url"] == "http://x.example/a" and out[1]["html"] is None
+    # plain response: body + Content-Language
+    assert out[2]["html"] == b"<html><body>hello warc</body></html>"
+    assert out[2]["lang"] == "ja" and out[2]["ts"] == "2024-01-02T03:04:05Z"
+    # chunked response de-chunks to the original body
+    assert out[3]["html"] == b"<html><body>chunked page body</body></html>"
+    assert out[3]["lang"] is None
+
+
+def test_warc_dead_letters_resync():
+    good = encode_warc_bytes([_recs()[2]])
+    # garbage before a good record: one bad_record_magic, then the record
+    out = parse_warc_bytes(b"NOT A WARC FILE" + b"\r\n\r\n" + good)
+    assert [r["status"] for r in out] == ["bad_record_magic", "ok"]
+    assert out[1]["html"] == b"<html><body>hello warc</body></html>"
+
+    # bad Content-Length: dead letter, resync onto the NEXT record
+    bad = good.replace(b"Content-Length: ", b"Content-Length: x")
+    out = parse_warc_bytes(bad + good)
+    assert [r["status"] for r in out] == ["bad_content_length", "ok"]
+
+    # negative Content-Length is equally malformed
+    neg = (b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -4"
+           + b"\r\n\r\n" + good)
+    assert parse_warc_bytes(neg)[0]["status"] == "bad_content_length"
+
+    # record truncated mid-content: named, walk stops (nothing to resync)
+    out = parse_warc_bytes(good[:-20])
+    assert out[-1]["status"] == "record_truncated"
+
+    # header block never terminated
+    out = parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: response\r\n")
+    assert out == [dict(rec_type=None, url=None, ts=None, html=None,
+                        lang=None, status="header_unterminated")]
+
+    # HTTP-level defects: named per-record, record stream continues
+    resp = _recs()[2]
+    raw = encode_warc_bytes([
+        {**resp, "payload": b"x"},  # will corrupt below
+        resp,
+    ])
+    raw = raw.replace(b"HTTP/1.1 200 OK", b"JUNK/1.1 200 OK", 1)
+    out = parse_warc_bytes(raw)
+    assert [r["status"] for r in out] == ["http_bad_status_line", "ok"]
+
+    chunked = encode_warc_bytes([{**resp, "chunked": True}])
+    bad_chunk = chunked.replace(b"7\r\n", b"q\r\n", 1)
+    assert parse_warc_bytes(bad_chunk)[0]["status"] == "http_bad_chunking"
+
+
+def test_warc_gzip_budget_and_truncation():
+    buf = encode_warc_bytes(_recs(), gzip_members=True)
+    # truncated gzip stream: complete members still parse + one dead letter
+    cut = buf[: len(buf) - 10]
+    out = parse_warc_bytes(cut)
+    assert out[-1]["status"] == "gzip_truncated_or_over_budget"
+    assert sum(r["status"] == "ok" for r in out) >= 4
+
+    # decompression bomb: tiny compressed stream declaring far more than
+    # the budget inflates only budget bytes and dead-letters
+    c = zlib.compressobj(9, zlib.DEFLATED, zlib.MAX_WBITS | 16)
+    bomb = c.compress(b"\x00" * (1 << 20)) + c.flush()
+    assert len(bomb) < 4096
+    out = parse_warc_bytes(bomb, budget=1024)
+    assert any(r["status"] == "gzip_truncated_or_over_budget" for r in out)
+
+
+def test_warc_never_raises_on_garbage():
+    rng = random.Random(20240818)
+    base = encode_warc_bytes(_recs())
+    base_gz = encode_warc_bytes(_recs(), gzip_members=True)
+    corpora = [b"", b"\x1f\x8b", b"WARC/1.0", bytes(rng.randbytes(4096))]
+    for src in (base, base_gz):
+        for _ in range(150):
+            b = bytearray(src)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            corpora.append(bytes(b))
+        for cut in range(0, len(src), 97):
+            corpora.append(src[:cut])
+    for buf in corpora:
+        for rec in parse_warc_bytes(buf, budget=1 << 22):
+            assert rec["status"] is not None  # parsed, never raised
+
+
+def test_read_warc_spark(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg-00000.warc.gz").write_bytes(
+        encode_warc_bytes(_recs(), gzip_members=True))
+    (d / "seg-00001.warc").write_bytes(
+        b"JUNK" + b"\r\n\r\n" + encode_warc_bytes([_recs()[2]]))
+
+    base = read_warc(spark, str(d))
+    # narrow plan: binaryFile scan -> one mapInPandas stage, zero shuffles
+    plan = base._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan
+
+    df = base.orderBy("warc_file", "rec_index")
+    rows = df.collect()
+    assert len(rows) == 7  # 5 + (dead letter + 1 ok)
+    # positional addressability: file + rec_index name the dead letter
+    dead = [r for r in rows if r.status != "ok"]
+    assert len(dead) == 1 and dead[0].rec_index == 0
+    assert dead[0].warc_file.endswith("seg-00001.warc")
+    assert dead[0].status == "bad_record_magic"
+    # WARC-Date parsed to a real timestamp (UTC session tz)
+    ok_resp = [r for r in rows if r.status == "ok"
+               and r.rec_type == "response" and r.lang == "ja"]
+    assert str(ok_resp[0].warc_ts) == "2024-01-02 03:04:05"
+
+
+def test_pages_from_warc_matches_table_extraction(spark, tmp_path):
+    from jgdtrans_rs_spark.sources.pages import extract_geotags
+
+    html = (b'<html><head><meta name="geo.position" '
+            b'content="36.1;140.08"></head>'
+            b"<body>w1 w2 w3</body></html>")
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    (d / "f.warc.gz").write_bytes(encode_warc_bytes([
+        {"rec_type": "response", "url": "http://x.example/p",
+         "ts": "2024-03-04T05:06:07Z", "lang": "ja", "payload": html},
+    ], gzip_members=True))
+
+    pages = pages_from_warc(spark, str(d))
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    row = pages.collect()[0]
+    assert row.text == "w1 w2 w3" and row.html == html
+
+    # the SAME frame feeds extract_geotags exactly like the table source
+    g = extract_geotags(pages).collect()[0]
+    assert g.text == "w1 w2 w3"
+    assert g.lat == pytest.approx(36.1) and g.lon == pytest.approx(140.08)
