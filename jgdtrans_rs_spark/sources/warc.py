@@ -251,7 +251,14 @@ def read_warc(spark: SparkSession, path: str,
     positional-error discipline as the par reader.  ``warc_ts`` is a
     real TIMESTAMP; the raw WARC-Date string survives parsing via
     ``try_to_timestamp`` (an unparseable date yields NULL, never a
-    task failure)."""
+    task failure).
+
+    Task granularity is governed by ``spark.sql.files.maxPartitionBytes``:
+    the binaryFile scan packs WHOLE files into partitions up to that
+    size, so production-sized crawl files (~1 GB > the 128 MB default)
+    get one task each with no tuning, while a directory of tiny test
+    files coalesces into few tasks — lower the conf (as
+    scripts/probe_warc.py does) when benchmarking on small files."""
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
 

@@ -174,3 +174,84 @@ def test_pages_from_warc_matches_table_extraction(spark, tmp_path):
     g = extract_geotags(pages).collect()[0]
     assert g.text == "w1 w2 w3"
     assert g.lat == pytest.approx(36.1) and g.lon == pytest.approx(140.08)
+
+
+def _crawl_html(lat, lon, body):
+    geo = (b'<meta name="geo.position" content="%r;%r">' % (lat, lon)
+           if lat is not None else b"")
+    return (b'<html><head>' + geo + b"</head><body>"
+            + body.encode() + b"</body></html>")
+
+
+def test_warc_crawl_to_sink_end_to_end(spark, semidyna_grid, tmp_path):
+    """The full crawl story: raw .warc.gz files -> input_hint pages ->
+    geotag extraction -> fused transform+tile -> checkpointed sink.
+    A user swapping the page TABLE for the raw crawl archive must get
+    the identical corpus — the source frames are row-identical and the
+    downstream chain is literally the same code."""
+    from jgdtrans_rs_spark.engine import Engine
+    from jgdtrans_rs_spark.sources import sink
+    from jgdtrans_rs_spark.sources.pages import extract_geotags
+
+    # 30 pages inside the fixture grid cell (page 0 = the reference's
+    # bit-exact point, transformer.rs:301-305), 6 with no geo tag, 4 OOB
+    pages_spec = []
+    for i in range(30):
+        lat, lon = 36.1030 + i * 2e-5, 140.0880 + i * 3e-5
+        if i == 0:
+            lat, lon = 36.10377479, 140.087855041
+        pages_spec.append((f"http://c.example/{i:04d}", lat, lon,
+                           f"body tokens {i}"))
+    for i in range(30, 36):
+        pages_spec.append((f"http://c.example/{i:04d}", None, None,
+                           f"untagged {i}"))
+    for i in range(36, 40):
+        pages_spec.append((f"http://c.example/{i:04d}", 95.0, 300.0,
+                           f"oob {i}"))
+
+    d = tmp_path / "crawl_e2e"
+    d.mkdir()
+    for part in range(2):  # two files -> two parallel tasks
+        recs = []
+        for url, lat, lon, body in pages_spec[part * 20:(part + 1) * 20]:
+            recs.append({"rec_type": "request", "url": url,
+                         "ts": "2024-05-01T00:00:00Z", "payload": b"GET"})
+            recs.append({"rec_type": "response", "url": url,
+                         "ts": "2024-05-01T00:00:00Z", "lang": "ja",
+                         "payload": _crawl_html(lat, lon, body)})
+        (d / f"part-{part}.warc.gz").write_bytes(
+            encode_warc_bytes(recs, gzip_members=True))
+
+    warc_pages = pages_from_warc(spark, str(d))
+
+    # source interchangeability: the table-shaped twin of the same crawl
+    table_pages = spark.createDataFrame(
+        [(u, _crawl_html(la, lo, b)) for u, la, lo, b in pages_spec],
+        "url string, html binary").selectExpr(
+        "url", "timestamp'2024-05-01 00:00:00' AS warc_ts", "html",
+        "'ja' AS lang")
+    a = warc_pages.select("url", "warc_ts", "html", "lang") \
+        .orderBy("url").collect()
+    b = table_pages.select("url", "warc_ts", "html", "lang") \
+        .orderBy("url").collect()
+    assert a == b
+
+    eng = Engine(spark, semidyna_grid)
+    tf = eng.transform_and_tile(extract_geotags(warc_pages),
+                                lat="lat", lon="lon", alt=None)
+
+    out_dir = str(tmp_path / "corpus_out")
+    manifests = sink.run_checkpointed(tf, out_dir, n_groups=4)
+    assert manifests  # groups written this run
+    got = sink.read_resumed(spark, out_dir)
+    assert got.count() == 40  # every page got a verdict row
+    assert got.filter(F.col("status") == 0).count() == 30
+    assert got.filter(F.col("status") != 0).count() == 10  # quarantined
+
+    # page 0 carries the reference's bit-exact forward constants
+    r0 = got.filter(F.col("url") == "http://c.example/0000").collect()[0]
+    assert r0.out_lat == 36.103773017086695
+    assert r0.out_lon == 140.08785924333452
+    # extracted text survives the whole pipeline byte-identical
+    assert got.filter(F.col("url") == "http://c.example/0007") \
+        .collect()[0].text == "body tokens 7"
