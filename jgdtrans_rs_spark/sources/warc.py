@@ -52,8 +52,8 @@ from pyspark.sql.types import (BinaryType, IntegerType, StringType,
                                StructField, StructType)
 
 __all__ = [
-    "parse_warc_bytes", "read_warc", "pages_from_warc",
-    "encode_warc_bytes",
+    "parse_warc_bytes", "read_warc", "stream_read_warc",
+    "pages_from_warc", "encode_warc_bytes",
 ]
 
 _CRLF2 = b"\r\n\r\n"
@@ -260,30 +260,10 @@ _WARC_SCHEMA = StructType([
 ])
 
 
-def read_warc(spark: SparkSession, path: str,
-              budget: int = DEFAULT_BUDGET) -> DataFrame:
-    """Distributed WARC scan: every record of every file under
-    ``path`` (glob ok) as rows ``(warc_file, rec_type, url, warc_ts,
-    html, lang, status, rec_index)``.
-
-    Plan shape: ``binaryFile`` scan -> ONE ``mapInPandas`` stage, one
-    task per file (gzip members are not splittable; Common Crawl
-    sizes files so that is the right granularity), zero shuffles.
-    ``rec_index`` preserves each record's position in its file so a
-    dead letter is addressable ('file X, record 1047') — the same
-    positional-error discipline as the par reader.  ``warc_ts`` is a
-    real TIMESTAMP; the raw WARC-Date string survives parsing via
-    ``try_to_timestamp`` (an unparseable date yields NULL, never a
-    task failure).
-
-    Task granularity is governed by ``spark.sql.files.maxPartitionBytes``:
-    the binaryFile scan packs WHOLE files into partitions up to that
-    size, so production-sized crawl files (~1 GB > the 128 MB default)
-    get one task each with no tuning, while a directory of tiny test
-    files coalesces into few tasks — lower the conf (as
-    scripts/probe_warc.py does) when benchmarking on small files."""
-    files = spark.read.format("binaryFile").load(path) \
-        .select("path", "content")
+def _records_from_files(files: DataFrame, budget: int) -> DataFrame:
+    """(path, content) frame -> record rows; shared by the batch and
+    streaming readers (the stage is stateless, so the plan shape is
+    identical under readStream)."""
 
     def gen(batches):
         for pdf in batches:
@@ -308,6 +288,56 @@ def read_warc(spark: SparkSession, path: str,
         .withColumn("warc_ts", F.try_to_timestamp(F.col("warc_ts_raw")))
         .drop("warc_ts_raw")
     )
+
+
+def read_warc(spark: SparkSession, path: str,
+              budget: int = DEFAULT_BUDGET) -> DataFrame:
+    """Distributed WARC scan: every record of every file under
+    ``path`` (glob ok) as rows ``(warc_file, rec_type, url, warc_ts,
+    html, lang, status, rec_index)``.
+
+    Plan shape: ``binaryFile`` scan -> ONE ``mapInPandas`` stage, one
+    task per file (gzip members are not splittable; Common Crawl
+    sizes files so that is the right granularity), zero shuffles.
+    ``rec_index`` preserves each record's position in its file so a
+    dead letter is addressable ('file X, record 1047') — the same
+    positional-error discipline as the par reader.  ``warc_ts`` is a
+    real TIMESTAMP; the raw WARC-Date string survives parsing via
+    ``try_to_timestamp`` (an unparseable date yields NULL, never a
+    task failure).
+
+    Task granularity is governed by ``spark.sql.files.maxPartitionBytes``:
+    the binaryFile scan packs WHOLE files into partitions up to that
+    size, so production-sized crawl files (~1 GB > the 128 MB default)
+    get one task each with no tuning, while a directory of tiny test
+    files coalesces into few tasks — lower the conf (as
+    scripts/probe_warc.py does) when benchmarking on small files."""
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+    return _records_from_files(files, budget)
+
+
+def stream_read_warc(spark: SparkSession, path: str,
+                     budget: int = DEFAULT_BUDGET) -> DataFrame:
+    """Streaming WARC ingest: new ``.warc.gz`` files appearing under
+    ``path`` become record rows as they arrive — the crawl-archive
+    twin of the repo's other file-stream sources.  The binaryFile
+    source tracks processed files in the checkpoint, so a restart
+    resumes with ONLY unseen files (exactly-once at file granularity,
+    the same recovery contract proven for the pages stream), and the
+    record stage is the identical stateless mapInPandas as batch.
+    Downstream composition is unchanged: filter ok responses, extract,
+    transform, or feed ``stream_dedup_media`` — all stateless or
+    watermark-bounded."""
+    # streaming sources require an explicit schema; binaryFile's is fixed
+    bf_schema = ("path string, modificationTime timestamp, "
+                 "length long, content binary")
+    files = (spark.readStream.format("binaryFile")
+             .schema(bf_schema)
+             .option("pathGlobFilter", "*.warc*")
+             .load(path)
+             .select("path", "content"))
+    return _records_from_files(files, budget)
 
 
 def pages_from_warc(spark: SparkSession, path: str,
