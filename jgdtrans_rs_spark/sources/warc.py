@@ -43,6 +43,8 @@ to the crawl side of the graft.
 
 from __future__ import annotations
 
+import codecs
+import re
 import zlib
 
 import pandas as pd
@@ -53,7 +55,7 @@ from pyspark.sql.types import (BinaryType, IntegerType, StringType,
 
 __all__ = [
     "parse_warc_bytes", "read_warc", "stream_read_warc",
-    "pages_from_warc", "encode_warc_bytes",
+    "pages_from_warc", "encode_warc_bytes", "transcode_to_utf8",
 ]
 
 _CRLF2 = b"\r\n\r\n"
@@ -137,24 +139,73 @@ def _dechunk(body: bytes):
         pos = nl + 2 + size + 2
 
 
+_META_CHARSET = re.compile(
+    rb'<meta[^>]+charset\s*=\s*["\']?\s*([A-Za-z0-9_.:\-]+)', re.I)
+_CT_CHARSET = re.compile(rb'charset\s*=\s*"?([A-Za-z0-9_.:\-]+)', re.I)
+
+
+def _declared_charset(content_type, body: bytes):
+    """The charset a capture declares: Content-Type parameter wins,
+    then a BOM, then an HTML meta tag in the first 1024 bytes; None
+    when undeclared (the common case for modern UTF-8 pages)."""
+    if content_type:
+        m = _CT_CHARSET.search(content_type)
+        if m:
+            return m.group(1).decode("ascii", "replace")
+    if body[:3] == codecs.BOM_UTF8:
+        return "utf-8-sig"
+    if body[:2] in (codecs.BOM_UTF16_LE, codecs.BOM_UTF16_BE):
+        return "utf-16"
+    m = _META_CHARSET.search(body[:1024])
+    if m:
+        return m.group(1).decode("ascii", "replace")
+    return None
+
+
+def transcode_to_utf8(body: bytes, charset):
+    """(utf8_bytes, source_charset|None) — the CCNet-style charset
+    recovery step: a page that is already valid UTF-8 passes through
+    untouched (the fast path — one validation scan); otherwise the
+    DECLARED charset is tried strictly via stdlib codecs (shift_jis,
+    euc_jp, cp1252, gb2312, big5, utf-16, …).  An unknown name or a
+    body that does not strictly decode keeps its raw bytes with
+    charset None — downstream the NULL-text quarantine stays visible,
+    and nothing is ever silently mojibake'd (no errors='replace')."""
+    try:
+        body.decode("utf-8")
+        return body, None
+    except (UnicodeDecodeError, ValueError):
+        pass
+    if not charset:
+        return body, None
+    try:
+        name = codecs.lookup(charset).name
+        if name in ("utf-8", "ascii"):
+            return body, None  # declared utf-8 but invalid: keep raw
+        dec = body.decode(name)
+    except (LookupError, UnicodeDecodeError, ValueError):
+        return body, None
+    return dec.encode("utf-8"), name
+
+
 def _http_payload(content: bytes, budget: int = DEFAULT_BUDGET):
-    """(payload bytes, lang, err) from a raw HTTP response capture.
+    """(payload bytes, lang, content_type, err) from a raw HTTP response capture.
     ``lang`` is the first ``Content-Language`` token when present.
     ``Content-Encoding: gzip/deflate`` bodies are inflated (budget-
     bounded, same bomb discipline as the file-level gunzip); other
     encodings (br, zstd, …) dead-letter by name rather than flowing
     compressed bytes downstream marked ok."""
     if not content.startswith(b"HTTP/"):
-        return None, None, "http_bad_status_line"
+        return None, None, None, "http_bad_status_line"
     sep = content.find(_CRLF2)
     if sep < 0:
-        return None, None, "http_headers_unterminated"
+        return None, None, None, "http_headers_unterminated"
     hdrs = _parse_header_block(content[content.find(b"\r\n") + 2:sep])
     body = content[sep + 4:]
     if b"chunked" in hdrs.get(b"transfer-encoding", b"").lower():
         body = _dechunk(body)
         if body is None:
-            return None, None, "http_bad_chunking"
+            return None, None, None, "http_bad_chunking"
     enc = hdrs.get(b"content-encoding", b"identity").strip().lower()
     if enc in (b"gzip", b"x-gzip", b"deflate"):
         wbits = zlib.MAX_WBITS | 16 if enc != b"deflate" else zlib.MAX_WBITS
@@ -162,22 +213,32 @@ def _http_payload(content: bytes, budget: int = DEFAULT_BUDGET):
         try:
             body = d.decompress(body, budget + 1)
         except zlib.error:
-            return None, None, "http_bad_content_encoding"
+            return None, None, None, "http_bad_content_encoding"
         if len(body) > budget:
-            return None, None, "http_body_over_budget"
+            return None, None, None, "http_body_over_budget"
         if not d.eof:  # truncated stream: don't pass partial html as ok
-            return None, None, "http_bad_content_encoding"
+            return None, None, None, "http_bad_content_encoding"
     elif enc not in (b"identity", b""):
-        return None, None, "http_unsupported_content_encoding"
+        return None, None, None, "http_unsupported_content_encoding"
     lang = hdrs.get(b"content-language")
     if lang:
         lang = lang.split(b",")[0].strip().decode("ascii", "replace")
-    return body, lang or None, None
+    return body, lang or None, hdrs.get(b"content-type"), None
 
 
-def parse_warc_bytes(buf: bytes, budget: int = DEFAULT_BUDGET) -> list[dict]:
+def parse_warc_bytes(buf: bytes, budget: int = DEFAULT_BUDGET,
+                     transcode: bool = True) -> list[dict]:
     """Walk one WARC file's bytes (gzipped or plain) into record dicts:
-    ``{rec_type, url, ts, html, lang, status}``.
+    ``{rec_type, url, ts, html, lang, charset, status}``.
+
+    ``transcode=True`` (default) recovers non-UTF-8 pages the CCNet
+    way: a response body that is not valid UTF-8 but DECLARES a known
+    charset (Content-Type parameter, BOM, or meta tag) is strictly
+    re-encoded to UTF-8 and ``charset`` records the source encoding;
+    an unknown or lying declaration keeps the raw bytes (``charset``
+    NULL) so downstream text extraction quarantines visibly instead
+    of producing mojibake.  ``transcode=False`` preserves archival
+    bytes exactly.
 
     status 'ok' rows are well-formed records (``html``/``lang`` only
     populated for HTTP responses; other types carry their headers'
@@ -190,8 +251,8 @@ def parse_warc_bytes(buf: bytes, budget: int = DEFAULT_BUDGET) -> list[dict]:
     records: list[dict] = []
 
     def dead(status: str) -> dict:
-        return {"rec_type": None, "url": None, "ts": None,
-                "html": None, "lang": None, "status": status}
+        return {"rec_type": None, "url": None, "ts": None, "html": None,
+                "lang": None, "charset": None, "status": status}
 
     pos = 0
     n = len(data)
@@ -235,12 +296,16 @@ def parse_warc_bytes(buf: bytes, budget: int = DEFAULT_BUDGET) -> list[dict]:
         ts = hdrs.get(b"warc-date")
         ts = ts.decode("ascii", "replace") if ts else None
         rec = {"rec_type": rec_type or None, "url": url, "ts": ts,
-               "html": None, "lang": None, "status": "ok"}
+               "html": None, "lang": None, "charset": None,
+               "status": "ok"}
         if rec_type == "response":
-            payload, lang, err = _http_payload(content, budget)
+            payload, lang, ctype, err = _http_payload(content, budget)
             if err is not None:
                 rec["status"] = err
             else:
+                if transcode and payload:
+                    payload, rec["charset"] = transcode_to_utf8(
+                        payload, _declared_charset(ctype, payload))
                 rec["html"], rec["lang"] = payload, lang
         records.append(rec)
     if truncated:
@@ -255,12 +320,14 @@ _WARC_SCHEMA = StructType([
     StructField("warc_ts_raw", StringType(), True),
     StructField("html", BinaryType(), True),
     StructField("lang", StringType(), True),
+    StructField("charset", StringType(), True),
     StructField("status", StringType(), True),
     StructField("rec_index", IntegerType(), True),
 ])
 
 
-def _records_from_files(files: DataFrame, budget: int) -> DataFrame:
+def _records_from_files(files: DataFrame, budget: int,
+                        transcode: bool = True) -> DataFrame:
     """(path, content) frame -> record rows; shared by the batch and
     streaming readers (the stage is stateless, so the plan shape is
     identical under readStream)."""
@@ -274,8 +341,10 @@ def _records_from_files(files: DataFrame, budget: int) -> DataFrame:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 rows = [
                     (fpath, rec["rec_type"], rec["url"], rec["ts"],
-                     rec["html"], rec["lang"], rec["status"], i)
-                    for i, rec in enumerate(parse_warc_bytes(content, budget))
+                     rec["html"], rec["lang"], rec["charset"],
+                     rec["status"], i)
+                    for i, rec in enumerate(
+                        parse_warc_bytes(content, budget, transcode))
                 ]
                 yield pd.DataFrame(
                     rows, columns=[f.name for f in _WARC_SCHEMA.fields])
@@ -291,7 +360,8 @@ def _records_from_files(files: DataFrame, budget: int) -> DataFrame:
 
 
 def read_warc(spark: SparkSession, path: str,
-              budget: int = DEFAULT_BUDGET) -> DataFrame:
+              budget: int = DEFAULT_BUDGET,
+              transcode: bool = True) -> DataFrame:
     """Distributed WARC scan: every record of every file under
     ``path`` (glob ok) as rows ``(warc_file, rec_type, url, warc_ts,
     html, lang, status, rec_index)``.
@@ -314,11 +384,12 @@ def read_warc(spark: SparkSession, path: str,
     scripts/probe_warc.py does) when benchmarking on small files."""
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
-    return _records_from_files(files, budget)
+    return _records_from_files(files, budget, transcode)
 
 
 def stream_read_warc(spark: SparkSession, path: str,
-                     budget: int = DEFAULT_BUDGET) -> DataFrame:
+                     budget: int = DEFAULT_BUDGET,
+                     transcode: bool = True) -> DataFrame:
     """Streaming WARC ingest: new ``.warc.gz`` files appearing under
     ``path`` become record rows as they arrive — the crawl-archive
     twin of the repo's other file-stream sources.  The binaryFile
@@ -337,7 +408,7 @@ def stream_read_warc(spark: SparkSession, path: str,
              .option("pathGlobFilter", "*.warc*")
              .load(path)
              .select("path", "content"))
-    return _records_from_files(files, budget)
+    return _records_from_files(files, budget, transcode)
 
 
 def pages_from_warc(spark: SparkSession, path: str,
@@ -400,7 +471,8 @@ def encode_warc_bytes(records: list[dict], gzip_members: bool = False) -> bytes:
                 body, te = payload, b""
             lang = r.get("lang")
             ll = (b"Content-Language: %s\r\n" % lang.encode()) if lang else b""
-            content = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            ct = r.get("content_type", "text/html").encode()
+            content = (b"HTTP/1.1 200 OK\r\nContent-Type: " + ct + b"\r\n"
                        + te + ce + ll + b"\r\n" + bytes(body))
         else:
             content = payload

@@ -73,7 +73,8 @@ def test_warc_dead_letters_resync():
     # header block never terminated
     out = parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: response\r\n")
     assert out == [dict(rec_type=None, url=None, ts=None, html=None,
-                        lang=None, status="header_unterminated")]
+                        lang=None, charset=None,
+                        status="header_unterminated")]
 
     # HTTP-level defects: named per-record, record stream continues
     resp = _recs()[2]
@@ -159,6 +160,66 @@ def test_warc_never_raises_on_garbage():
     for buf in corpora:
         for rec in parse_warc_bytes(buf, budget=1 << 22):
             assert rec["status"] is not None  # parsed, never raised
+
+
+def test_warc_charset_transcoding():
+    """CCNet-style charset recovery: declared non-UTF-8 pages re-encode
+    to UTF-8 with the source charset recorded; undeclared or lying
+    declarations keep raw bytes (visible quarantine, never mojibake)."""
+    jp = "<html><body>日本語テキスト</body></html>"
+
+    def one(payload, content_type="text/html", transcode=True):
+        buf = encode_warc_bytes([{"rec_type": "response",
+                                  "url": "http://cs.example/",
+                                  "content_type": content_type,
+                                  "payload": payload}])
+        return parse_warc_bytes(buf, transcode=transcode)[0]
+
+    # meta-tag declaration
+    sjis = ('<html><head><meta charset="shift_jis"></head>'
+            "<body>日本語テキスト</body></html>").encode("shift_jis")
+    r = one(sjis)
+    assert r["status"] == "ok" and r["charset"] == "shift_jis"
+    assert "日本語テキスト".encode() in r["html"]
+
+    # Content-Type parameter declaration
+    r = one(jp.encode("euc_jp"), "text/html; charset=EUC-JP")
+    assert r["charset"] == "euc_jp"
+    assert r["html"] == jp.encode()
+
+    # BOM declaration (no header, no meta)
+    import codecs
+    r = one(codecs.BOM_UTF16_LE + jp.encode("utf-16-le"))
+    assert r["charset"] == "utf-16" and r["html"] == jp.encode()
+
+    # valid UTF-8 passes through untouched even when mislabeled
+    r = one(jp.encode(), "text/html; charset=shift_jis")
+    assert r["charset"] is None and r["html"] == jp.encode()
+
+    # unknown charset name: raw bytes kept, no guessing
+    raw = jp.encode("euc_jp")
+    r = one(raw, "text/html; charset=x-martian")
+    assert r["charset"] is None and r["html"] == raw
+
+    # archival mode: bytes preserved exactly
+    r = one(sjis, transcode=False)
+    assert r["charset"] is None and r["html"] == sjis
+
+
+def test_pages_from_warc_transcoded_text(spark, tmp_path):
+    """A declared Shift_JIS page flows through pages_from_warc with its
+    body text recovered (the r04 behavior was NULL-text quarantine for
+    EVERY non-UTF-8 page; declared ones now survive)."""
+    d = tmp_path / "crawl_sjis"
+    d.mkdir()
+    sjis = ('<html><head><meta charset="Shift-JIS"></head>'
+            "<body>日本語</body></html>").encode("shift_jis")
+    (d / "f.warc.gz").write_bytes(encode_warc_bytes([
+        {"rec_type": "response", "url": "http://cs.example/jp",
+         "ts": "2024-01-02T03:04:05Z", "payload": sjis},
+    ], gzip_members=True))
+    row = pages_from_warc(spark, str(d)).collect()[0]
+    assert row.text == "日本語"
 
 
 def test_read_warc_spark(spark, tmp_path):
