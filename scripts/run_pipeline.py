@@ -30,7 +30,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--par", help="par file path (omit to use the fixture grid)")
     ap.add_argument("--format", default="SemiDynaEXE")
-    ap.add_argument("--input", required=True, help="sf dir or Iceberg table")
+    ap.add_argument("--input", help="sf dir or Iceberg table")
+    ap.add_argument("--warc", help="directory of .warc(.gz) crawl files "
+                    "to ingest instead of the page table")
     ap.add_argument("--output", required=True)
     ap.add_argument("--n-groups", type=int, default=64)
     ap.add_argument("--quadkey-level", type=int, default=15)
@@ -52,7 +54,15 @@ def main(argv=None):
         grid = MeshGrid.from_dict(SEMIDYNA, args.format)
     eng = Engine(spark, grid)
 
-    pages = pages_src.synth_pages(spark, args.input)
+    if args.warc:
+        # raw crawl archives: same downstream chain, different source
+        from jgdtrans_rs_spark.sources.warc import pages_from_warc
+
+        pages = pages_from_warc(spark, args.warc)
+    elif args.input:
+        pages = pages_src.synth_pages(spark, args.input)
+    else:
+        ap.error("one of --input / --warc is required")
     extracted = pages_src.extract_geotags(pages)
     valid, quarantine = eng.validate(extracted, "lat", "lon")
     transformed = eng.transform_and_tile(valid, "lat", "lon", None,

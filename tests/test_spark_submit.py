@@ -23,7 +23,7 @@ PAR_TEXT = (
 )
 
 
-def _submit(zip_path, out_dir, par_path):
+def _submit(zip_path, out_dir, par_path, extra=()):
     env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
                PYSPARK_DRIVER_PYTHON=sys.executable)
     # drop any repo-path PYTHONPATH so ONLY the zip provides the
@@ -37,7 +37,8 @@ def _submit(zip_path, out_dir, par_path):
         "--py-files", zip_path,
         os.path.join(ROOT, "scripts", "run_pipeline.py"),
         "--par", par_path, "--format", "SemiDynaEXE",
-        "--input", SF_TINY, "--output", out_dir, "--n-groups", "4",
+        "--output", out_dir, "--n-groups", "4",
+        *(extra or ("--input", SF_TINY)),
     ]
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=420,
                          env=env, cwd="/tmp")
@@ -64,3 +65,20 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     # group (manifests are the commit markers)
     second = _submit(zip_path, out_dir, str(par))
     assert second["groups_written"] == []
+
+    # the same submitted job ingests raw crawl archives via --warc
+    # (the zip must carry sources/warc.py too)
+    from jgdtrans_rs_spark.sources.warc import encode_warc_bytes
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    html = (b'<html><head><meta name="geo.position" '
+            b'content="36.10377479;140.087855041"></head>'
+            b"<body>warc page</body></html>")
+    (crawl / "seg.warc.gz").write_bytes(encode_warc_bytes([
+        {"rec_type": "response", "url": "http://w.example/1",
+         "ts": "2024-01-01T00:00:00Z", "payload": html},
+    ], gzip_members=True))
+    warc_out = str(tmp_path / "warc_out")
+    res = _submit(zip_path, warc_out, str(par),
+                  extra=("--warc", str(crawl)))
+    assert res["rows"] == 1 and res["ok"] == 1
