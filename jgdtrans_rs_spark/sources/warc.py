@@ -31,6 +31,13 @@ engine's input_hint table shape with no codec or parsing library:
   ``pages.extract_geotags``'s Column-space body extraction, so the
   per-row invariant (byte-identical extracted text per url) holds for
   WARC-sourced pages exactly as for table-sourced ones.
+* ``stream_read_warc`` — the streaming twin: newly arriving archive
+  files become record rows under readStream with file-level
+  exactly-once restart semantics (binaryFile source + checkpoint).
+* ``transcode_to_utf8`` — CCNet-style charset recovery: declared
+  Shift_JIS/EUC-JP/cp1252/… pages strictly re-encode to UTF-8 (the
+  ``charset`` column records the source); lying or undeclared
+  encodings keep raw bytes so the quarantine stays visible.
 * ``encode_warc_bytes`` — an independent test encoder (plain or
   per-record-gzip-member), so round-trip tests do not reuse the
   parser's own conventions.
@@ -247,7 +254,11 @@ def parse_warc_bytes(buf: bytes, budget: int = DEFAULT_BUDGET,
     the next ``CRLF CRLF WARC/`` boundary — one bad record must not
     swallow the rest of a 1 GB file.  Never raises on arbitrary bytes.
     """
-    data, truncated = _gunzip_members(bytes(buf), budget)
+    # normalize bytes-like input (Arrow hands numpy/memoryview) without
+    # copying a buffer that is already bytes — at ~1 GB the copy matters
+    if not isinstance(buf, bytes):
+        buf = bytes(buf)
+    data, truncated = _gunzip_members(buf, budget)
     records: list[dict] = []
 
     def dead(status: str) -> dict:
@@ -332,6 +343,8 @@ def _records_from_files(files: DataFrame, budget: int,
     streaming readers (the stage is stateless, so the plan shape is
     identical under readStream)."""
 
+    cols = [f.name for f in _WARC_SCHEMA.fields]
+
     def gen(batches):
         for pdf in batches:
             # one yielded frame per FILE, not per Arrow batch: a batch
@@ -346,8 +359,7 @@ def _records_from_files(files: DataFrame, budget: int,
                     for i, rec in enumerate(
                         parse_warc_bytes(content, budget, transcode))
                 ]
-                yield pd.DataFrame(
-                    rows, columns=[f.name for f in _WARC_SCHEMA.fields])
+                yield pd.DataFrame(rows, columns=cols)
 
     return (
         files.mapInPandas(gen, _WARC_SCHEMA)

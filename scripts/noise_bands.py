@@ -46,7 +46,11 @@ def table() -> str:
 if __name__ == "__main__":
     p = ROOT / "BENCH/BASELINE.md"
     text = p.read_text()
-    new = re.sub(r"## Per-query noise bands.*\Z", table(), text, flags=re.S)
+    # replace ONLY the noise-band section: stop at the next '## '
+    # heading so sections appended after the table (e.g. the same-host
+    # A/B regression control) survive regeneration
+    new = re.sub(r"## Per-query noise bands.*?(?=\n## |\Z)",
+                 table(), text, flags=re.S)
     if "## Per-query noise bands" not in text:
         new = text.rstrip() + "\n\n" + table()
     p.write_text(new)
