@@ -144,6 +144,48 @@ def test_warc_gzip_budget_and_truncation():
     assert any(r["status"] == "gzip_truncated_or_over_budget" for r in out)
 
 
+def test_warc_roundtrip_property():
+    """Hypothesis: arbitrary record stacks (types, urls, payload bytes,
+    chunked/plain, per-record gzip, declared charsets) survive
+    encode -> parse with identity on every ok record."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rec_strategy = st.fixed_dictionaries({
+        "rec_type": st.sampled_from(["response", "request", "metadata"]),
+        "url": st.from_regex(r"http://[a-z]{1,8}\.example/[a-z0-9]{0,12}",
+                             fullmatch=True),
+        "ts": st.just("2024-01-02T03:04:05Z"),
+        # adversarial payloads included: record-boundary and HTTP
+        # magic INSIDE a body must not desync the walk (Content-Length
+        # framing, not sentinel scanning)
+        "payload": st.one_of(
+            st.binary(max_size=200),
+            st.sampled_from([b"\r\n\r\nWARC/1.0\r\n\r\n",
+                             b"HTTP/1.1 200 OK\r\n\r\n\x00",
+                             b"Content-Length: 99\r\n\r\n"])),
+        "chunked": st.booleans(),
+    })
+
+    @settings(max_examples=60, deadline=None)
+    @given(recs=st.lists(rec_strategy, min_size=1, max_size=6),
+           gz=st.booleans())
+    def run(recs, gz):
+        out = parse_warc_bytes(
+            encode_warc_bytes(recs, gzip_members=gz), transcode=False)
+        assert len(out) == len(recs)
+        for want, got in zip(recs, out):
+            assert got["status"] == "ok"
+            assert got["rec_type"] == want["rec_type"]
+            assert got["url"] == want["url"]
+            if want["rec_type"] == "response":
+                assert got["html"] == want["payload"]
+            else:
+                assert got["html"] is None
+
+    run()
+
+
 def test_warc_never_raises_on_garbage():
     rng = random.Random(20240818)
     base = encode_warc_bytes(_recs())
