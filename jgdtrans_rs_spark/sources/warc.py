@@ -161,6 +161,10 @@ def _declared_charset(content_type, body: bytes):
             return m.group(1).decode("ascii", "replace")
     if body[:3] == codecs.BOM_UTF8:
         return "utf-8-sig"
+    # UTF-32 first: its LE BOM (ff fe 00 00) STARTS with the UTF-16 LE
+    # BOM, so the 2-byte check would mis-route it
+    if body[:4] in (codecs.BOM_UTF32_LE, codecs.BOM_UTF32_BE):
+        return "utf-32"
     if body[:2] in (codecs.BOM_UTF16_LE, codecs.BOM_UTF16_BE):
         return "utf-16"
     m = _META_CHARSET.search(body[:1024])
@@ -169,30 +173,50 @@ def _declared_charset(content_type, body: bytes):
     return None
 
 
+# a CORRECT decode of real web text never yields C0/C1 control
+# characters (beyond tab/newline), NULs, or replacement chars; a
+# wrong-but-total codec (latin-1 over Shift_JIS bytes, utf-16 over
+# binary) almost always does — the classic mislabel leaves 0x80-0x9f
+# C1 codepoints.  Rejecting such decodes keeps the raw bytes instead
+# of committing mojibake to the corpus.
+_SUSPECT_DECODE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x80-\x9f�]")
+
+
 def transcode_to_utf8(body: bytes, charset):
     """(utf8_bytes, source_charset|None) — the CCNet-style charset
     recovery step: a page that is already valid UTF-8 passes through
     untouched (the fast path — one validation scan); otherwise the
     DECLARED charset is tried strictly via stdlib codecs (shift_jis,
-    euc_jp, cp1252, gb2312, big5, utf-16, …).  An unknown name or a
-    body that does not strictly decode keeps its raw bytes with
-    charset None — downstream the NULL-text quarantine stays visible,
-    and nothing is ever silently mojibake'd (no errors='replace')."""
+    euc_jp, cp1252, gb2312, big5, utf-16, …).  An unknown name, a body
+    that does not strictly decode, or a decode showing mojibake
+    symptoms (control/replacement codepoints — the signature of a
+    lying-but-total codec like latin-1 over Shift_JIS bytes) keeps the
+    raw bytes with charset None — downstream the NULL-text quarantine
+    stays visible.  Every conversion is attributed in the ``charset``
+    column, never silent."""
+    if not charset:
+        # undeclared (the common case): raw bytes pass through either
+        # way, so skip the UTF-8 validation scan entirely — no point
+        # paying a full-body probe per page in the ingest hot path
+        return body, None
     try:
         body.decode("utf-8")
         return body, None
     except (UnicodeDecodeError, ValueError):
         pass
-    if not charset:
-        return body, None
     try:
         name = codecs.lookup(charset).name
         if name in ("utf-8", "ascii"):
             return body, None  # declared utf-8 but invalid: keep raw
         dec = body.decode(name)
+        if _SUSPECT_DECODE.search(dec):
+            return body, None
+        # encode INSIDE the try: a codec that strictly decodes to lone
+        # surrogates would otherwise raise UnicodeEncodeError out of
+        # the never-raises parser
+        return dec.encode("utf-8"), name
     except (LookupError, UnicodeDecodeError, ValueError):
         return body, None
-    return dec.encode("utf-8"), name
 
 
 def _http_payload(content: bytes, budget: int = DEFAULT_BUDGET):
@@ -415,16 +439,23 @@ def stream_read_warc(spark: SparkSession, path: str,
     # streaming sources require an explicit schema; binaryFile's is fixed
     bf_schema = ("path string, modificationTime timestamp, "
                  "length long, content binary")
+    # no pathGlobFilter: the batch reader ingests every file under
+    # ``path`` (non-WARC files surface as bad_record_magic dead
+    # letters), and the streaming twin must be row-identical.  As with
+    # every Spark file stream, writers must land files ATOMICALLY
+    # (write elsewhere + rename) — a glob that admitted in-progress
+    # names like *.warc.gz.tmp would mark the partial file processed
+    # forever under the source's file-level exactly-once tracking.
     files = (spark.readStream.format("binaryFile")
              .schema(bf_schema)
-             .option("pathGlobFilter", "*.warc*")
              .load(path)
              .select("path", "content"))
     return _records_from_files(files, budget, transcode)
 
 
 def pages_from_warc(spark: SparkSession, path: str,
-                    budget: int = DEFAULT_BUDGET) -> DataFrame:
+                    budget: int = DEFAULT_BUDGET,
+                    transcode: bool = True) -> DataFrame:
     """The input_hint table ``(url, warc_ts, html, text, lang)`` from
     raw WARC files: ok HTTP-response records only (the audit trail —
     dead letters, request/metadata records — stays available via
@@ -434,7 +465,7 @@ def pages_from_warc(spark: SparkSession, path: str,
     byte-identical-text-per-url invariant through one code path."""
     from . import pages as _pages
 
-    recs = read_warc(spark, path, budget)
+    recs = read_warc(spark, path, budget, transcode)
     ok = recs.where((F.col("status") == "ok")
                     & (F.col("rec_type") == "response")
                     & F.col("html").isNotNull())

@@ -30,9 +30,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--par", help="par file path (omit to use the fixture grid)")
     ap.add_argument("--format", default="SemiDynaEXE")
-    ap.add_argument("--input", help="sf dir or Iceberg table")
-    ap.add_argument("--warc", help="directory of .warc(.gz) crawl files "
-                    "to ingest instead of the page table")
+    src_group = ap.add_mutually_exclusive_group(required=True)
+    src_group.add_argument("--input", help="sf dir or Iceberg table")
+    src_group.add_argument("--warc", help="directory of .warc(.gz) crawl "
+                           "files to ingest instead of the page table")
     ap.add_argument("--output", required=True)
     ap.add_argument("--n-groups", type=int, default=64)
     ap.add_argument("--quadkey-level", type=int, default=15)

@@ -243,6 +243,21 @@ def test_warc_charset_transcoding():
     r = one(raw, "text/html; charset=x-martian")
     assert r["charset"] is None and r["html"] == raw
 
+    # LYING total codec (the classic real-crawl misconfiguration):
+    # latin-1 decodes ANY bytes, but Shift_JIS bytes land in the C1
+    # range — the mojibake filter must keep the raw bytes
+    r = one(jp.encode("shift_jis"), "text/html; charset=iso-8859-1")
+    assert r["charset"] is None and r["html"] == jp.encode("shift_jis")
+
+    # a codec that strictly decodes to a lone surrogate must not raise
+    # out of the parser (UnicodeEncodeError at re-encode time)
+    r = one(b'<meta charset="unicode_escape">\xff \\ud800')
+    assert r["status"] == "ok" and r["charset"] is None
+
+    # UTF-32 BOM routes to utf-32, not mis-sniffed as utf-16
+    r = one(jp.encode("utf-32"))  # utf-32 prefixes its own BOM
+    assert r["charset"] == "utf-32" and r["html"] == jp.encode()
+
     # archival mode: bytes preserved exactly
     r = one(sjis, transcode=False)
     assert r["charset"] is None and r["html"] == sjis
@@ -367,6 +382,9 @@ def test_stream_read_warc_batch_parity_and_restart(spark, tmp_path):
     d.mkdir()
     (d / "seg-a.warc.gz").write_bytes(
         encode_warc_bytes(_recs(), gzip_members=True))
+    # a stray non-WARC file: BOTH readers must surface it as the same
+    # dead letter (the streaming twin must not silently glob it away)
+    (d / "manifest.json").write_bytes(b'{"shard": 0}')
 
     out_dir = str(tmp_path / "stream_out")
     ckpt = str(tmp_path / "stream_ckpt")
@@ -389,7 +407,7 @@ def test_stream_read_warc_batch_parity_and_restart(spark, tmp_path):
         return sorted(
             (tuple(str(v) for v in r) for r in df.select(*cols).collect()))
 
-    assert rows(got) == rows(batch) and got.count() == 5
+    assert rows(got) == rows(batch) and got.count() == 6  # 5 + dead letter
 
     # a new shard arrives; restart must ingest ONLY it
     (d / "seg-b.warc.gz").write_bytes(encode_warc_bytes([
@@ -397,7 +415,7 @@ def test_stream_read_warc_batch_parity_and_restart(spark, tmp_path):
          "ts": "2024-01-03T00:00:00Z", "payload": b"<body>n</body>"},
     ], gzip_members=True))
     assert run_once() == 1
-    assert spark.read.parquet(out_dir).count() == 6
+    assert spark.read.parquet(out_dir).count() == 7
     # idle restart adds nothing
     assert run_once() == 0
 
