@@ -38,6 +38,8 @@ engine's input_hint table shape with no codec or parsing library:
   Shift_JIS/EUC-JP/cp1252/… pages strictly re-encode to UTF-8 (the
   ``charset`` column records the source); lying or undeclared
   encodings keep raw bytes so the quarantine stays visible.
+* ``cdx_index`` — the crawl's companion index (SURT urlkey + sha1
+  digest + positional location) in relational, Column-only form.
 * ``encode_warc_bytes`` — an independent test encoder (plain or
   per-record-gzip-member), so round-trip tests do not reuse the
   parser's own conventions.
@@ -62,7 +64,8 @@ from pyspark.sql.types import (BinaryType, IntegerType, StringType,
 
 __all__ = [
     "parse_warc_bytes", "read_warc", "stream_read_warc",
-    "pages_from_warc", "encode_warc_bytes", "transcode_to_utf8",
+    "pages_from_warc", "cdx_index", "encode_warc_bytes",
+    "transcode_to_utf8",
 ]
 
 _CRLF2 = b"\r\n\r\n"
@@ -478,6 +481,47 @@ def pages_from_warc(spark: SparkSession, path: str,
         "url", "warc_ts", "html",
         F.regexp_extract(doc, _pages.BODY_RE, 1).alias("text"),
         "lang",
+    )
+
+
+def cdx_index(records: DataFrame) -> DataFrame:
+    """CDX-style capture index from a ``read_warc`` frame — the
+    companion artifact Common Crawl publishes next to every crawl
+    (urlkey + timestamp + digest + location), here in relational form:
+
+    ``(urlkey, cdx_ts, url, digest, warc_file, rec_index)``
+
+    * ``urlkey`` is SURT-lite: host labels reversed and comma-joined,
+      then ``)`` + path — so every capture of one registrable domain
+      sorts adjacently (``com,example)/a``), the property the format
+      exists for (range scans / prefix pruning over a sorted index).
+    * ``digest`` is sha1 over the response bytes (hex; Common Crawl
+      uses base32 of the same sha1) — the exact-dedup key.
+    * ``warc_file`` + ``rec_index`` locate the record, the engine's
+      positional addressing (a parquet index bucketed/sorted by
+      urlkey replaces CC's flat-file binary search at scale).
+
+    Pure Column space: stays in whole-stage codegen, no shuffle — the
+    caller chooses the write layout (e.g. ``write_bucketed_table`` on
+    urlkey for shuffle-free joins against later crawls)."""
+    ok = records.where((F.col("status") == "ok")
+                       & (F.col("rec_type") == "response")
+                       & F.col("url").isNotNull())
+    host = F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    # strip userinfo/port, lowercase, reverse the dot-separated labels
+    host = F.lower(F.regexp_replace(F.regexp_replace(
+        host, r"^.*@", ""), r":\d+$", ""))
+    path = F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    urlkey = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(path == "", "/").otherwise(path))
+    return ok.select(
+        urlkey.alias("urlkey"),
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("cdx_ts"),
+        "url",
+        F.sha1(F.coalesce(F.col("html"), F.lit(b""))).alias("digest"),
+        "warc_file", "rec_index",
     )
 
 

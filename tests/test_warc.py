@@ -420,6 +420,48 @@ def test_stream_read_warc_batch_parity_and_restart(spark, tmp_path):
     assert run_once() == 0
 
 
+def test_cdx_index(spark, tmp_path):
+    """CDX derivation: SURT urlkey sorts a domain's captures together,
+    the sha1 digest keys exact dedup across captures, and (warc_file,
+    rec_index) locate every record."""
+    import hashlib
+
+    from jgdtrans_rs_spark.sources.warc import cdx_index
+
+    body = b"<html><body>same page</body></html>"
+    d = tmp_path / "crawl_cdx"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(encode_warc_bytes([
+        {"rec_type": "response", "url": "http://www.example.com/a?q=1",
+         "ts": "2024-05-01T00:00:00Z", "payload": body},
+        {"rec_type": "response",
+         "url": "https://user:pw@sub.example.com:8443/b",
+         "ts": "2024-05-01T00:00:01Z", "payload": b"<body>other</body>"},
+        {"rec_type": "request", "url": "http://www.example.com/a?q=1",
+         "ts": "2024-05-01T00:00:00Z", "payload": b"GET"},  # excluded
+    ], gzip_members=True))
+    (d / "b.warc.gz").write_bytes(encode_warc_bytes([
+        # same content re-crawled later under the bare host
+        {"rec_type": "response", "url": "http://example.com/",
+         "ts": "2024-06-02T10:20:30Z", "payload": body},
+    ], gzip_members=True))
+
+    idx = cdx_index(read_warc(spark, str(d))).orderBy("urlkey", "cdx_ts")
+    rows = idx.collect()
+    # request records and dead letters never index
+    assert [r.urlkey for r in rows] == [
+        "com,example)/", "com,example,sub)/b", "com,example,www)/a?q=1"]
+    assert rows[0].cdx_ts == "20240602102030"
+    # digest = sha1(response bytes): the two captures of `body` agree,
+    # pinned against hashlib (not Spark's own sha1 applied twice)
+    want = hashlib.sha1(body).hexdigest()
+    assert rows[0].digest == want == rows[2].digest
+    assert rows[1].digest != want
+    # positional addressing survives into the index
+    assert rows[2].warc_file.endswith("a.warc.gz")
+    assert rows[2].rec_index == 0 and rows[1].rec_index == 1
+
+
 def test_warc_crawl_near_dup_detection(spark, tmp_path):
     """Crawl -> training-data side: pages_from_warc feeds the dedup
     operators through a plain view, and a page re-crawled under a new
