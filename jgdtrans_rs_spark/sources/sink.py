@@ -43,8 +43,13 @@ DATA_DIR = "data"
 def bucket_group_col(mesh_col: str = "meshcode", n_groups: int = 64):
     """Stable bucket-group id from the tile column (mod-partitioning of
     meshcodes; -1 tiles / errors land in group 0..n-1 too, nothing is
-    dropped)."""
-    return F.pmod(F.col(mesh_col), F.lit(n_groups)).cast("int")
+    dropped).  NULL meshcodes (possible when the column came from a
+    left join or a nullable source rather than assign_tiles) map to
+    the -1 error bucket — pmod(NULL) is NULL, and a NULL group would
+    silently fall out of the pending-groups filter, vanishing from
+    both the data and the manifest accounting."""
+    code = F.coalesce(F.col(mesh_col), F.lit(-1))
+    return F.pmod(code, F.lit(n_groups)).cast("int")
 
 
 def _hadoop(spark: SparkSession, path_str: str):
@@ -118,7 +123,10 @@ def hot_codes_from_manifests(out_dir: str, spark: SparkSession | None = None,
     ``spatial.skew_topk`` for a full pass)."""
     hot: set[int] = set()
     suspect: list[int] = []
+    rows_seen = tiles_seen = 0
     for m in read_manifests(out_dir, spark):
+        rows_seen += int(m.get("n_rows", 0))
+        tiles_seen += len(m.get("top_tiles", []))
         # manifests written since round 5 never record the -1 sentinel
         # (excluded at write time); the code != -1 guards keep older
         # manifests honest — the sentinel must neither enter the hot
@@ -138,6 +146,18 @@ def hot_codes_from_manifests(out_dir: str, spark: SparkSession | None = None,
             f"threshold={threshold}; hotter-than-threshold tiles may be "
             f"missing — raise top_tiles at write time or run a full "
             f"skew_topk pass", stacklevel=2)
+    if rows_seen > 0 and tiles_seen == 0:
+        # the sink ran with top_tiles=0 (stats disabled) or no tile
+        # column: an empty hot set here means NOTHING, not "no skew" —
+        # say so instead of letting the caller join unsalted on faith
+        import warnings
+
+        warnings.warn(
+            f"hot_codes_from_manifests({out_dir}): manifests record "
+            f"{rows_seen} rows but NO tile statistics (written with "
+            f"top_tiles=0?); the empty hot set carries no skew "
+            f"information — re-run the sink with top_tiles>0 or use "
+            f"spatial.skew_topk", stacklevel=2)
     return sorted(hot)
 
 
@@ -271,7 +291,12 @@ def run_checkpointed(df: DataFrame, out_dir: str, mesh_col: str = "meshcode",
     by_group: dict[int, dict[int, int]] = {g: {} for g in pending}
     for r in counts:
         g = int(r["bucket_group"])
-        s = int(r[status_col]) if has_status else 0
+        # a NULL status (nullable caller column) counts under -1
+        # instead of raising int(None) AFTER the data write committed
+        # — that failure mode wrote the data but no manifests, forcing
+        # the next run to redo every group
+        s = (-1 if r[status_col] is None else int(r[status_col])) \
+            if has_status else 0
         by_group[g][s] = by_group[g].get(s, 0) + int(r["count"])
 
     written = []
@@ -283,7 +308,11 @@ def run_checkpointed(df: DataFrame, out_dir: str, mesh_col: str = "meshcode",
             "bucket_group": g,
             "n_rows": rows,
             "n_ok": by_status.get(0, 0) if has_status else rows,
-            "status_counts": by_status if has_status else {},
+            # string keys from the start: json round-trips stringify
+            # dict keys, so a live manifest and a read_manifests() one
+            # must agree on key type to compare equal
+            "status_counts": ({str(k): v for k, v in by_status.items()}
+                              if has_status else {}),
             "top_tiles": tiles_by_group.get(g, []),
             "n_tiles": n_tiles_by_group.get(g, 0),
             "wall_ts": wall_ts,

@@ -52,6 +52,29 @@ def stream_pages_transform(engine: Engine, pages_stream: DataFrame,
     return engine.forward(pages_stream, lat, lon, None)
 
 
+def _event_time(ts_col: str):
+    """Event-time column for the watermark-stateful streams: a NULL
+    timestamp (warc.read_warc NULLs unparseable WARC-Dates) would put
+    the row in a NULL window group the watermark can never close, so
+    exactly the records most likely to be dead letters would vanish
+    from the output.  Arrival time is the honest proxy when the true
+    event time is unknown — the row keeps flowing and its window
+    closes normally."""
+    return F.coalesce(F.col(ts_col).cast("timestamp"),
+                      F.current_timestamp())
+
+
+def _surrogate_key(prefix: str, cols) -> "F.Column":
+    """NULL-safe, delimiter-safe per-row key for dedup dead letters.
+    concat_ws SKIPS null arguments (two rows differing only in a NULL
+    field would collide) and a ':' separator is injectable from url
+    text, so every part is null-marked and joined on unit-separator
+    \\x1f, which no legitimate url/timestamp contains."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+             for c in cols]
+    return F.concat_ws("\x1f", F.lit(prefix), *parts)
+
+
 def stream_transform_tile_counts(engine: Engine, pages_stream: DataFrame,
                                  lat: str = "lat", lon: str = "lon",
                                  ts_col: str = "warc_ts",
@@ -74,7 +97,7 @@ def stream_transform_tile_counts(engine: Engine, pages_stream: DataFrame,
     bucket reports ``n_failed`` — a coverage monitor that silently
     discarded bad rows would undercount exactly when extraction
     degrades."""
-    src = pages_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    src = pages_stream.withColumn(ts_col, _event_time(ts_col))
     tiled = engine.assign_tiles(engine.forward(src, lat, lon, None),
                                 lat="out_lat", lon="out_lon")
     return (
@@ -90,16 +113,24 @@ def stream_transform_tile_counts(engine: Engine, pages_stream: DataFrame,
 
 def stream_dedup_exact(pages_stream: DataFrame, text_col: str = "text",
                        ts_col: str = "warc_ts",
-                       watermark: str = "24 hours") -> DataFrame:
+                       watermark: str = "24 hours",
+                       id_cols: tuple = ("url",)) -> DataFrame:
     """Streaming dedup-on-arrival: the streaming twin of
     plans/webops.dedup_exact_sql.  ``dropDuplicatesWithinWatermark`` on
     the content digest keeps state only for the watermark horizon —
     bounded state at corpus scale (a plain dropDuplicates would grow
     state forever on an unbounded crawl)."""
+    # NULL text (extraction dead letters) would md5 to NULL, and
+    # dropDuplicates* treats NULL as ONE grouping value — every dead
+    # letter after the first would be swallowed (the same NULL-key
+    # hazard stream_dedup_media documents); the surrogate keeps each
+    # distinct dead-letter row alive
+    key = F.coalesce(F.md5(F.col(text_col)),
+                     _surrogate_key("dead", [*id_cols, ts_col]))
     return (
         pages_stream
-        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-        .withColumn("digest", F.md5(F.col(text_col)))
+        .withColumn(ts_col, _event_time(ts_col))
+        .withColumn("digest", key)
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["digest"])
     )
@@ -161,16 +192,13 @@ def stream_dedup_media(pages_stream: DataFrame, col: str = "html",
 
     return (
         fng.image_fingerprints(
-            pages_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")),
-            col)
+            pages_stream.withColumn(ts_col, _event_time(ts_col)), col)
         .select("*", F.col("image_fp.phash").alias("phash"))
         .withColumn(
             "_dedup_key",
             F.coalesce(
                 F.col("phash").cast("string"),
-                F.concat_ws(":", F.lit("dead"),
-                            *[F.col(c) for c in id_cols],
-                            F.col(ts_col).cast("string"))))
+                _surrogate_key("dead", [*id_cols, ts_col])))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_dedup_key"])
         .drop("_dedup_key")

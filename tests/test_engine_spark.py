@@ -753,3 +753,75 @@ def test_sink_tile_stats_exclude_error_sentinel(spark, tmp_path):
         warnings.simplefilter("error")
         hot = sink.hot_codes_from_manifests(out_dir, spark, threshold=5)
     assert hot == [54400000]
+
+
+def test_sink_null_meshcode_and_status_accounting(spark, tmp_path):
+    """NULL-tolerant sink accounting (round-5 review): NULL meshcodes
+    (a left-joined or nullable tile column) must land in a real bucket
+    group — pmod(NULL) is NULL and previously fell out of the pending
+    filter, vanishing from data AND manifests — and a NULL status must
+    count under the -1 key instead of raising int(None) after the
+    data write already committed."""
+    df = spark.createDataFrame(
+        [(1, 54400000, 0), (2, 54400001, 0),
+         (3, None, 1),                      # NULL meshcode
+         (4, 54400002, None)],              # NULL status
+        "pkey long, meshcode long, status int")
+    out_dir = str(tmp_path / "null_sink")
+    ms = sink.run_checkpointed(df, out_dir, n_groups=2)
+    assert sum(m["n_rows"] for m in ms) == 4       # nothing dropped
+    assert sink.read_resumed(spark, out_dir).count() == 4
+    merged: dict = {}
+    for m in ms:
+        for k, v in m["status_counts"].items():
+            merged[k] = merged.get(k, 0) + v
+    # string keys, identical live and after a json round-trip
+    assert merged == {"0": 2, "1": 1, "-1": 1}
+    reread: dict = {}
+    for m in sink.read_manifests(out_dir, spark):
+        for k, v in m["status_counts"].items():
+            reread[k] = reread.get(k, 0) + v
+    assert reread == merged
+
+
+def test_hot_codes_warns_when_stats_disabled(spark, tmp_path):
+    """An empty hot set from manifests WITHOUT tile statistics means
+    'unknown', not 'no skew' — it must warn instead of letting the
+    caller join unsalted on faith (round-5 review)."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [(i, 54400000, 0) for i in range(20)],
+        "pkey long, meshcode long, status int")
+    out_dir = str(tmp_path / "nostats_sink")
+    sink.run_checkpointed(df, out_dir, n_groups=1, top_tiles=0)
+    with pytest.warns(UserWarning, match="NO tile statistics"):
+        assert sink.hot_codes_from_manifests(out_dir, spark,
+                                             threshold=5) == []
+
+
+def test_streaming_dedup_exact_dead_letters_survive(spark, tmp_path):
+    """NULL text md5s to NULL and dropDuplicates* groups NULLs as ONE
+    key — without the surrogate, every dead letter after the first
+    was silently swallowed.  NULL warc_ts rows (unparseable WARC-Date)
+    must also flow instead of parking in a never-closing NULL window."""
+    import datetime
+
+    from jgdtrans_rs_spark.streaming.ingest import stream_dedup_exact
+
+    t0 = datetime.datetime(2023, 1, 1)
+    schema = "url string, warc_ts timestamp, text string"
+    rows = [("u1", t0, "alpha"),
+            ("d1", t0, None),            # dead letter 1
+            ("d2", t0, None),            # dead letter 2 — must survive
+            ("d3", None, None),          # dead letter, NULL event time
+            ("u2", t0, "alpha")]         # true duplicate — dropped
+    d = str(tmp_path / "dl_stream")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    src = spark.readStream.schema(schema).parquet(d)
+    q = (stream_dedup_exact(src)
+         .writeStream.format("memory").queryName("dl_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT url FROM dl_dedup").toPandas()
+    assert sorted(out["url"]) == ["d1", "d2", "d3", "u1"]
