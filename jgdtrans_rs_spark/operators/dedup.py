@@ -38,17 +38,25 @@ from ..plans.textsql import SPARK
 # correct either way (Spark recomputes evicted stages).
 _view_ids = itertools.count()
 
-# Stage views registered per live session (applicationId -> [names]):
-# the reclaim route for long-lived sessions (ADVICE r04) — one call
-# unpersists every staged block AND drops its catalog entry, instead
-# of leaving one uniquely-named view per operator call to LRU eviction.
-_stage_views: dict[str, list[str]] = {}
+# Stage views registered PER SESSION (ADVICE r04; the reclaim route
+# for long-lived sessions) — one call unpersists every staged block
+# AND drops its catalog entry, instead of leaving one uniquely-named
+# view per operator call to LRU eviction.  Keyed by the session
+# object, not applicationId: temp views are session-scoped, and two
+# sessions on one SparkContext share an applicationId — a shared key
+# let one session's reclaim pop (and then fail to drop) the OTHER
+# session's views, leaking them permanently (round-5 review).  A
+# WeakKeyDictionary so a garbage-collected session doesn't pin its
+# name list forever.
+import weakref
+
+_stage_views: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _register_stage_view(spark: SparkSession, df, base_name: str) -> str:
     name = f"{base_name}_{next(_view_ids)}"
     df.createOrReplaceTempView(name)
-    _stage_views.setdefault(spark.sparkContext.applicationId, []).append(name)
+    _stage_views.setdefault(spark, []).append(name)
     return name
 
 
@@ -58,7 +66,7 @@ def reclaim_stages(spark: SparkSession) -> int:
     reclaimed.  Safe to call at any time — results built from the
     stages stay correct (Spark recomputes evicted stages); this only
     releases storage-memory blocks and catalog entries."""
-    names = _stage_views.pop(spark.sparkContext.applicationId, [])
+    names = _stage_views.pop(spark, [])
     n = 0
     for name in names:
         try:
@@ -237,6 +245,12 @@ def dedup_components(pairs: DataFrame, nodes: DataFrame,
         # decrease, so least(mid, label[mid]) stays in-component and
         # min-monotone; a label whose node is outside `nodes` (possible
         # only round 1 if pairs mention unknown ids) passes through.
+        # half is materialized first: lut re-projects it, and the
+        # doubling join shuffles the two branches on DIFFERENT keys
+        # (mid vs node), so without the cut each round executed the
+        # neighbour-min pipeline twice (round-5 review — the same
+        # lesson already applied to `pairs` and the per-round labels)
+        half = half.localCheckpoint()
         lut = half.select(F.col("node").alias("_ln"), F.col("mid").alias("_lm"))
         new = (
             half.join(lut, half.mid == lut._ln, "left")

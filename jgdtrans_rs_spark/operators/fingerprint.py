@@ -377,9 +377,13 @@ def _banded(rel: DataFrame, fp_field: str, n_bands: int) -> DataFrame:
 
 
 def _check_band_geometry(tau: int, n_bands: int) -> None:
-    assert 64 % n_bands == 0, "bands must divide 64 bits evenly"
-    assert tau <= n_bands - 1, \
-        "pigeonhole guarantee needs tau <= n_bands - 1"
+    # ValueError, not assert: these are SOUNDNESS preconditions (a
+    # violated pigeonhole bound silently drops true pairs), and
+    # asserts vanish under python -O in production images
+    if 64 % n_bands != 0:
+        raise ValueError("bands must divide 64 bits evenly")
+    if tau > n_bands - 1:
+        raise ValueError("pigeonhole guarantee needs tau <= n_bands - 1")
 
 
 def video_pairs(df: DataFrame, id_col: str = "doc_id",

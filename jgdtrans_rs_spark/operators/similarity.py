@@ -81,6 +81,25 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return webops.lsh_planes(dim, n_planes, seed)
 
 
+def _dense_ok(vecs: "pd.Series", dim: int):
+    """Dense float64 matrix + validity mask, the ONE degenerate-row
+    policy for the embedding operators: NULL, wrong-length, or
+    NON-FINITE vectors get a zero row and ok=False.  The finiteness
+    check matters (round-5 review): Spark compares NaN GREATER than
+    every double, so a NaN that reaches a cosine threshold filter
+    PASSES it (bogus near-dup pairs), a NaN sample poisons every
+    k-means centroid, and NaN sign bits collapse all such vectors
+    into one guaranteed-hot bucket instead of the -1 sentinel."""
+    ok = np.array([v is not None and len(v) == dim for v in vecs], dtype=bool)
+    mat = np.array(
+        [np.asarray(v, dtype=np.float64) if good else np.zeros(dim)
+         for v, good in zip(vecs, ok)])
+    finite = np.isfinite(mat).all(axis=1)
+    ok &= finite
+    mat[~ok] = 0.0
+    return mat, ok
+
+
 def signature_buckets(df: DataFrame, dim: int | None = None,
                       n_planes: int = 12, n_tables: int = 1,
                       vec_col: str = "embedding") -> DataFrame:
@@ -109,10 +128,7 @@ def signature_buckets(df: DataFrame, dim: int | None = None,
         n_rows = len(vecs)
         if n_rows == 0:  # empty BATCH (mat.size==0 also fired on all-degenerate rows)
             return pd.Series([])
-        ok = np.array([v is not None and len(v) == dim for v in vecs], dtype=bool)
-        mat = np.array(
-            [np.asarray(v, dtype=np.float64) if good else np.zeros(dim)
-             for v, good in zip(vecs, ok)])
+        mat, ok = _dense_ok(vecs, dim)
         out = np.zeros((n_rows, len(all_planes)), dtype=np.int64)
         for t, planes in enumerate(all_planes):
             signs = (mat @ planes.T) > 0  # same op order as ever: bit-identical buckets
@@ -219,8 +235,11 @@ def train_ivf_centroids(df: DataFrame, n_lists: int = 8,
     sample.sort(key=lambda r: r[0])
     # degenerate rows (NULL / wrong length) are excluded from training
     # rather than crashing the ragged np.array build
-    mat = np.array([np.asarray(r[1], dtype=np.float64) for r in sample
-                    if r[1] is not None and len(r[1]) == dim])
+    rows = [np.asarray(r[1], dtype=np.float64) for r in sample
+            if r[1] is not None and len(r[1]) == dim]
+    # non-finite samples excluded too: one NaN row makes its centroid
+    # mean NaN, then EVERY training point argmins to that centroid
+    mat = np.array([v for v in rows if np.isfinite(v).all()])
     if len(mat) < n_lists:
         raise ValueError(
             f"IVF training sample has {len(mat)} rows < n_lists={n_lists}; "
@@ -253,15 +272,8 @@ def ann_ivf_topk(df: DataFrame, n_queries: int = 10, k: int = 5,
     centroids = train_ivf_centroids(df, n_lists, dim, vec_col=vec_col, id_col=id_col)
 
     def _mat_ok(vecs: pd.Series):
-        """Dense matrix + validity mask — NULL / wrong-length rows get
-        a zero vector and ok=False (a single ragged row would turn
-        np.array into an object array and crash the whole batch; same
-        sentinel policy as signature_buckets)."""
-        ok = np.array([v is not None and len(v) == dim for v in vecs], dtype=bool)
-        mat = np.array(
-            [np.asarray(v, dtype=np.float64) if good else np.zeros(dim)
-             for v, good in zip(vecs, ok)])
-        return mat, ok
+        # shared degenerate-row policy (NULL / wrong-length / non-finite)
+        return _dense_ok(vecs, dim)
 
     @F.pandas_udf(IntegerType())
     def assign_list(vecs: pd.Series) -> pd.Series:
@@ -376,11 +388,15 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
 
     # exact verify wholly in codegen: the Column cosine (no bit-parity
     # contract here — this is an approximate operator with a recall
-    # gate, not an oracle); NaN >= threshold is false, so zero-norm
-    # pairs drop out.  pairs is already unique on (a, b).
+    # gate, not an oracle).  Zero-norm gives NULL (try_divide) and
+    # drops; a NaN cosine must be guarded EXPLICITLY because Spark
+    # orders NaN above every double, so `NaN >= threshold` is TRUE
+    # (the _rank_topk lesson applied here too).  pairs is already
+    # unique on (a, b).
     from ..functions.columns import cosine_similarity
 
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
     return (
-        pairs.filter(cosine_similarity(F.col("va"), F.col("vb")) >= threshold)
+        pairs.filter(~F.isnan(cos) & (cos >= threshold))
         .select("a", "b")
     )

@@ -287,9 +287,11 @@ def test_hamming_topk_corpus_side_never_shuffles(spark):
 
 
 def test_hamming_pairs_guards():
-    with pytest.raises(AssertionError):
+    # ValueError, not assert: soundness preconditions must survive
+    # python -O (round-5 review)
+    with pytest.raises(ValueError):
         fp.hamming_pairs(None, tau=4, n_bands=4)  # pigeonhole violated
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         fp.hamming_pairs(None, tau=2, n_bands=5)  # 64 % 5 != 0
 
 

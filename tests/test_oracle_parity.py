@@ -794,3 +794,46 @@ def test_heavy_oracles_bigsf(spark, tmp_path_factory):
         print(f"bigsf {name}: rows={len(a)} spark={spark_s:.1f}s", flush=True)
     print("bigsf spark-wall sec:",
           sorted(timings.items(), key=lambda kv: -kv[1]))
+
+
+def test_nan_embeddings_are_degenerate_everywhere(spark):
+    """Non-finite vectors follow the same sentinel policy as NULL /
+    wrong-length ones (round-5 review).  Spark orders NaN ABOVE every
+    double, so before the fix a NaN vector (1) passed the ok-mask and
+    collapsed into the guaranteed-hot all-zero-sign bucket, (2) made
+    `NaN >= threshold` TRUE in embedding_near_dup's verify — pairing
+    the broken vector with arbitrary neighbours and merging unrelated
+    dedup clusters — and (3) one NaN training sample NaN-poisoned
+    every IVF centroid, silently emptying ann_ivf_topk."""
+    import math
+
+    from jgdtrans_rs_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(80)
+    dim = len(emb.first()["embedding"])
+    nan_vec = [float("nan")] + [0.5] * (dim - 1)
+    inf_vec = [float("inf")] + [0.5] * (dim - 1)
+    bad = spark.createDataFrame(
+        [(900_001, nan_vec, 0), (900_002, inf_vec, 0)],
+        "vec_id long, embedding array<float>, label int")
+    mixed = emb.unionByName(bad)
+
+    # (1) sentinel bucket, never a join key
+    got = similarity.signature_buckets(bad, dim=dim).toPandas()
+    assert (got["bucket"] == -1).all()
+
+    # (2) no pair in the near-dup output ever touches the bad ids
+    pairs = similarity.embedding_near_dup(
+        mixed, dim=dim, threshold=0.5).toPandas()
+    bad_ids = {900_001, 900_002}
+    assert not (set(pairs["a"]) | set(pairs["b"])) & bad_ids
+
+    # (3) IVF training ignores the non-finite sample and the corpus
+    # still lands in real lists; top-k stays non-empty and NaN-free
+    cents = similarity.train_ivf_centroids(mixed, n_lists=4, dim=dim,
+                                           sample_rows=100)
+    assert not math.isnan(cents.sum()) and not math.isinf(cents.sum())
+    topk = similarity.ann_ivf_topk(mixed, n_queries=5, k=3, n_lists=4,
+                                   dim=dim).toPandas()
+    assert len(topk) > 0
+    assert not set(topk["neighbor_id"]) & bad_ids
