@@ -53,6 +53,10 @@ def binary_meta(df: DataFrame, col: str = "html") -> DataFrame:
     # ISO-8859-1 maps every byte, so arbitrary binary never throws
     # (ANSI decode errors on invalid UTF-8)
     magic = F.decode(F.substring(b, 1, 6), "ISO-8859-1")
+    # RIFF is a CONTAINER magic shared by WAV, WebP, and AVI: the form
+    # type at bytes 9-12 decides the modality (routing every RIFF to
+    # the audio path silently NULLed the very common WebP payloads)
+    riff_form = F.decode(F.substring(b, 9, 4), "ISO-8859-1")
     modality = (
         F.when(magic.startswith("<html"), "html")
         .when(magic.startswith("\x89PNG"), "image/png")
@@ -62,7 +66,9 @@ def binary_meta(df: DataFrame, col: str = "html") -> DataFrame:
         .when(magic.rlike("^P[2356][ \t\r\n]"), "image/pnm")
         .when(magic.startswith("II*\x00") | magic.startswith("MM\x00*"),
               "image/tiff")
-        .when(magic.startswith("RIFF"), "audio/wav")
+        .when(magic.startswith("RIFF") & (riff_form == "WAVE"), "audio/wav")
+        .when(magic.startswith("RIFF") & (riff_form == "WEBP"), "image/webp")
+        .when(magic.startswith("RIFF") & (riff_form == "AVI "), "video/avi")
         .otherwise("unknown")
     )
     return df.withColumn("n_bytes", F.length(b).cast("long")) \
@@ -136,7 +142,10 @@ def decode_bmp_np(buf: bytes):
     planes = int.from_bytes(buf[26:28], "little")
     bpp = int.from_bytes(buf[28:30], "little")
     comp = int.from_bytes(buf[30:34], "little")
-    if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+    # same 16M-px area guard as PNG/GIF/JPEG/TIFF: oversize rasters
+    # dead-letter instead of ballooning executor memory downstream
+    if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0 \
+            or w * abs(h) > (1 << 24):
         return None
     bottom_up = h > 0
     ah = abs(h)
@@ -199,7 +208,10 @@ def decode_pnm_np(buf: bytes):
     if need:
         return None
     w, h, maxval = vals
-    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+    # area guard matches the other decoders (the ASCII forms are a
+    # genuine amplifier: a small P3 header can declare a huge raster)
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255) \
+            or w * h > (1 << 24):
         return None
     count = w * h * channels
 
@@ -583,7 +595,10 @@ def _decode_gif_inner(buf: bytes, max_frames: int, max_total_bytes: int,
                 idx = deint.ravel()
             rgb = pal[idx].reshape(ih, iw, 3)
             region = canvas[top:top + ih, left:left + iw]
-            before = region.copy()
+            # the pre-draw snapshot is consumed ONLY by disposal 3
+            # (restore-previous); copying per frame regardless doubled
+            # compositing memory traffic on full-canvas animations
+            before = region.copy() if disposal == 3 else None
             if transparent is not None:
                 mask = (idx.reshape(ih, iw) != transparent)[:, :, None]
                 region[...] = np.where(mask, rgb, region)
@@ -807,6 +822,11 @@ def _jpeg_entropy_segments(buf: bytes, pos: int):
         if nxt == 0x00:
             cur.append(0xFF)
             pos += 2
+        elif nxt == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede
+            # a marker — skip them instead of ending the scan (a fill
+            # byte before an RSTn dead-lettered the whole valid image)
+            pos += 1
         elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
             segs.append(bytes(cur))
             cur = bytearray()
@@ -1404,19 +1424,12 @@ def decode_image(df: DataFrame, col: str = "html", out: str = "pixels",
     Formats outside these (webp/...) need an imaging library that is
     not in this container and stay stubbed behind the import guard
     with the identical plumbing."""
-    if format in ("pnm", "ppm", "pgm"):
-        kernel_np = decode_pnm_np
-    elif format == "bmp":
-        kernel_np = decode_bmp_np
-    elif format == "png":
-        kernel_np = decode_png_np
-    elif format in ("jpeg", "jpg"):
-        kernel_np = decode_jpeg_np
-    elif format == "gif":
-        kernel_np = _decode_gif_first_np
-    elif format in ("tiff", "tif"):
-        kernel_np = decode_tiff_np
-    else:
+    # dispatch through the SAME table decode_any routes with (plus
+    # the alias spellings) so a new format registers in one place
+    kernel_np = {**IMAGE_KERNELS, "ppm": decode_pnm_np,
+                 "pgm": decode_pnm_np, "jpg": decode_jpeg_np,
+                 "tif": decode_tiff_np}.get(format)
+    if kernel_np is None:
         try:
             import PIL.Image  # noqa: F401
         except ImportError as exc:

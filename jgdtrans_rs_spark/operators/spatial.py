@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, BooleanType, IntegerType, LongType
+from pyspark.sql.types import ArrayType, BooleanType, LongType
 
 from .. import mesh
 
@@ -182,6 +182,13 @@ def bucketed_spatial_join(points: DataFrame, polygons: Sequence[Polygon], unit: 
     # pandas are ~10x slower to group/serialize at tens of millions of
     # candidate rows); names re-attached JVM-side at the end
     pid_to_idx = {pid: i for i, (pid, _) in enumerate(polygons)}
+    if len(pid_to_idx) != len(polygons):
+        # a duplicate id would silently collapse onto ONE ring here
+        # (last wins) while point_in_polygon bit-masks each entry
+        # separately — the two strategies would return different rows
+        # for identical input; fail loudly instead
+        raise ValueError("bucketed_spatial_join: duplicate poly_id in "
+                         "polygons — ids must be unique")
     cand = spark.createDataFrame(
         [(c, pid_to_idx[p]) for c, p in cover],
         schema=f"{mesh_col} long, poly_idx int",

@@ -825,3 +825,16 @@ def test_streaming_dedup_exact_dead_letters_survive(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT url FROM dl_dedup").toPandas()
     assert sorted(out["url"]) == ["d1", "d2", "d3", "u1"]
+
+
+def test_bucketed_join_rejects_duplicate_poly_ids(spark):
+    """pid_to_idx would silently collapse duplicate poly_ids onto one
+    ring (last wins), diverging from point_in_polygon's per-entry
+    masks on identical input — must fail loudly (round-5 review)."""
+    pts = spark.createDataFrame([(1, 36.1, 140.09, 54401005)],
+                                "pkey long, lat double, lon double, "
+                                "meshcode long")
+    ring = [(36.0, 140.0), (36.2, 140.0), (36.2, 140.2), (36.0, 140.2)]
+    with pytest.raises(ValueError, match="duplicate poly_id"):
+        spatial.bucketed_spatial_join(pts, [("A", ring), ("A", ring)],
+                                      unit=1)

@@ -26,13 +26,43 @@ def test_binary_meta_magic_detection(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"\x89PNG\r\n\x1a\n1234")),
          (2, bytearray(b"RIFF1234WAVE")),
-         (3, bytearray(b"garbage"))],
+         (3, bytearray(b"garbage")),
+         # RIFF is a container: the form type decides the modality —
+         # routing every RIFF to audio silently sank WebP images into
+         # the WAV decoder (round-5 review)
+         (4, bytearray(b"RIFF1234WEBPVP8 ")),
+         (5, bytearray(b"RIFF1234AVI LIST")),
+         (6, bytearray(b"RIFF1234JUNK"))],
         "id long, html binary",
     )
     rows = {r.id: r.modality for r in multimodal.binary_meta(df, "html").collect()}
     assert rows[1] == "image/png"
     assert rows[2] == "audio/wav"
     assert rows[3] == "unknown"
+    assert rows[4] == "image/webp"
+    assert rows[5] == "video/avi"
+    assert rows[6] == "unknown"
+
+
+def test_decode_area_guard_bmp_pnm():
+    """BMP and PNM enforce the same 16M-px area cap as PNG/GIF/JPEG/
+    TIFF (round-5 review): an oversize-but-well-formed raster must
+    dead-letter instead of ballooning executor memory downstream."""
+    w, h = 8192, 2100                    # 17.2M px > 1<<24
+    big_pnm = (f"P5 {w} {h} 255\n".encode() + bytes(w * h))
+    assert multimodal.decode_pnm_np(big_pnm) is None
+    ok_pnm = b"P5 4 2 255\n" + bytes(8)
+    assert multimodal.decode_pnm_np(ok_pnm).shape == (2, 4, 1)
+    # BMP: the area check fires before the payload-length check, so a
+    # header declaring an oversize raster rejects without allocation
+    hdr = bytearray(b"BM" + b"\x00" * 52)
+    hdr[10:14] = (54).to_bytes(4, "little")
+    hdr[14:18] = (40).to_bytes(4, "little")
+    hdr[18:22] = w.to_bytes(4, "little")
+    hdr[22:26] = h.to_bytes(4, "little")
+    hdr[26:28] = (1).to_bytes(2, "little")
+    hdr[28:30] = (24).to_bytes(2, "little")
+    assert multimodal.decode_bmp_np(bytes(hdr)) is None
 
 
 def test_byte_histogram_features(pages):
@@ -1091,6 +1121,16 @@ def test_decode_jpeg_real(spark):
     assert b"\xFF\xD0" in jpg or b"\xFF\xD1" in jpg
     got = multimodal.decode_jpeg_np(jpg)
     want = _jpeg_oracle(blocks, [q_lum], w, h, [(1, 1)])
+    assert got is not None and (got == want).all()
+
+    # T.81 B.1.1.2: fill 0xFF bytes may precede any marker — a fill
+    # byte before the first RSTn must not end the scan (round-5
+    # review: the FF FF pair was treated as end-of-scan and the whole
+    # valid image dead-lettered)
+    first_rst = min(i for i in (jpg.find(b"\xFF\xD0"), jpg.find(b"\xFF\xD1"))
+                    if i >= 0)
+    padded = jpg[:first_rst] + b"\xFF" + jpg[first_rst:]
+    got = multimodal.decode_jpeg_np(padded)
     assert got is not None and (got == want).all()
 
     # rejects: progressive SOF2, 12-bit, 16-bit DQT, truncated entropy,
