@@ -120,10 +120,17 @@ BAND_SIZE = 4
 
 def minhash_exprs(sints: str, d: str) -> list[str]:
     """MIN over shingles of (a*s + b) % p, one per hash function;
-    -1 for shingle-less docs."""
+    -1 for shingle-less docs.
+
+    The shingle is reduced mod p BEFORE the multiply: identical
+    values ((a*s+b) % p == (a*(s%p)+b) % p) but a*s overflows BIGINT
+    for non-ASCII tokens — ascii() returns the full codepoint, a CJK
+    first/last char gives s ~ 4e14 and a*s ~ 1e21 >> 2^63, which
+    ANSI-aborts Spark and errors DuckDB (round-5 review); a*(s%p)
+    peaks at ~3.4e14."""
     out = []
     for a, b in MINHASH_AB:
-        h = transform(sints, f"s -> ({a} * s + {b}) % {MINHASH_P}", d)
+        h = transform(sints, f"s -> ({a} * (s % {MINHASH_P}) + {b}) % {MINHASH_P}", d)
         out.append(f"COALESCE({list_min(h, d)}, -1)")
     return out
 

@@ -59,7 +59,16 @@ def _quality_exprs(d: str, n_ws: str, text: str = "text") -> tuple[str, str, str
         n_bpe = f"size(regexp_extract_all({text}, '{bpe}', 0))"
     else:
         n_bpe = f"len(regexp_extract_all({text}, '{bpe}'))"
-    n_punct = f"(length({text}) - length({_regexp_strip(text, '[^A-Za-z0-9 ]', d)}))"
+    # ASCII punctuation/symbols ONLY: the old complement class
+    # [^A-Za-z0-9 ] counted every non-ASCII character — i.e. ALL CJK
+    # text — as punctuation, so quality_bucket 0 rejected entire
+    # languages.  Identical counts on ASCII text.
+    # Java regex REQUIRES '[' escaped inside a class (RE2 accepts it
+    # either way), and the dialects disagree on SQL-literal backslash
+    # handling: Spark eats one level ('\\[' in the literal -> \[ in
+    # the pattern) while DuckDB passes '\[' through verbatim
+    punct_cls = "[!-/:-@\\\\[-`{-~]" if d == SPARK else "[!-/:-@\\[-`{-~]"
+    n_punct = f"(length({text}) - length({_regexp_strip(text, punct_cls, d)}))"
     bucket = (f"CASE WHEN {n_punct} * 10 > length({text}) THEN 0 "
               f"WHEN {n_ws} < 5 THEN 1 "
               f"WHEN {n_bpe} > {n_ws} * 3 THEN 2 ELSE 3 END")
@@ -141,9 +150,14 @@ def text_profile_sql(d: str, docs: str = "documents") -> str:
 
 def text_profile_base_sql(d: str, docs: str = "documents") -> str:
     """Text-profile stage 0: (doc_id, text, lang, _tks tokens,
-    _tids token ids) — the one tokenizer pass."""
-    return (f"SELECT doc_id, text, lang, {T.toks('text', d)} AS _tks, "
-            f"{T.tok_ids('text', d)} AS _tids FROM {docs}")
+    _tids token ids) — the one tokenizer pass.  ``_tids`` transforms
+    the already-split ``_tks`` (via a nested subquery — SQL cannot
+    reference a same-level alias) instead of re-splitting ``text``,
+    so the tokenizer genuinely runs once per row (round-5 review)."""
+    return (f"SELECT doc_id, text, lang, _tks, "
+            f"{T.transform('_tks', T.tid_lambda(d), d)} AS _tids "
+            f"FROM (SELECT doc_id, text, lang, {T.toks('text', d)} AS _tks "
+            f"FROM {docs}) _tok")
 
 
 def text_profile_from(d: str, base_rel: str) -> str:
@@ -398,7 +412,14 @@ def ann_topk_sql(d: str, embeddings: str = "embeddings",
         SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (
                  PARTITION BY query_id
-                 ORDER BY dot / sqrt(nrm) DESC, neighbor_id
+                 -- CASE, not bare division: a zero-norm neighbour
+                 -- ANSI-aborts Spark (DIVIDE_BY_ZERO) and a NaN/Inf
+                 -- one ranks FIRST in Spark (NaN above every double)
+                 -- but NULLS-LAST in DuckDB; the guard makes
+                 -- degenerate vectors rank last in BOTH dialects
+                 ORDER BY CASE WHEN nrm > 0 AND dot - dot = 0
+                               THEN dot / sqrt(nrm) END DESC NULLS LAST,
+                          neighbor_id
                ) AS rnk
         FROM dots
       ) _r
@@ -790,6 +811,18 @@ def url_corpus_sql(d: str, orders: str = "orders") -> str:
 
 
 def url_normalize_sql(d: str, orders: str = "orders") -> str:
+    """URL canonicalization over the synthetic orders-derived corpus —
+    see _url_normalize_over for the transformation itself."""
+    return _url_normalize_over(d, url_corpus_sql(d, orders))
+
+
+def url_normalize_from(d: str, rel: str) -> str:
+    """The same canonicalization over an arbitrary (pkey, url)
+    relation — the production entry point."""
+    return _url_normalize_over(d, f"SELECT pkey, url FROM {rel}")
+
+
+def _url_normalize_over(d: str, corpus_sql: str) -> str:
     """URL canonicalization entirely in string/regexp Column space (no
     UDF): strip fragment; lowercase scheme+authority (path/query case
     preserved); drop default ports (:443 https / :80 http); drop the
@@ -804,7 +837,11 @@ def url_normalize_sql(d: str, orders: str = "orders") -> str:
     u3 = _rr(d, u2, '^(https://[^/:]+):443(/.*)?$', '{g1}{g2}')
     u3 = _rr(d, u3, '^(http://[^/:]+):80(/.*)?$', '{g1}{g2}')
     u4 = _rr(d, u3, '^(https?://)www[.]', '{g1}')
-    u5 = _rr(d, u4, '(utm_[a-z]+|gclid|fbclid)=[^&#]*', '')
+    # anchored to a parameter boundary: the unanchored form matched
+    # INSIDE other params ('?xutm_source=1' lost its value — wrong
+    # canonical keys -> false dedup merges; round-5 review).  The
+    # kept separator is repaired by the steps below.
+    u5 = _rr(d, u4, '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*', '{g1}')
     u5 = _rr(d, u5, '[?]&+', '?')
     u5 = _rr(d, u5, '&&+', '&')
     u5 = _rr(d, u5, '[?&]$', '')
@@ -815,7 +852,7 @@ def url_normalize_sql(d: str, orders: str = "orders") -> str:
              regexp_extract(norm_url, '^https?://([^/:]+)', 1) AS host,
              CAST(COUNT(*) OVER (PARTITION BY norm_url) AS BIGINT) AS n_variants,
              (pkey = MIN(pkey) OVER (PARTITION BY norm_url)) AS is_canonical
-      FROM (SELECT pkey, url, {u6} AS norm_url FROM ({url_corpus_sql(d, orders)}) _c) _n
+      FROM (SELECT pkey, url, {u6} AS norm_url FROM ({corpus_sql}) _c) _n
     """
 
 
@@ -1321,12 +1358,13 @@ def dedup_incremental_sql(d: str, docs: str = "documents",
     * Length-aware verify: the standard arm is exact-Jaccard >= tau;
       a short doc that gains a 2-token prefix adds 2 shingles to a
       set of n, so J = n/(n+2) < 0.6 for n < 3.  The second arm
-      flags FULL CONTAINMENT of the smaller shingle set when that
-      set is small (<= short_shingles, default 8): inter_n >=
-      least(|A|, |B|) means every shingle of the short doc occurs in
-      the other — the strongest similarity statement available for
-      short docs, and it cannot fire unless the other doc genuinely
-      contains the whole short doc.
+      flags FULL CONTAINMENT of the NEW doc's shingle set when that
+      set is small (<= short_shingles, default 8): inter_n >= |new|
+      means every shingle of the short new doc already occurs in the
+      corpus doc — it adds nothing.  The test is deliberately
+      ONE-SIDED: a symmetric least(|A|,|B|) form would also discard a
+      large NEW article merely because it quotes one tiny existing
+      doc (J ~ 0), which is not a duplicate (round-5 review).
 
     Scale plan: at 100 TB the existing side's digests and minhash
     signatures are precomputed tables (this query recomputes them only
@@ -1424,8 +1462,7 @@ def dedup_incremental_from(d: str, sigs_rel: str, sints_rel: str,
         JOIN sizes sa ON sa.doc_id = _i.new_id
         JOIN sizes sb ON sb.doc_id = _i.old_id
         WHERE _i.inter_n * 100 >= (sa.n + sb.n - _i.inter_n) * {tau_pct}
-           OR (LEAST(sa.n, sb.n) <= {short_shingles}
-               AND _i.inter_n >= LEAST(sa.n, sb.n))
+           OR (sa.n <= {short_shingles} AND _i.inter_n >= sa.n)
       )
       SELECT c.doc_id,
              CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'

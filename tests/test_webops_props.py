@@ -137,3 +137,96 @@ def test_decontaminate_holdout_excluded_and_copies_flagged(spark):
     assert not (out["doc_id"] % 50 == 0).any()
     # every flagged doc has >= 1 hit; every unflagged has 0
     assert ((out["n_hit_shingles"] > 0) == out["is_contaminated"]).all()
+
+
+def _view_docs(spark, rows, name="_r5_docs"):
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .createOrReplaceTempView(name)
+    return name
+
+
+def test_minhash_survives_cjk_tokens(spark):
+    """ascii() returns the full Unicode codepoint, so a CJK first/last
+    character used to push (a*s + b) past 2^63 — ANSI Spark aborted
+    the job and DuckDB errored.  The mod-before-multiply form is
+    value-identical in range and overflow-safe (round-5 review)."""
+    import duckdb
+
+    # tokens vary in FIRST and LAST codepoint (the tid function keys
+    # on first/last/length, so same-shaped tokens would collapse)
+    base = " ".join(chr(0x4E00 + 7 * i) + "本" + chr(0x8A00 + 5 * i)
+                    for i in range(30))
+    near = base.split()
+    near[17] = chr(0x7FFF) + "編" + chr(0x7FFE)
+    rows = [(0, base, "ja"),
+            (1, " ".join(near), "ja"),                  # near copy, J ~ 0.8
+            (2, " ".join(chr(0x6B00 + 11 * i) + "別" + chr(0x9000 + 3 * i)
+                         for i in range(30)), "ja")]
+    name = _view_docs(spark, rows)
+    got = {(r.doc_a, r.doc_b) for r in spark.sql(
+        webops.minhash_pairs_sql(SPARK, docs=name)).collect()
+        if r.doc_a < 1_000_000 and r.doc_b < 1_000_000}
+    assert (0, 1) in got and not any(2 in p for p in got)
+    # the DuckDB dialect runs the same literals without overflow
+    con = duckdb.connect()
+    con.execute("CREATE TABLE _r5_docs AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{t}', 'ja')" for i, t, _ in rows)
+                + ") t(doc_id, text, lang)")
+    from jgdtrans_rs_spark.plans.textsql import DUCK
+    oc = {(int(r[0]), int(r[1])) for r in con.sql(
+        webops.minhash_pairs_sql(DUCK, docs="_r5_docs")).fetchall()
+        if r[0] < 1_000_000 and r[1] < 1_000_000}
+    assert oc == got
+
+
+def test_url_tracking_strip_anchored(spark):
+    """The tracking-param strip must match only at a parameter
+    boundary: '?xutm_source=a' is a DIFFERENT param and must survive
+    (the unanchored form corrupted it into '?x', collapsing distinct
+    urls onto one dedup key — round-5 review)."""
+    spark.createDataFrame(
+        [(1, "https://a.jp/p?xutm_source=alpha"),
+         (2, "https://a.jp/p?xutm_source=beta"),
+         (3, "https://a.jp/p?utm_source=x&id=7"),
+         (4, "https://a.jp/p?id=7&utm_campaign=y")],
+        "pkey long, url string").createOrReplaceTempView("_r5_urls")
+    out = {r.pkey: r.norm_url for r in spark.sql(
+        webops.url_normalize_from(SPARK, "_r5_urls"))
+        .select("pkey", "norm_url").collect()}
+    assert out[1] == "https://a.jp/p?xutm_source=alpha"
+    assert out[2] == "https://a.jp/p?xutm_source=beta"
+    assert out[1] != out[2]
+    assert out[3] == out[4] == "https://a.jp/p?id=7"
+
+
+def test_quality_bucket_not_rejecting_cjk(spark):
+    """quality_bucket 0 (punct-heavy) must not fire on clean CJK text:
+    the old [^A-Za-z0-9 ] complement counted EVERY non-ASCII char as
+    punctuation and rejected whole languages (round-5 review)."""
+    rows = [(0, "日本語の自然な文章がここに十分な長さで続いています "
+                "追加の 語 が 五つ 以上", "ja"),
+            (1, "!!! ??? ;;; ### $$$ %%% && ** (( ))", "en")]
+    name = _view_docs(spark, rows)
+    got = {r.doc_id: r.quality_bucket for r in spark.sql(
+        webops.quality_score_sql(SPARK, docs=name)).collect()}
+    assert got[0] != 0        # clean Japanese is not punct-heavy
+    assert got[1] == 0        # actual punctuation soup still is
+
+
+def test_incremental_containment_is_one_sided(spark):
+    """A large NEW article that merely quotes one tiny EXISTING doc is
+    NOT a near-duplicate (J ~ 0); only a short new doc fully contained
+    in the corpus may be flagged through the containment arm."""
+    tiny = "alpha beta gamma delta epsilon zeta"
+    big = tiny + " " + " ".join(f"w{i}x w{i}y w{i}z" for i in range(120))
+    # ids chosen OFF the builder's own injection lattice (base%5==0 ->
+    # +1M exact copy, base%7==0 -> +2M near copy) so these rows are
+    # the only members of the new batch
+    rows = [(1, tiny, "en"),                      # existing corpus doc
+            (1_000_003, big, "en"),               # big new doc quoting it
+            (1_000_004, tiny + " eta", "en")]     # short new doc contained
+    name = _view_docs(spark, rows)
+    got = {r.doc_id: r.verdict for r in spark.sql(
+        webops.dedup_incremental_sql(SPARK, docs=name)).collect()}
+    assert got[1_000_003] == "new"        # symmetric LEAST() called it near_dup
+    assert got[1_000_004] == "near_dup"   # genuine short-containment still fires
