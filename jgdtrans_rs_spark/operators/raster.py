@@ -32,7 +32,11 @@ def rasterize(points: DataFrame, value_col: str, mesh_col: str = "meshcode") -> 
         .groupBy(mesh_col)
         .agg(
             F.count("*").cast("long").alias("n_points"),
-            F.sum(F.round(F.col(value_col) * 100.0).cast("long")).alias("value_cents"),
+            # try_cast, not cast: under ANSI mode one NaN/Inf value
+            # would CAST_OVERFLOW-abort the whole aggregation; the
+            # NULL cents row is the visible quarantine instead
+            F.sum(F.round(F.col(value_col) * 100.0)
+                  .try_cast("long")).alias("value_cents"),
         )
     )
 
@@ -52,6 +56,13 @@ def vectorize(raster: DataFrame, unit: int, mesh_col: str = "meshcode") -> DataF
     def corners(codes: pd.Series) -> pd.DataFrame:
         c = codes.to_numpy(dtype=np.int64)
         lat_d, lon_d, valid = mesh.meshcode_to_digits(c)
+        # unit alignment: a unit-1 meshcode vectorized at unit=5 would
+        # otherwise fabricate a pseudo-cell via out-of-range digit
+        # carries (6+5=11) and flag it valid — the reference's
+        # MeshCoord::try_next_up rejects unit-misaligned coordinates
+        # (coord.rs:409-463), so the NaN quarantine must too
+        if unit != 1:
+            valid = valid & (lat_d[2] % unit == 0) & (lon_d[2] % unit == 0)
         north = mesh.next_north(lat_d, unit)
         east = mesh.next_east(lon_d, unit)
         sw_lat = mesh.digits_to_lat(lat_d)

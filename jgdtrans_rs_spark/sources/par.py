@@ -40,7 +40,13 @@ def read_par_df(spark: SparkSession, path: str, format: str,
     documented divergence for pipelines that prefer errors-as-data.
     """
     header, code_rng, lat_rng, lon_rng, alt_rng = PAR_LAYOUTS[format]
-    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    # lineSep pinned to \n: Hadoop's default LineReader also splits on
+    # a BARE \r, which the reference does not (str::lines splits on \n
+    # and tolerates a trailing \r) — a stray CR byte mid-line would
+    # shift every subsequent line number away from the reference's
+    # error positions (round-5 review)
+    rdd = (spark.read.text(path, lineSep="\n").rdd
+           .map(lambda r: r[0]).zipWithIndex())
     all_lines = spark.createDataFrame(rdd, "value string, lineno long")
     if strict:
         # a file shorter than the header block is a Header error
@@ -76,6 +82,13 @@ def read_par_df(spark: SparkSession, path: str, format: str,
         F.trim(F.substring(F.col("value"), code_rng[0] + 1, code_rng[1] - code_rng[0]))
         .try_cast("long").alias("meshcode")
     )
+    def raw_col(rng, name):
+        if rng is None:
+            return F.lit("0").alias(name)
+        start, end = rng
+        return F.trim(F.substring(
+            F.col("value"), start + 1, end - start)).alias(name)
+
     df = lines.select(
         "lineno",
         F.length(F.col("value")).alias("_len"),
@@ -83,6 +96,9 @@ def read_par_df(spark: SparkSession, path: str, format: str,
         slice_col(lat_rng, "dlat_sec"),
         slice_col(lon_rng, "dlon_sec"),
         slice_col(alt_rng, "dalt_m"),
+        raw_col(lat_rng, "_raw_dlat_sec"),
+        raw_col(lon_rng, "_raw_dlon_sec"),
+        raw_col(alt_rng, "_raw_dalt_m"),
     )
     if strict:
         # reference field order (grid.parse_par): Meshcode, then the
@@ -100,10 +116,19 @@ def read_par_df(spark: SparkSession, path: str, format: str,
         # Meshcode is a u32 in the reference: try_cast('long') happily
         # parses '-5030118' or 10^10 where u32::from_str raises
         # ParseInt, so range-check it alongside NULLness
+        # Rust f64::from_str grammar: try_cast('double') is LOOSER —
+        # it accepts Java-style suffixes ('1.5d', '2f') the reference
+        # rejects as ParseFloat (par.rs:744-859), so strict mode also
+        # matches the text against the Rust grammar
+        rust_float = (r"(?i)^[+-]?(inf(inity)?|nan|"
+                      r"(([0-9]+\.?[0-9]*|\.[0-9]+)(e[+-]?[0-9]+)?))$")
+
         def _field_bad(field):
             bad = F.col(field).isNull()
             if field == "meshcode":
                 bad = bad | (F.col(field) < 0) | (F.col(field) > 4294967295)
+            else:
+                bad = bad | ~F.col(f"_raw_{field}").rlike(rust_float)
             return bad
 
         bad_pred = F.col("_len") < max_end

@@ -22,12 +22,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when an Iceberg catalog is configured and loadable."""
+    """True when an Iceberg catalog is configured and loadable.
+
+    Catalogs are SESSION-level SQL confs: a catalog registered at
+    runtime (``spark.conf.set``) or on a builder reusing an existing
+    SparkContext never appears in ``sparkContext.getConf()``, so the
+    check consults the session's SET output (round-5 review)."""
     try:
-        conf = spark.sparkContext.getConf().getAll()
+        keys = [r["key"] for r in spark.sql("SET").collect()]
+        keys += [k for k, _ in spark.sparkContext.getConf().getAll()]
     except Exception:
         return False
-    if not any(k.startswith("spark.sql.catalog.") for k, _ in conf):
+    if not any(k.startswith("spark.sql.catalog.") for k in keys):
         return False
     try:
         spark._jvm.java.lang.Class.forName(

@@ -425,3 +425,93 @@ def test_streaming_decode_media_batch_parity(spark, tmp_path):
     assert {k: got[k].decode_status for k in got} == {
         1: "ok", 2: "ok", 3: "ok", 4: "ok", 5: "ok",
         6: "corrupt", 7: "unknown", 8: "unknown"}
+
+
+def test_par_strict_rejects_java_float_suffix(spark, tmp_path):
+    """try_cast('double') accepts Java-style '1.5d'/'2f' suffixes that
+    Rust f64::from_str rejects — strict mode must raise ParseFloat on
+    them (round-5 review), while plain floats/exponents still parse."""
+    import pytest
+
+    from jgdtrans_rs_spark.grid import ParseParError
+    from jgdtrans_rs_spark.sources.par import read_par_df
+
+    bad = tmp_path / "sfx.par"
+    # TKY2JGD layout: code 0..8, lat 9..18, lon 19..28 — place the
+    # suffix INSIDE the lat field window
+    line = "46303582" + " " + "11.491d".ljust(9) + " " + "-9.88759".ljust(9)
+    bad.write_text("JGD2000\nheader\n" + line + "\n")
+    with pytest.raises(ParseParError) as e:
+        read_par_df(spark, str(bad), "TKY2JGD").collect()
+    assert "ParseFloat" in str(e.value)
+
+    ok = tmp_path / "exp.par"
+    ok_line = ("46303582" + " " + "1.15e+01".ljust(9) + " "
+               + "-9.88759".ljust(9))
+    ok.write_text("JGD2000\nheader\n" + ok_line + "\n")
+    rows = read_par_df(spark, str(ok), "TKY2JGD").collect()
+    assert rows[0].dlat_sec == 11.5
+
+
+def test_par_bare_cr_is_not_a_line_break(spark, tmp_path):
+    """Hadoop's LineReader splits on a bare \\r; the reference's
+    str::lines does not — a stray CR mid-line must stay ONE (malformed)
+    line with the reference's line numbering, not shift every later
+    lineno (round-5 review)."""
+    import pytest
+
+    from jgdtrans_rs_spark.grid import ParseParError, parse_par
+    from jgdtrans_rs_spark.sources.par import read_par_df
+
+    text = ("JGD2000\n"
+            "header\n"
+            "46303582  11.49105\r  -9.88759\n"   # CR mid-line
+            "46303592  11.49099   -9.88994\n")
+    p = tmp_path / "cr.par"
+    p.write_bytes(text.encode())
+    # the reference (str::lines) keeps the CR line as ONE line and
+    # parses it; a Hadoop-LineReader split would instead yield a
+    # fragment line '  -9.88759' that fails strict validation
+    ref = parse_par(text, "TKY2JGD")  # MeshGrid
+    got = {r.meshcode: (r.dlat_sec, r.dlon_sec)
+           for r in read_par_df(spark, str(p), "TKY2JGD").collect()}
+    assert set(got) == set(int(c) for c in ref.codes)
+    for i, code in enumerate(ref.codes):
+        assert got[int(code)] == (ref.dlat_sec[i], ref.dlon_sec[i])
+
+
+def test_rasterize_nan_value_does_not_abort(spark):
+    """Under ANSI mode a NaN value CAST_OVERFLOW-aborted the whole
+    rasterize aggregation; try_cast turns it into a NULL-cents row —
+    visible, not fatal (round-5 review)."""
+    from jgdtrans_rs_spark.operators import raster as raster_ops
+
+    pts = spark.createDataFrame(
+        [(1, 54401005, 2.0), (2, 54401005, float("nan")),
+         (3, 54401010, 4.0)],
+        "pkey long, meshcode long, v double")
+    rows = {r.meshcode: r for r in
+            raster_ops.rasterize(pts, "v").collect()}
+    assert rows[54401005].n_points == 2          # row still counted
+    # the NaN row contributes NULL cents, which SUM skips: the finite
+    # part survives and n_points > contributing rows exposes the gap
+    assert rows[54401005].value_cents == 200
+    assert rows[54401010].value_cents == 400
+
+
+def test_vectorize_rejects_unit_misaligned_codes(spark):
+    """A unit-1 meshcode vectorized at unit=5 used to fabricate a
+    pseudo-cell via out-of-range digit carries; it must NaN-quarantine
+    like every other invalid code (coord.rs:409-463 rejects
+    unit-misaligned coordinates)."""
+    import math
+
+    from jgdtrans_rs_spark.operators import raster as raster_ops
+
+    df = spark.createDataFrame([(53394526,), (53394500,)], "meshcode long")
+    out = {r.meshcode: r for r in
+           raster_ops.vectorize(df, unit=5).collect()}
+    bad = out[53394526].sw_lat                   # third digits 2,6
+    assert bad is None or math.isnan(bad)
+    ok = out[53394500].sw_lat                    # aligned: 0,0
+    assert ok is not None and not math.isnan(ok)
