@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Round-6 optimization harness (bench.py itself is FROZEN for
+measurement): rebuilds the exact bench.py query DataFrames and
+
+* ``--plans <outdir>``  writes .explain("formatted") per query
+  (the judge-checkable plan artifacts, plans/r06/*_{before,after}.txt)
+* ``--time``            noop-sink per-query timing in THIS process
+  (guide §1.4 isolation; fresh-JVM totals still come from bench.py)
+
+Query construction is copied verbatim from bench.py::run_pipeline so
+the plans shown are the plans the frozen bench times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_queries(spark, sf_dir):
+    """The 12 bench query DataFrames, built exactly as bench.py does."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from jgdtrans_rs_spark.operators import dedup as dedup_ops
+    from jgdtrans_rs_spark.operators import spatial
+    from jgdtrans_rs_spark.plans import oracle, webops
+    from jgdtrans_rs_spark.plans.textsql import SPARK
+
+    eng = entry_mod._engine(spark)
+    cpus = spark.sparkContext.defaultParallelism
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    src = "(SELECT l_orderkey * 8 + l_linenumber AS o_orderkey FROM lineitem)"
+    pts = spark.sql(oracle.points_sql(src)).repartition(cpus * 3).persist()
+    pts.count()
+
+    sql_eng = entry_mod._sql_engine(spark)
+    out = {}
+    out["q1_forward"] = eng.forward(pts, "lat", "lon", "alt")
+    out["q2_backward"] = eng.backward(pts, "lat", "lon", "alt")
+    out["q3_tile"] = eng.assign_tiles(pts)
+    out["q1s_forward_sql"] = sql_eng.forward(pts)
+    out["q3s_tile_sql"] = sql_eng.assign_tiles(pts)
+    out["q4s_pip_sql"] = sql_eng.transform_pip(pts, entry_mod.POLYGONS)
+    fused = eng.transform_tile_pip(pts, entry_mod.POLYGONS, "lat", "lon", "alt",
+                                   fields=["status", "poly_mask"])
+    out["q4_transform_join"] = type(eng).poly_mask_rows(
+        fused.filter(F.col("status") == 0).select("pkey", "poly_mask"),
+        entry_mod.POLYGONS,
+    ).select("pkey", "poly_idx")
+    tiled = eng.transform_and_tile(
+        pts, "lat", "lon", "alt",
+        fields=["out_lat", "out_lon", "status", "meshcode"],
+    ).filter(F.col("status") == 0)
+    out["q4b_salted_join"] = spatial.bucketed_spatial_join(
+        tiled, entry_mod.POLYGONS, 5,
+        lat="out_lat", lon="out_lon", hot_threshold=20000, num_salts=16,
+        hot_codes=[54401005])
+    out["q5_knn"] = spatial.knn_mesh_nodes(pts, 5, 3)
+    for t in ("documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    out["q6_minhash"] = dedup_ops.minhash_lsh_pairs(spark)
+    out["q7_events_window"] = spark.sql(webops.events_window_sql(SPARK))
+    out["q8_roundtrip"] = eng.roundtrip_verify(pts, "lat", "lon", "alt").select(
+        "pkey", "roundtrip_exact", "status")
+    return out
+
+
+def main():
+    from bench import make_spark
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "--plans"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        dfs = build_queries(spark, SF_DIR)
+        if mode == "--plans":
+            outdir = sys.argv[2] if len(sys.argv) > 2 else "plans/r06"
+            os.makedirs(outdir, exist_ok=True)
+            suffix = sys.argv[3] if len(sys.argv) > 3 else "before"
+            for name, df in dfs.items():
+                plan = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted")
+                with open(f"{outdir}/{name}_{suffix}.txt", "w") as f:
+                    f.write(plan)
+                print(f"wrote {outdir}/{name}_{suffix}.txt")
+        elif mode == "--time":
+            reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+            timings = {}
+            for name, df in dfs.items():
+                if only and name not in only:
+                    continue
+                spark.sparkContext.setJobDescription(name)
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                timings[name] = round(best, 3)
+                print(f"{name}: {best:.3f}s", flush=True)
+            print(json.dumps({"sf_dir": SF_DIR, "queries": timings,
+                              "total": round(sum(timings.values()), 3)}))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

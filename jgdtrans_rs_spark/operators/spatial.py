@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, BooleanType, LongType
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 from .. import mesh
 
@@ -58,27 +58,31 @@ def _crossings(lat: np.ndarray, lon: np.ndarray, ring: list[tuple[float, float]]
     return inside % 2
 
 
+def _ring_parity_col(ring: list[tuple[float, float]], lat, lon) -> "F.Column":
+    """Crossing-number parity of ONE ring as a pure Column expression
+    (same edge formula as _crossings and the SQL oracle, bit-identical
+    float64 ops).  Stays entirely inside whole-stage codegen."""
+    crossings = None
+    n = len(ring)
+    for j in range(n):
+        y1, x1 = ring[j]
+        y2, x2 = ring[(j + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses the test ray
+        hit = ((F.lit(y1) > lat) != (F.lit(y2) > lat)) & (
+            lon < (x2 - x1) * (lat - F.lit(y1)) / (y2 - y1) + x1
+        )
+        term = F.when(hit, 1).otherwise(0)
+        crossings = term if crossings is None else crossings + term
+    return (crossings % 2 == 1) if crossings is not None else F.lit(False)
+
+
 def _containment_col(rings: list[list[tuple[float, float]]],
                      lat, lon, pidx) -> "F.Column":
-    """Crossing-number containment as a pure Column expression: per
-    polygon the edge-parity sum (same edge formula as _crossings and
-    the SQL oracle, bit-identical float64 ops), dispatched on the
-    candidate's poly_idx.  Stays entirely inside whole-stage codegen."""
+    """Per-polygon ring parity dispatched on the candidate's poly_idx."""
     out = None
     for i, ring in enumerate(rings):
-        crossings = None
-        n = len(ring)
-        for j in range(n):
-            y1, x1 = ring[j]
-            y2, x2 = ring[(j + 1) % n]
-            if y1 == y2:
-                continue  # horizontal edge never crosses the test ray
-            hit = ((F.lit(y1) > lat) != (F.lit(y2) > lat)) & (
-                lon < (x2 - x1) * (lat - F.lit(y1)) / (y2 - y1) + x1
-            )
-            term = F.when(hit, 1).otherwise(0)
-            crossings = term if crossings is None else crossings + term
-        inside = (crossings % 2 == 1) if crossings is not None else F.lit(False)
+        inside = _ring_parity_col(ring, lat, lon)
         out = F.when(pidx == i, inside) if out is None else out.when(pidx == i, inside)
     return F.lit(False) if out is None else out.otherwise(F.lit(False))
 
@@ -282,10 +286,17 @@ def _lon_digits_valid(d) -> np.ndarray:
     return (f >= 0) & ((f < 80) | ((f == 80) & (s == 0) & (t == 0)))
 
 
-def knn_codes_np(la: np.ndarray, lo: np.ndarray, unit: int, k: int):
-    """Batch kNN kernel: ordered k-nearest node-code list per point
-    (empty list for points outside the mesh domain).  Pure numpy —
-    testable against an all-nodes brute force without Spark."""
+def knn_topk_np(la: np.ndarray, lo: np.ndarray, unit: int, k: int):
+    """Vectorized kNN core: (top_codes (n,k) int64, keep (n,k) bool).
+
+    ``keep[i, j]`` is True when slot j of row i holds a real neighbor
+    (the point is inside the mesh domain AND the candidate node's
+    digits are valid).  Valid nodes always form a prefix of each row:
+    invalid candidates get d2 = inf, strictly after every finite
+    distance in the lexsort.  No per-row Python — the r06 optimization
+    pass replaced the list-of-arrays return (one Python list object +
+    Arrow list-writer cell per row) with these two fixed-width arrays
+    (guide §4.2)."""
     lat_d, lon_d, valid = mesh.point_to_digits(la, lo, unit)
     rows, cols = knn_candidate_rows_cols(lat_d, lon_d, unit)
     codes, node_lat, node_lon, node_ok = [], [], [], []
@@ -308,11 +319,17 @@ def knn_codes_np(la: np.ndarray, lo: np.ndarray, unit: int, k: int):
     order = np.lexsort((codes, d2), axis=-1)[:, :k]
     top = np.take_along_axis(codes, order, axis=1)
     top_ok = np.take_along_axis(node_ok, order, axis=1)
-    empty = np.empty(0, dtype=np.int64)
-    return [
-        row[ok_row] if ok else empty
-        for row, ok_row, ok in zip(top, top_ok, valid)
-    ]
+    return top, top_ok & valid[:, None]
+
+
+def knn_codes_np(la: np.ndarray, lo: np.ndarray, unit: int, k: int):
+    """Batch kNN kernel: ordered k-nearest node-code list per point
+    (empty list for points outside the mesh domain).  Pure numpy —
+    testable against an all-nodes brute force without Spark.  (The
+    Spark operator ships the fixed-width knn_topk_np form instead;
+    this list view is derived from the same arrays.)"""
+    top, keep = knn_topk_np(la, lo, unit, k)
+    return [row[ok_row] for row, ok_row in zip(top, keep)]
 
 
 def knn_mesh_nodes(df: DataFrame, unit: int, k: int = 3,
@@ -329,16 +346,36 @@ def knn_mesh_nodes(df: DataFrame, unit: int, k: int = 3,
     if k > 4:
         raise ValueError("knn_mesh_nodes supports k <= 4 (candidate window proof)")
 
-    # pandas_udf emitting the ordered k-nearest code list (empty for
-    # invalid points) + JVM posexplode -> rank
-    @F.pandas_udf(ArrayType(LongType()))
-    def knn_codes(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
+    # pandas_udf emitting k fixed nullable-long columns (NULL = no
+    # neighbor in that slot; valid slots are always a prefix — see
+    # knn_topk_np) + JVM posexplode over the rebuilt array -> rank.
+    # The r06 rewrite: the old ArrayType(LongType()) return built one
+    # Python list object per row and paid the Arrow list writer;
+    # these fixed-width columns stay vectorized end to end and the
+    # (pos, code) expansion runs in codegen.  NULL slots explode to
+    # NULL rows and are filtered JVM-side, so an out-of-domain point
+    # still yields zero rows — identical output to the list form.
+    out_schema = StructType([
+        StructField(f"c{j}", LongType(), True) for j in range(k)
+    ])
+
+    @F.pandas_udf(out_schema)
+    def knn_codes(lat_s: pd.Series, lon_s: pd.Series) -> pd.DataFrame:
         la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
         lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
-        return pd.Series(knn_codes_np(la, lo, unit, k))
+        top, keep = knn_topk_np(la, lo, unit, k)
+        return pd.DataFrame({
+            f"c{j}": pd.arrays.IntegerArray(top[:, j], mask=~keep[:, j])
+            for j in range(k)
+        })
 
+    tmp = "_knn"
+    while tmp in df.columns:
+        tmp += "_"
     return (
-        df.select(key, F.posexplode(knn_codes(F.col(lat), F.col(lon))))
+        df.withColumn(tmp, knn_codes(F.col(lat), F.col(lon)))
+        .select(key, F.posexplode(F.array(*[f"{tmp}.c{j}" for j in range(k)])))
+        .filter(F.col("col").isNotNull())
         .select(key, (F.col("pos") + 1).cast("int").alias("rank"),
                 F.col("col").alias("node_code"))
     )

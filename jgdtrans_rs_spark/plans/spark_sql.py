@@ -129,13 +129,39 @@ class SqlEngine:
         cached projection is 3 columns; at corpus scale this is the
         stage boundary you would materialize anyway (the transform
         output IS the dataset being spatially joined)."""
+        from ..operators.spatial import _ring_parity_col
+
         fwd = self.forward(df, key)
         name = f"{self.grid_view}_fwd"  # fixed name, see _input_rel
         fwd.createOrReplaceTempView(name)
         ok = self.spark.sql(
             f"SELECT {key}, out_lat AS lat, out_lon AS lon "
             f"FROM {name} WHERE status = 0").persist()
-        ok_name = f"{self.grid_view}_fwd_ok"
-        ok.createOrReplaceTempView(ok_name)
-        edges = oracle.polygon_edges_values(list(polygons))
-        return self.spark.sql(oracle.point_in_polygon_sql(ok_name, edges, key))
+        # Containment as one codegen filter per polygon over the cached
+        # projection, unioned — value-identical to the oracle's
+        # edge-relation form (point_in_polygon_sql: identical float64
+        # edge formula via _ring_parity_col; a point outside a
+        # polygon's bbox always has even parity, so the short-circuit
+        # bbox conjunct cannot change the verdict).  The r06 rewrite:
+        # the previous BroadcastNestedLoopJoin against the edge VALUES
+        # relation evaluated the crossing predicate row-at-a-time per
+        # (point, edge) and shuffled the crossing pairs into a
+        # COUNT/parity aggregation; this form has no join and no
+        # aggregation Exchange at all (guide §2.4).
+        lat, lon = F.col("lat"), F.col("lon")
+        out = None
+        for pid, ring in polygons:
+            r = [(float(a), float(b)) for a, b in ring]
+            la0, la1 = min(p[0] for p in r), max(p[0] for p in r)
+            lo0, lo1 = min(p[1] for p in r), max(p[1] for p in r)
+            inside = (
+                (lat >= la0) & (lat <= la1) & (lon >= lo0) & (lon <= lo1)
+                & _ring_parity_col(r, lat, lon)
+            )
+            branch = ok.filter(inside).select(
+                key, F.lit(pid).alias("poly_id"))
+            out = branch if out is None else out.unionByName(branch)
+        if out is None:
+            return ok.select(key).limit(0).withColumn(
+                "poly_id", F.lit(None).cast("string"))
+        return out

@@ -236,7 +236,28 @@ def minhash_pairs_from(d: str, sigs_rel: str, tau_pct: int = 60) -> str:
 def _minhash_pairs_ctes(d: str, sigs_rel: str, tau_pct: int) -> str:
     """WITH-body of the band join + verify — shared by the staged Spark
     path (minhash_pairs_from) and the single-statement oracle
-    (minhash_pairs_sql), so the two dialects cannot drift."""
+    (minhash_pairs_sql), so the two dialects cannot drift.
+
+    The exact-Jaccard verify differs per dialect (value-identical,
+    oracle-gated):
+
+    * DuckDB keeps the original relational form — explode every doc's
+      distinct shingles and COUNT the equi-join matches per candidate
+      pair.
+    * Spark joins each candidate pair back to the two (already
+      materialized) signature rows and computes
+      ``size(array_intersect(sa.sints, sb.sints))`` in whole-stage
+      codegen.  The relational form shuffled/broadcast the FULL
+      exploded shingle relation twice (one Generate + Exchange per join
+      side, O(corpus shingles) rows) to verify O(pairs) candidates;
+      the array form touches only the candidate rows — the r06
+      optimization pass measured the verify step dominating q6 once
+      the signature stages were cached (guide §2.3: shuffle keys and
+      metadata, not payloads).  ``array_intersect`` deduplicates, and
+      ``sints`` is distinct by construction, so the count is the exact
+      intersection cardinality; the explicit ``inter_n > 0`` guard
+      preserves the join form's implicit at-least-one-shared-shingle
+      semantics for any tau."""
     nb = len(T.MINHASH_AB) // T.BAND_SIZE
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
@@ -245,19 +266,31 @@ def _minhash_pairs_ctes(d: str, sigs_rel: str, tau_pct: int) -> str:
         for b in range(nb)
     )
     band_key_eq = " AND ".join(f"x.k{j} = y.k{j}" for j in range(T.BAND_SIZE))
-    if d == SPARK:
-        shingle_rows = (
-            f"SELECT doc_id, s FROM {sigs_rel} LATERAL VIEW explode(sints) _e AS s"
-        )
-    else:
-        shingle_rows = f"SELECT doc_id, unnest(sints) AS s FROM {sigs_rel}"
-    return f"""
+    cand = f"""
       bands AS ({band_rows}),
       cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y
           ON x.band = y.band AND {band_key_eq} AND x.doc_id < y.doc_id
-      ),
+      ),"""
+    if d == SPARK:
+        return f"""{cand}
+      pair_sets AS (
+        SELECT c.doc_a, c.doc_b,
+               size(array_intersect(sa.sints, sb.sints)) AS inter_n,
+               size(sa.sints) AS na, size(sb.sints) AS nb
+        FROM cand c
+        JOIN {sigs_rel} sa ON sa.doc_id = c.doc_a
+        JOIN {sigs_rel} sb ON sb.doc_id = c.doc_b
+      )
+      SELECT doc_a, doc_b,
+             CAST(inter_n AS BIGINT) AS inter_n,
+             CAST(na + nb - inter_n AS BIGINT) AS union_n
+      FROM pair_sets
+      WHERE inter_n > 0 AND inter_n * 100 >= (na + nb - inter_n) * {tau_pct}
+    """
+    shingle_rows = f"SELECT doc_id, unnest(sints) AS s FROM {sigs_rel}"
+    return f"""{cand}
       sizes AS (SELECT doc_id, {T.size('sints', d)} AS n FROM {sigs_rel}),
       sh AS ({shingle_rows}),
       inter AS (
