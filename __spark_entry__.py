@@ -392,10 +392,47 @@ def _q_dms_roundtrip(spark, sf_dir):
 
 def _q_dms(spark, sf_dir):
     """DMS parts + compact-string round-trip in ONE contract row
-    (round-4 consolidation): the decomposition (dms.rs:329-352) joined
-    with the pure-Column build->parse round trip on pkey."""
-    return _q_dms_parts(spark, sf_dir).join(
-        _q_dms_roundtrip(spark, sf_dir), "pkey")
+    (round-4 consolidation): the decomposition (dms.rs:329-352)
+    combined with the pure-Column build->parse round trip.
+
+    r06: computed as ONE projection over the shared point source
+    instead of joining the two arms on pkey — pkey is unique, so the
+    join was an Exchange + sort-merge of two scans of the same rows
+    producing the identical relation (guide §2.4: remove shuffles
+    outright).  Expressions are the arms' own, verbatim (the
+    standalone arm builders remain below, value-subsumed)."""
+    from jgdtrans_rs_spark.functions import columns as C
+
+    pts = _points(spark, sf_dir)
+    lat = F.col("lat")
+    # parts arm (_q_dms_parts expressions, verbatim)
+    mm_p = (lat - lat.cast("long").cast("double")) * 60.0
+    trunc_mm = mm_p.cast("long").cast("double")
+    ss_p = (mm_p - trunc_mm) * 60.0
+    fract = F.abs(ss_p - ss_p.cast("long").cast("double"))
+    # roundtrip arm (_q_dms_roundtrip expressions, verbatim)
+    deg_r = lat.cast("long")
+    mm = (lat - deg_r.cast("double")) * 60.0
+    mi = mm.cast("long")
+    ss = (mm - mi.cast("double")) * 60.0
+    sec = ss.cast("long")
+    fract6 = F.floor((ss - sec.cast("double")) * 1000000.0).cast("long")
+    dms_str = F.concat(
+        deg_r.cast("string"),
+        F.lpad(mi.cast("string"), 2, "0"),
+        F.lpad(sec.cast("string"), 2, "0"),
+        F.lit("."),
+        F.lpad(fract6.cast("string"), 6, "0"),
+    )
+    return pts.select(
+        "pkey",
+        lat.cast("long").cast("int").alias("deg"),
+        F.abs(mm_p.cast("long")).cast("int").alias("minute"),
+        F.abs(ss_p.cast("long")).cast("int").alias("second"),
+        (F.floor(fract * 1000000.0 + 0.5) / 1000000.0).alias("fract6"),
+        dms_str.alias("dms_str"),
+        C.dms_to_degree(dms_str).alias("parsed_deg"),
+    )
 
 
 # dyadic-degree generator shared by the dms_format query and oracle:

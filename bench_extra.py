@@ -75,6 +75,30 @@ def build_queries(spark, sf_dir):
     return out
 
 
+def time_contract(spark, sf_dir, reps=2, only=None):
+    """noop-sink timing for every declared contract query (the driver
+    only correctness-gates these; this audit is the r06 'examine every
+    operator' evidence)."""
+    import __spark_entry__ as entry_mod
+
+    timings = {}
+    for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
+        spark.sparkContext.setJobDescription(f"contract:{name}")
+        best = float("inf")
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:  # keep auditing the rest
+            timings[name] = f"ERR {type(e).__name__}"
+        print(f"{name}: {timings[name]}", flush=True)
+    return timings
+
+
 def main():
     from bench import make_spark
 
@@ -110,6 +134,11 @@ def main():
                 print(f"{name}: {best:.3f}s", flush=True)
             print(json.dumps({"sf_dir": SF_DIR, "queries": timings,
                               "total": round(sum(timings.values()), 3)}))
+        elif mode == "--contract":
+            reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+            only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+            timings = time_contract(spark, SF_DIR, reps, only)
+            print(json.dumps({"sf_dir": SF_DIR, "contract": timings}))
     finally:
         spark.stop()
 

@@ -182,9 +182,13 @@ def bucketed_spatial_join(points: DataFrame, polygons: Sequence[Polygon], unit: 
         # unions cleanly with the non-empty path whatever the key type
         return points.select(key).limit(0).withColumn(
             "poly_id", F.lit(None).cast("string"))
-    # integer poly indices through the Python hop (object strings in
-    # pandas are ~10x slower to group/serialize at tens of millions of
-    # candidate rows); names re-attached JVM-side at the end
+    # the candidate side carries BOTH the integer dispatch index (the
+    # containment refine dispatches on it — int compare in codegen,
+    # and the pandas fallback ships only (lat, lon, poly_idx) through
+    # Arrow) and the poly_id string, so no name-reattach join is
+    # needed after the refine (r06: the trailing broadcast join over
+    # every refined row was a leftover from when the refine ran in
+    # Python and strings were kept out of the hop)
     pid_to_idx = {pid: i for i, (pid, _) in enumerate(polygons)}
     if len(pid_to_idx) != len(polygons):
         # a duplicate id would silently collapse onto ONE ring here
@@ -194,8 +198,8 @@ def bucketed_spatial_join(points: DataFrame, polygons: Sequence[Polygon], unit: 
         raise ValueError("bucketed_spatial_join: duplicate poly_id in "
                          "polygons — ids must be unique")
     cand = spark.createDataFrame(
-        [(c, pid_to_idx[p]) for c, p in cover],
-        schema=f"{mesh_col} long, poly_idx int",
+        [(c, pid_to_idx[p], p) for c, p in cover],
+        schema=f"{mesh_col} long, poly_idx int, poly_id string",
     )
 
     if hot_codes is None:
@@ -245,11 +249,11 @@ def bucketed_spatial_join(points: DataFrame, polygons: Sequence[Polygon], unit: 
 
         contains_col = contains(F.col(lat), F.col(lon), F.col("poly_idx"))
 
-    refined = joined.select(key, lat, lon, "poly_idx").filter(contains_col)
-    names = spark.createDataFrame(
-        [(i, pid) for pid, i in pid_to_idx.items()], schema="poly_idx int, poly_id string"
+    return (
+        joined.select(key, lat, lon, "poly_idx", "poly_id")
+        .filter(contains_col)
+        .select(key, "poly_id")
     )
-    return refined.join(F.broadcast(names), "poly_idx").select(key, "poly_id")
 
 
 def knn_candidate_rows_cols(lat_d, lon_d, unit: int):

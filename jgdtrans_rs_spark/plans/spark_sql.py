@@ -85,17 +85,30 @@ class SqlEngine:
         """Verified Newton inverse (trans.rs:556-672) as 4 unrolled SQL
         iterations with per-lane freezing.
 
-        Each iteration is composed through a temp view (logical only —
-        no materialization; the optimizer still sees one end-to-end
-        plan) because the fully inlined 4-iteration tree exceeds
-        Spark's analyzer fixed-point budget."""
+        Each iteration is composed through a temp view (the fully
+        inlined 4-iteration tree exceeds Spark's analyzer fixed-point
+        budget) and the plan is CUT with a lazy ``localCheckpoint``
+        after every iteration: through purely logical views Catalyst
+        re-inlines the whole upstream into each stage and spends ~12 s
+        per action re-optimizing the composed tree (measured at sf0.1
+        in r06 — the optimizer, not the 20 grid joins, was >90% of the
+        query; guide §3.3 'very large plans: planning time itself can
+        become the bottleneck').  The checkpoint materializes each
+        iteration's ~20-column state once per action instead — 15.6 s
+        -> ~1.5 s noop — and block cleanup rides the ContextCleaner
+        when the returned DataFrame is dropped.  Results are
+        bit-identical: the per-stage SQL is unchanged, only the plan
+        boundary moves."""
         stages = oracle.backward_newton_stages(
             self._input_rel(df), self.grid_rel, self.unit, key)
         state = self.spark.sql(stages[0])
+        last = len(stages) - 2
         for i, st in enumerate(stages[1:]):
             name = f"{self.grid_view}_newton_{i}"  # fixed names, see _input_rel
             state.createOrReplaceTempView(name)
             state = self.spark.sql(st.replace("__STATE__", name))
+            if i < last:
+                state = state.localCheckpoint(eager=False)
         return state
 
     def assign_tiles(self, df: DataFrame, level: int = 15, key: str = "pkey") -> DataFrame:

@@ -98,8 +98,13 @@ def stream_transform_tile_counts(engine: Engine, pages_stream: DataFrame,
     discarded bad rows would undercount exactly when extraction
     degrades."""
     src = pages_stream.withColumn(ts_col, _event_time(ts_col))
-    tiled = engine.assign_tiles(engine.forward(src, lat, lon, None),
-                                lat="out_lat", lon="out_lon")
+    # genuinely ONE Arrow hop (r06): this previously chained
+    # engine.forward -> engine.assign_tiles, i.e. TWO Python stages
+    # with a full Arrow (de)serialization between them — the exact
+    # cost transform_and_tile exists to avoid (engine.py docstring);
+    # the fused kernel computes the identical columns in the same
+    # order (tile bounds and float ops unchanged, batch-parity test)
+    tiled = engine.transform_and_tile(src, lat, lon, None)
     return (
         tiled.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, "1 hour"), "meshcode")

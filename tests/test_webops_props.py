@@ -230,3 +230,28 @@ def test_incremental_containment_is_one_sided(spark):
         webops.dedup_incremental_sql(SPARK, docs=name)).collect()}
     assert got[1_000_003] == "new"        # symmetric LEAST() called it near_dup
     assert got[1_000_004] == "near_dup"   # genuine short-containment still fires
+
+
+def test_stage_view_reclaim_keeps_catalog_flat(spark):
+    """Repeated staged-operator calls must not accrete catalog views /
+    cached blocks once reclaimed (VERDICT r05 #7): ann_lsh_topk and
+    minhash_lsh_pairs each register uniquely-named persisted stage
+    views per call; reclaim_stages(spark) must drop every one of
+    them, leaving the temp-view count exactly where it started."""
+    from jgdtrans_rs_spark.operators import dedup as dedup_ops
+    from jgdtrans_rs_spark.operators import similarity
+
+    _docs(spark)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    before = {t.name for t in spark.catalog.listTables()}
+    for _ in range(2):
+        similarity.ann_lsh_topk(emb, n_queries=3, k=2).count()
+        dedup_ops.minhash_lsh_pairs(spark).count()
+    during = {t.name for t in spark.catalog.listTables()}
+    assert len(during) > len(before)  # stages registered per call
+    reclaimed = dedup_ops.reclaim_stages(spark)
+    assert reclaimed == len(during) - len(before)
+    after = {t.name for t in spark.catalog.listTables()}
+    assert after == before
+    # reclaiming again is a no-op, not an error
+    assert dedup_ops.reclaim_stages(spark) == 0
