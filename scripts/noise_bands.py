@@ -22,7 +22,7 @@ def bands():
 
 def table() -> str:
     n, qs, totals = bands()
-    out = [f"## Per-query noise bands (rounds 1-5 history, {n} runs)",
+    out = [f"## Per-query noise bands (all-rounds history, {n} runs)",
            "",
            "The sandbox host swings 3-4x minute-to-minute (see 'Measured host",
            "noise' in PLANS.md), so a single run can NOT establish a regression.",
