@@ -243,6 +243,7 @@ def test_stage_view_reclaim_keeps_catalog_flat(spark):
 
     _docs(spark)
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dedup_ops.reclaim_stages(spark)  # drain stages other tests left behind
     before = {t.name for t in spark.catalog.listTables()}
     for _ in range(2):
         similarity.ann_lsh_topk(emb, n_queries=3, k=2).count()
