@@ -505,8 +505,14 @@ class Engine:
 
         @_no_duplicate
         @F.pandas_udf(verdict_schema)
-        def run_verdict(lat_s: pd.Series, lon_s: pd.Series, alt_s: pd.Series) -> pd.DataFrame:
-            _, _, _, exact, status = _run(_np(lat_s), _np(lon_s), _np(alt_s))
+        def run_verdict(lat_s: pd.Series, lon_s: pd.Series) -> pd.DataFrame:
+            # the verdict is altitude-free (status comes from the
+            # lat/lon cell resolves, exactness from the lat/lon bit
+            # compare; altitude is a pure passthrough sum), so this
+            # UDF does not reference the alt column and a
+            # guardrail-only consumer ships 2 input doubles, not 3
+            la = _np(lat_s)
+            _, _, _, exact, status = _run(la, _np(lon_s), np.zeros(la.shape[0]))
             return pd.DataFrame({"roundtrip_exact": exact, "status": status})
 
         @_no_duplicate
@@ -525,7 +531,7 @@ class Engine:
             tmp_v += "_"
         return (
             df.withColumn(tmp_c, run_coords(F.col(lat), F.col(lon), alt_col))
-            .withColumn(tmp_v, run_verdict(F.col(lat), F.col(lon), alt_col))
+            .withColumn(tmp_v, run_verdict(F.col(lat), F.col(lon)))
             .select(*kept, f"{tmp_c}.*", f"{tmp_v}.*")
         )
 
