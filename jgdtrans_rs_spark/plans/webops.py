@@ -1462,12 +1462,7 @@ def dedup_incremental_from(d: str, sigs_rel: str, sints_rel: str,
         for b in range(nb)
     )
     key_eq = " AND ".join(f"n.k{j} = o.k{j}" for j in range(band_size))
-    if d == SPARK:
-        sh = (f"SELECT doc_id, s FROM {sints_rel} "
-              "LATERAL VIEW explode(sints) _e AS s")
-    else:
-        sh = f"SELECT doc_id, unnest(sints) AS s FROM {sints_rel}"
-    return f"""
+    head = f"""
       bands AS ({band_rows}),
       ex AS (
         SELECT DISTINCT n.doc_id
@@ -1480,7 +1475,32 @@ def dedup_incremental_from(d: str, sigs_rel: str, sints_rel: str,
         FROM bands n JOIN bands o
           ON n.band = o.band AND {key_eq}
          AND n.doc_id >= 1000000 AND o.doc_id < 1000000
-      ),
+      ),"""
+    if d == SPARK:
+        # Spark verify arm: same array_intersect form as the minhash
+        # pair verify (see _minhash_pairs_ctes — only candidate rows
+        # are touched, no corpus-shingle explode/shuffle); the
+        # inter_n > 0 guard keeps the join form's implicit
+        # at-least-one-shared-shingle semantics.  DuckDB keeps the
+        # relational form below — oracle text byte-identical.
+        near = f"""
+      near AS (
+        SELECT DISTINCT _i.new_id AS doc_id
+        FROM (
+          SELECT c.new_id, c.old_id,
+                 size(array_intersect(sa.sints, sb.sints)) AS inter_n,
+                 size(sa.sints) AS na, size(sb.sints) AS nb
+          FROM cand c
+          JOIN {sints_rel} sa ON sa.doc_id = c.new_id
+          JOIN {sints_rel} sb ON sb.doc_id = c.old_id
+        ) _i
+        WHERE _i.inter_n > 0
+          AND (_i.inter_n * 100 >= (_i.na + _i.nb - _i.inter_n) * {tau_pct}
+               OR (_i.na <= {short_shingles} AND _i.inter_n >= _i.na))
+      )"""
+    else:
+        sh = f"SELECT doc_id, unnest(sints) AS s FROM {sints_rel}"
+        near = f"""
       sizes AS (SELECT doc_id, {T.size('sints', d)} AS n FROM {sints_rel}),
       sh AS ({sh}),
       near AS (
@@ -1496,7 +1516,8 @@ def dedup_incremental_from(d: str, sigs_rel: str, sints_rel: str,
         JOIN sizes sb ON sb.doc_id = _i.old_id
         WHERE _i.inter_n * 100 >= (sa.n + sb.n - _i.inter_n) * {tau_pct}
            OR (sa.n <= {short_shingles} AND _i.inter_n >= sa.n)
-      )
+      )"""
+    return f"""{head}{near}
       SELECT c.doc_id,
              CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
                   WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
