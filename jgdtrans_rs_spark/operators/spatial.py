@@ -303,23 +303,33 @@ def knn_topk_np(la: np.ndarray, lo: np.ndarray, unit: int, k: int):
     (guide §4.2)."""
     lat_d, lon_d, valid = mesh.point_to_digits(la, lo, unit)
     rows, cols = knn_candidate_rows_cols(lat_d, lon_d, unit)
-    codes, node_lat, node_lon, node_ok = [], [], [], []
-    for r in rows:
-        r_lat = mesh.digits_to_lat(r)
+    n = la.shape[0]
+    nr, nc = len(rows), len(cols)
+    # candidate matrices written column-by-column into preallocated
+    # arrays; per-axis terms computed once per row/col instead of per
+    # combo (the meshcode digits are axis-separable:
+    # (f1*100+f2)*10^4 + (s1*10+s2)*100 + (t1*10+t2)
+    #   == [f1*10^6 + s1*10^3 + t1*10] + [f2*10^4 + s2*100 + t2],
+    # exact integer arithmetic — values identical to
+    # digits_to_meshcode; the old list+np.stack assembly recomputed
+    # the lon terms 4x and doubled the allocation traffic)
+    col_code = [c[0].astype(np.int64) * 10_000 + c[1] * 100 + c[2] for c in cols]
+    col_ok = [_lon_digits_valid(c) for c in cols]
+    col_dx = [lo - mesh.digits_to_lon(c) for c in cols]
+    codes = np.empty((n, nr * nc), dtype=np.int64)
+    node_ok = np.empty((n, nr * nc), dtype=bool)
+    d2 = np.empty((n, nr * nc), dtype=np.float64)
+    for i, r in enumerate(rows):
+        r_code = r[0].astype(np.int64) * 1_000_000 + r[1] * 1_000 + r[2] * 10
         r_ok = _lat_digits_valid(r)
-        for c in cols:
-            codes.append(mesh.digits_to_meshcode(r, c))
-            node_lat.append(r_lat)
-            node_lon.append(mesh.digits_to_lon(c))
-            node_ok.append(r_ok & _lon_digits_valid(c))
-    codes = np.stack(codes, axis=1)
-    node_lat = np.stack(node_lat, axis=1)
-    node_lon = np.stack(node_lon, axis=1)
-    node_ok = np.stack(node_ok, axis=1)
-    dy = la[:, None] - node_lat
-    dx = lo[:, None] - node_lon
-    d2 = dy * dy + dx * dx
-    d2 = np.where(node_ok, d2, np.inf)  # invalid nodes sort last
+        dy = la - mesh.digits_to_lat(r)
+        dy2 = dy * dy
+        for j in range(nc):
+            idx = i * nc + j
+            codes[:, idx] = r_code + col_code[j]
+            node_ok[:, idx] = r_ok & col_ok[j]
+            d2[:, idx] = dy2 + col_dx[j] * col_dx[j]
+    d2[~node_ok] = np.inf  # invalid nodes sort last
     order = np.lexsort((codes, d2), axis=-1)[:, :k]
     top = np.take_along_axis(codes, order, axis=1)
     top_ok = np.take_along_axis(node_ok, order, axis=1)
