@@ -667,7 +667,7 @@ def _make_bigsf(tmpdir: str, factor: int = 10) -> str:
                 f"{rot_arms} ELSE d.text END")
     con.sql(f"""
       COPY (
-        SELECT d.doc_id + c.copy * 1000000 AS doc_id,
+        SELECT d.doc_id + c.copy * 10000000 AS doc_id,
                {big_text} AS text,
                d.lang, d.source,
                length({big_text}) AS n_chars
