@@ -347,9 +347,16 @@ class Engine:
         ``explode_outer`` over an index array (a no-hit row keeps one
         output row with NULL poly columns under ``how='left'``).
         The tiny nested-loop probe (one AND per polygon per row) is
-        far cheaper than shipping an array column through Arrow."""
+        far cheaper than shipping an array column through Arrow.
+        The name relation is a LocalRelation (localrel.py): its
+        broadcast rebuilds on every downstream action, and the
+        LocalRelation build is job-free where a pickled-RDD frame
+        costs a ~32-task job per action."""
+        from .localrel import local_rows_df
+
         spark = df.sparkSession
-        names = spark.createDataFrame(
+        names = local_rows_df(
+            spark,
             [(i, pid) for i, (pid, _) in enumerate(polygons)],
             schema="poly_idx int, poly_id string",
         )
@@ -568,8 +575,12 @@ class Engine:
 
     def grid_df(self) -> DataFrame:
         """The broadcast grid as a small DataFrame (for F.broadcast joins
-        / coverage anti-joins)."""
-        return self.spark.createDataFrame(
+        / coverage anti-joins).  LocalRelation-backed for broadcastable
+        grids (localrel.py): zero-job broadcast builds per action."""
+        from .localrel import local_rows_df
+
+        return local_rows_df(
+            self.spark,
             self.grid.to_rows(),
             schema="meshcode long, dlat_sec double, dlon_sec double, dalt_m double",
         )

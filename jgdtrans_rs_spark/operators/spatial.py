@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 from .. import mesh
+from ..localrel import local_rows_df
 
 Polygon = tuple[str, list[tuple[float, float]]]  # (poly_id, [(lat, lon), ...])
 
@@ -125,8 +126,10 @@ def point_in_polygon(df: DataFrame, polygons: Sequence[Polygon],
         return pd.Series(mask)
 
     spark = df.sparkSession
-    names = spark.createDataFrame(
-        [(i, pid) for i, (pid, _) in enumerate(polys)], schema="poly_idx int, poly_id string"
+    names = local_rows_df(
+        spark,
+        [(i, pid) for i, (pid, _) in enumerate(polys)],
+        schema="poly_idx int, poly_id string",
     )
     masked = df.select(key, mask_udf(F.col(lat), F.col(lon)).alias("_pmask"))
     hit = F.expr("(shiftright(_pmask, poly_idx) & 1) = 1")
@@ -197,11 +200,6 @@ def bucketed_spatial_join(points: DataFrame, polygons: Sequence[Polygon], unit: 
         # for identical input; fail loudly instead
         raise ValueError("bucketed_spatial_join: duplicate poly_id in "
                          "polygons — ids must be unique")
-    cand = spark.createDataFrame(
-        [(c, pid_to_idx[p], p) for c, p in cover],
-        schema=f"{mesh_col} long, poly_idx int, poly_id string",
-    )
-
     if hot_codes is None:
         hot_codes = [
             r[mesh_col]
@@ -216,9 +214,21 @@ def bucketed_spatial_join(points: DataFrame, polygons: Sequence[Polygon], unit: 
         F.when(is_hot, F.pmod(F.hash(F.col(key)), F.lit(num_salts)))
         .otherwise(F.lit(0)),
     )
-    salts = spark.range(num_salts).select(F.col("id").cast("int").alias("_salt"))
-    cand_salted = cand.filter(is_hot).crossJoin(salts).unionByName(
-        cand.filter(~is_hot).withColumn("_salt", F.lit(0))
+    # the salt replication of the candidate side happens DRIVER-side:
+    # the cover is a driver list anyway (polygon_mesh_cover), so the
+    # hot rows explode across salts in Python and the whole candidate
+    # relation ships as ONE LocalRelation (localrel.py) — the old
+    # filter/crossJoin(range)/union subtree re-ran as a small
+    # distributed job inside every action's broadcast build, this
+    # build is job-free; row set identical (hot cover x all salts,
+    # non-hot at salt 0)
+    hot_set = set(hot_codes)
+    cand_salted = local_rows_df(
+        spark,
+        [(c, pid_to_idx[p], p, s)
+         for c, p in cover
+         for s in (range(num_salts) if c in hot_set else (0,))],
+        schema=f"{mesh_col} long, poly_idx int, poly_id string, _salt int",
     )
 
     joined = pts.join(F.broadcast(cand_salted), [mesh_col, "_salt"])

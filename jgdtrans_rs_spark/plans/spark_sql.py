@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..grid import MeshGrid
+from ..localrel import local_rows_df
 from . import oracle
 
 _view_ids = itertools.count()
@@ -47,8 +48,13 @@ class SqlEngine:
         self.grid = grid
         self.unit = grid.mesh_unit
         self.grid_view = grid_view or f"_mesh_grid_{next(_view_ids)}"
-        gdf = spark.createDataFrame(
-            grid.to_rows(),
+        # LocalRelation-backed for broadcastable grids (localrel.py):
+        # each downstream ACTION rebuilds the corner-join broadcasts,
+        # and over a pickled-RDD frame every build is a full job of
+        # ~defaultParallelism tiny tasks — measured ~0.25 s of every
+        # q1s action at local[32]; a LocalRelation build is job-free
+        gdf = local_rows_df(
+            spark, grid.to_rows(),
             schema="meshcode long, dlat_sec double, dlon_sec double, dalt_m double",
         )
         # the broadcast hint is part of the view's logical plan, so every
