@@ -23,6 +23,15 @@ Layout:
     streaming/   structured-streaming ingest (batch parity first)
 """
 
+from .workerenv import patch_zipimport_invalidate_caches
+
+# Applied at import so every Spark Python WORKER that unpickles a
+# kernel UDF gets it once per (reused) process: CPython 3.11 re-reads
+# every zip directory on sys.path on each per-task
+# importlib.invalidate_caches() — ~165 ms of worker CPU per task on
+# this build; the 3.12-style mtime guard removes it (workerenv.py).
+patch_zipimport_invalidate_caches()
+
 from .grid import MeshGrid, load_par, parse_par
 from .kernel import (
     STATUS_CORRECTION_NOT_FOUND,
